@@ -1,0 +1,250 @@
+"""DeerVLA — the full policy model (MPTFlamingo equivalent,
+robot_flamingo/models/flamingo_mpt.py:17-517), assembled functionally.
+
+Structure:
+  vision (ViT-L, frozen) x2 cameras -> perceiver resampler (shared unless
+  sep_resampler) -> media latents concat on token dim ('post' fusion,
+  flamingo_mpt.py:609-668) -> truncated MPT decoder with gated x-attn ->
+  exit-head registry {layer_id: head} + final head + shared extra exit.
+
+Functional-state rules:
+  * conditioned vision latents are ARGUMENTS (`media`), not module attributes
+    (replaces condition_vis_x side-channel, flamingo_mpt.py:665-666)
+  * LSTM carries are explicit (see action_head.head_step)
+  * train/inference window modes are two entry points over shared params.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.models.action_head import (HeadOutput, head_forward,
+                                             head_step, init_head)
+from deer_vla_tpu.models.mpt import (decoder_forward, decoder_segment_forward,
+                                     embed_tokens, init_decoder)
+from deer_vla_tpu.models.perceiver import init_perceiver, perceiver_forward
+from deer_vla_tpu.models.vit import init_vit, vit_forward
+from deer_vla_tpu.ops.layers import cast_tree, init_linear, linear
+
+
+class TrainOutputs(NamedTuple):
+    """Per-exit head outputs for the multi-exit loss
+    (ordering matches train_utils.py:503: internal exits..., final, extra1, extra2)."""
+    exit_outputs: Tuple[HeadOutput, ...]
+    final_output: HeadOutput
+    extra_output: HeadOutput
+    extra_output2: HeadOutput
+    hidden_states: jnp.ndarray      # (L, B*W, S, D)
+    rand_layer_feat: jnp.ndarray    # (B*W, S, D) sampling-1 features
+    rand_layer_ids: jnp.ndarray     # (B, W) sampled layer indices
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_deer(key, cfg: DeerConfig) -> dict:
+    pdt = cfg.dtypes.pdt
+    k = jax.random.split(key, 8 + cfg.num_exits)
+    params = {
+        "vit": init_vit(k[0], cfg.vit, pdt),
+        "perceiver": init_perceiver(k[1], cfg.perceiver, pdt),
+        "decoder": init_decoder(k[2], cfg, pdt),
+        "lm_head": init_head(k[3], cfg.head, pdt),   # final-layer exit head
+        "extra_exit": init_head(k[4], cfg.head, pdt),
+        "lm_exits": {},
+    }
+    if cfg.sep_resampler:
+        params["perceiver_gripper"] = init_perceiver(k[5], cfg.perceiver, pdt)
+    if cfg.use_state:
+        params["state_fc"] = init_linear(k[6], cfg.state_dim, cfg.vis_dim,
+                                         bias=True, dtype=pdt)
+    if cfg.multi_exit:
+        for j, layer_id in enumerate(cfg.exit_layer_ids()):
+            params["lm_exits"][str(layer_id)] = (
+                params["lm_head"] if cfg.share_exit
+                else init_head(k[7 + j], cfg.head, pdt))
+    if cfg.share_exit:
+        params["extra_exit"] = params["lm_head"]
+    return params
+
+
+# ---------------------------------------------------------------------------
+# vision path
+# ---------------------------------------------------------------------------
+
+
+def encode_vision(params: dict, vision_rgb: jnp.ndarray,
+                  vision_gripper: Optional[jnp.ndarray], cfg: DeerConfig,
+                  state_tensor: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """'post' fusion (flamingo_mpt.py:609-668).
+
+    vision_rgb/gripper: (B, T, F=1, 3, H, W) -> media (B, T, 2n(+1), vis_dim).
+    The ViT runs under stop_gradient (frozen, torch.no_grad at
+    flamingo_mpt.py:573-580).
+    """
+    cdt = cfg.dtypes.cdt
+
+    def encode(v):
+        b, t, f = v.shape[:3]
+        flat = v.reshape((b * t * f,) + v.shape[3:]).astype(cdt)
+        _, tokens = vit_forward(params["vit"], flat, cfg.vit)
+        tokens = jax.lax.stop_gradient(tokens)
+        return tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
+
+    rgb_tok = encode(vision_rgb)
+    rgb_lat = perceiver_forward(params["perceiver"], rgb_tok, cfg.perceiver)
+    if cfg.use_gripper and vision_gripper is not None:
+        grip_tok = encode(vision_gripper)
+        pg = params.get("perceiver_gripper") if cfg.sep_resampler else params["perceiver"]
+        grip_lat = perceiver_forward(pg, grip_tok, cfg.perceiver)
+        media = jnp.concatenate([rgb_lat, grip_lat], axis=2)
+    else:
+        media = rgb_lat
+    if cfg.use_state and state_tensor is not None and "state_fc" in params:
+        st = linear(params["state_fc"], state_tensor.astype(cdt))
+        media = jnp.concatenate([media, st], axis=2)
+    return media
+
+
+# ---------------------------------------------------------------------------
+# training forward (all exits)
+# ---------------------------------------------------------------------------
+
+
+def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
+                  attention_mask: jnp.ndarray, cfg: DeerConfig, rng,
+                  vision_gripper: Optional[jnp.ndarray] = None,
+                  state_tensor: Optional[jnp.ndarray] = None,
+                  no_backbone_grad: bool = False,
+                  only_extra_exit: bool = False,
+                  train: bool = True) -> TrainOutputs:
+    """Flamingo training forward (flamingo_mpt.py:308-517).
+
+    Shapes (after the loader flattens batch x window):
+      vision_x, vision_gripper: (B*W, 1, 1, 3, H, W)
+      lang_x, attention_mask:   (B*W, S)
+      state_tensor:             (B*W, 1, 1, state_dim) or None
+    """
+    w = cfg.window_size
+    # media: (B*W, T_img=1, tokens, d) — each frame is its own batch row, so
+    # T_img stays 1 and the x-attn media-time mask sees one image per row.
+    media = encode_vision(params, vision_x, vision_gripper, cfg, state_tensor)
+
+    hidden, _ = decoder_forward(params["decoder"], lang_x, attention_mask,
+                                media, cfg)
+    if no_backbone_grad:
+        hidden = jax.lax.stop_gradient(hidden)
+
+    st = state_tensor.reshape(-1, state_tensor.shape[-1]) if state_tensor is not None else None
+    rngs = jax.random.split(rng, 8)
+
+    def run_head(head_params, feat, drng):
+        return head_forward(head_params, feat, cfg.head, st,
+                            window=w, dropout_rng=drng, train=train)
+
+    final_out = run_head(params["lm_head"], hidden[-1], rngs[0])
+
+    exit_outputs = ()
+    if cfg.multi_exit and not only_extra_exit:
+        exit_outputs = tuple(
+            run_head(params["lm_exits"][str(i)], hidden[i], jax.random.fold_in(rngs[1], i))
+            for i in cfg.exit_layer_ids())
+
+    # -- extra-exit random-layer sampling (flamingo_mpt.py:476-512) ----------
+    exit_ids = jnp.asarray(cfg.all_exit_ids())
+    n_exit = cfg.num_exits
+    bsw = hidden.shape[1]
+    bs = bsw // w
+    # (B*W, L, S, D) view for gathering
+    feats_bw = jnp.swapaxes(hidden, 0, 1)
+
+    # Sampling strategy 1: independent exit per (b, t)
+    idx1 = jax.random.randint(rngs[2], (bs, w), 0, n_exit)
+    lay1 = exit_ids[idx1]  # (B, W)
+    rand_feat = jnp.take_along_axis(
+        feats_bw, lay1.reshape(bsw, 1, 1, 1), axis=1).squeeze(1)  # (B*W, S, D)
+    extra_out = run_head(params["extra_exit"], rand_feat, rngs[3])
+
+    # Sampling strategy 2: one switch point, two exits per trajectory
+    prev_len = jax.random.randint(rngs[4], (), 1, w + 1)
+    idx2 = jax.random.randint(rngs[5], (bs, 2), 0, n_exit)
+    tpos = jnp.arange(w)[None, :]
+    pick = jnp.where(tpos < prev_len, idx2[:, :1], idx2[:, 1:])  # (B, W)
+    lay2 = exit_ids[pick]
+    feat2 = jnp.take_along_axis(
+        feats_bw, lay2.reshape(bsw, 1, 1, 1), axis=1).squeeze(1)
+    extra_out2 = run_head(params["extra_exit"], feat2, rngs[6])
+
+    return TrainOutputs(exit_outputs, final_out, extra_out, extra_out2,
+                        hidden, rand_feat, lay1)
+
+
+# ---------------------------------------------------------------------------
+# fixed-exit inference forward (exit_id path, flamingo_mpt.py:446-461)
+# ---------------------------------------------------------------------------
+
+
+def forward_fixed_exit(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
+                       attention_mask: jnp.ndarray, cfg: DeerConfig,
+                       exit_id: int,
+                       vision_gripper: Optional[jnp.ndarray] = None,
+                       state_tensor: Optional[jnp.ndarray] = None,
+                       carry=None) -> Tuple[HeadOutput, object]:
+    """Streaming single-frame inference at a fixed exit layer.
+
+    Runs layers [0, exit_id] only (true FLOPs savings — layers above the exit
+    are never issued), then the extra-exit head (layerwise_exit_eval=False
+    default: 'only use the extra exit for inference', flamingo_mpt.py:450-452).
+    Returns (head output, new LSTM carry).
+    """
+    if exit_id < 0:
+        exit_id += cfg.n_layers
+    assert 0 <= exit_id < cfg.n_layers, (
+        f"exit_id {exit_id} out of range for {cfg.n_layers}-layer decoder")
+    media = encode_vision(params, vision_x, vision_gripper, cfg, state_tensor)
+    x = embed_tokens(params["decoder"], lang_x, cfg.dtypes.cdt)
+    media_locations = lang_x == cfg.media_token_id
+    _, x = decoder_segment_forward(params["decoder"], x, attention_mask,
+                                   media, cfg, 0, exit_id + 1,
+                                   media_locations)
+    st = state_tensor.reshape(-1, state_tensor.shape[-1]) if state_tensor is not None else None
+    head = params["extra_exit"] if not cfg.layerwise_exit_eval else (
+        params["lm_head"] if exit_id == cfg.n_layers - 1
+        else params["lm_exits"][str(exit_id)])
+    return head_step(head, x, carry, cfg.head, st)
+
+
+def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
+    """Boolean pytree mask of trainable leaves.
+
+    Reference freeze policy (factory.py:203-237): freeze everything, then
+    unfreeze gated x-attn, perceiver, token embeddings, lm_head/exits/extra.
+    phase='exit_only' additionally freezes the backbone (second post-strategy
+    phase, train_calvin_post_strategy.py:644-660).
+    """
+    def label(path_tuple):
+        keys = [getattr(e, "key", getattr(e, "idx", getattr(e, "name", None)))
+                for e in path_tuple]
+        top = keys[0]
+        if top == "vit":
+            return False
+        if top in ("perceiver", "perceiver_gripper", "state_fc"):
+            return phase == "joint"
+        if top == "decoder":
+            if "xattn" in keys:
+                return phase == "joint"
+            if "wte" in keys:
+                return phase == "joint"
+            return False  # MPT blocks / ln_f stay frozen, as in the reference
+        if top in ("lm_head", "extra_exit", "lm_exits"):
+            return True
+        return False
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: label(path), params)

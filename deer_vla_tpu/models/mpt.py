@@ -1,0 +1,175 @@
+"""Truncated MPT decoder with interleaved gated cross-attention and
+early-exit segmentation.
+
+Reference: mosaic_gpt_3b.py (MPT-1B) / modeling_gpt_9b.py (MPT-7B) with the
+FlamingoLayer wrapper (open_flamingo/src/flamingo_lm.py:6-83): each decoder
+layer runs [optional gated x-attn] -> [MPT block], and DeeR collects the
+*output* of every layer (mosaic_gpt_3b.py:424-427) as hidden_states[i].
+
+MPT block = preLN attention (fused Wqkv, ALiBi bias, no biases anywhere when
+no_bias) + preLN GELU MLP, residual both times.
+
+TPU-first structure: instead of a Python `break` out of the layer loop
+(mosaic_gpt_3b.py:438-443), the stack exposes
+  * ``decoder_forward``          — all layers, stacked hidden states (training
+                                   & calibration; one fused XLA program)
+  * ``decoder_segment_forward``  — layers [start, stop): the unit of the
+                                   exit-bucket programs used at inference.
+Compute between exits is static; only the stop decision is dynamic, so each
+bucket compiles once and the host (or a lax.cond chain) sequences buckets.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deer_vla_tpu.core.config import DeerConfig, MPTConfig
+from deer_vla_tpu.models.gated_xattn import gated_xattn_forward, init_gated_xattn
+from deer_vla_tpu.ops.alibi import full_attn_bias
+from deer_vla_tpu.ops.attention import dot_attention, merge_heads, split_heads
+from deer_vla_tpu.ops.layers import (init_embedding, init_layernorm,
+                                     init_linear, layernorm, linear,
+                                     trunc_normal)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def init_mpt_block(key, cfg: MPTConfig, dtype=jnp.float32) -> dict:
+    k = jax.random.split(key, 4)
+    bias = not cfg.no_bias
+    d = cfg.d_model
+    p = {
+        "ln_1": init_layernorm(d, bias=bias, dtype=dtype),
+        "wqkv": init_linear(k[0], d, 3 * d, bias=bias, dtype=dtype, init="normal02"),
+        "out_proj": init_linear(k[1], d, d, bias=bias, dtype=dtype, init="normal02"),
+        "ln_2": init_layernorm(d, bias=bias, dtype=dtype),
+        "mlp_up": init_linear(k[2], d, cfg.mlp_ratio * d, bias=bias, dtype=dtype,
+                              init="normal02"),
+        "mlp_down": init_linear(k[3], cfg.mlp_ratio * d, d, bias=bias, dtype=dtype,
+                                init="normal02"),
+    }
+    if cfg.qk_ln:
+        p["q_ln"] = init_layernorm(d, bias=bias, dtype=dtype)
+        p["k_ln"] = init_layernorm(d, bias=bias, dtype=dtype)
+    return p
+
+
+def init_decoder(key, cfg: DeerConfig, dtype=jnp.float32) -> dict:
+    """Full LM-side stack: wte + [xattn?, block] * n_layers + ln_f."""
+    mpt = cfg.mpt
+    keys = jax.random.split(key, 2 + 2 * mpt.n_layers)
+    params = {
+        "wte": {"w": trunc_normal(keys[0], (mpt.vocab_size, mpt.d_model), 0.02, dtype)},
+        "ln_f": init_layernorm(mpt.d_model, bias=not mpt.no_bias, dtype=dtype),
+        "blocks": [],
+        "xattn": [],
+    }
+    for i in range(mpt.n_layers):
+        params["blocks"].append(init_mpt_block(keys[2 + 2 * i], mpt, dtype))
+        if cfg.has_xattn(i):
+            params["xattn"].append(init_gated_xattn(
+                keys[3 + 2 * i], mpt.d_model, cfg.vis_dim,
+                dim_head=cfg.xattn_dim_head, heads=cfg.xattn_heads,
+                ff_mult=cfg.xattn_ff_mult, dtype=dtype))
+        else:
+            params["xattn"].append(None)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def mpt_block_forward(p: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
+                      cfg: MPTConfig) -> jnp.ndarray:
+    h = layernorm(p["ln_1"], x)
+    qkv = linear(p["wqkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if "q_ln" in p:
+        q = layernorm(p["q_ln"], q)
+        k = layernorm(p["k_ln"], k)
+    q = split_heads(q, cfg.n_heads)
+    k = split_heads(k, cfg.n_heads)
+    v = split_heads(v, cfg.n_heads)
+    attn = merge_heads(dot_attention(q, k, v, bias=attn_bias,
+                                     scale=cfg.head_dim ** -0.5))
+    x = x + linear(p["out_proj"], attn)
+    h = layernorm(p["ln_2"], x)
+    h = linear(p["mlp_down"], jax.nn.gelu(linear(p["mlp_up"], h), approximate=False))
+    return x + h
+
+
+def embed_tokens(params: dict, input_ids: jnp.ndarray, compute_dtype) -> jnp.ndarray:
+    return jnp.take(params["wte"]["w"].astype(compute_dtype), input_ids, axis=0)
+
+
+def make_attn_bias(attention_mask: jnp.ndarray, cfg: MPTConfig,
+                   dtype) -> jnp.ndarray:
+    """(B, H, S, S) fused ALiBi+causal+padding bias (mosaic_gpt_3b.py:158-219)."""
+    s = attention_mask.shape[-1]
+    return full_attn_bias(attention_mask, cfg.n_heads, s,
+                          cfg.alibi_bias_max, dtype)
+
+
+def _layer(params: dict, i: int, x: jnp.ndarray, media: jnp.ndarray,
+           media_locations: Optional[jnp.ndarray], attn_bias: jnp.ndarray,
+           cfg: DeerConfig, text_time: Optional[jnp.ndarray]) -> jnp.ndarray:
+    xp = params["xattn"][i]
+    if xp is not None:
+        x = gated_xattn_forward(
+            xp, x, media, media_locations, heads=cfg.xattn_heads,
+            dim_head=cfg.xattn_dim_head,
+            only_attend_immediate_media=cfg.only_attend_immediate_media,
+            text_time=text_time)
+    return mpt_block_forward(params["blocks"][i], x, attn_bias, cfg.mpt)
+
+
+def decoder_forward(params: dict, input_ids: jnp.ndarray,
+                    attention_mask: jnp.ndarray, media: jnp.ndarray,
+                    cfg: DeerConfig,
+                    media_locations: Optional[jnp.ndarray] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run all layers; returns (hidden_states, x_final_preLN).
+
+    hidden_states: (n_layers, B, S, D) — hidden_states[i] is the OUTPUT of
+    layer i (the DeeR convention, mosaic_gpt_3b.py:424-427).  Note the exit
+    heads consume these raw layer outputs; ln_f is NOT applied (the heads
+    replaced lm_head and are fed hidden_states directly,
+    flamingo_mpt.py:459,465).
+    """
+    cdt = cfg.dtypes.cdt
+    x = embed_tokens(params, input_ids, cdt)
+    if media_locations is None:
+        media_locations = input_ids == cfg.media_token_id
+    attn_bias = make_attn_bias(attention_mask, cfg.mpt, cdt)
+    outs = []
+    for i in range(cfg.n_layers):
+        x = _layer(params, i, x, media, media_locations, attn_bias, cfg, None)
+        outs.append(x)
+    return jnp.stack(outs, axis=0), x
+
+
+def decoder_segment_forward(params: dict, x: jnp.ndarray,
+                            attention_mask: jnp.ndarray, media: jnp.ndarray,
+                            cfg: DeerConfig, start: int, stop: int,
+                            media_locations: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run layers [start, stop) on pre-embedded input.
+
+    Returns (x_prev, x): output of layer stop-2 (== input to the last layer,
+    i.e. feats[i-1] needed for the first-exit pseudo-action,
+    value_net.py:122-126) and output of layer stop-1.
+    """
+    attn_bias = make_attn_bias(attention_mask, cfg.mpt, x.dtype)
+    x_prev = x
+    for i in range(start, stop):
+        x_prev = x
+        x = _layer(params, i, x, media, media_locations, attn_bias, cfg, None)
+    return x_prev, x

@@ -1,0 +1,235 @@
+"""Dynamic-exit control plane: action-consistency criterion, threshold
+calibration, and the exit controller.
+
+Port of robot_flamingo/models/value_net.py (ActionValueNet :72-160,
+ExitController :163-297, generate_action_values :301-399), re-designed
+functional:
+
+  * the speculative head forward with an uncommitted LSTM carry
+    (action_head tmp_hidden_state protocol) becomes "compute candidate carry,
+    commit only on exit" — see eval/rollout.DynamicExitPolicy
+  * the threshold solver is a pure numpy port of the sort/filter quantile
+    matching (value_net.py:206-272)
+  * calibration-mode delta generation is a single jit-able batch function.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.models.action_head import head_forward
+
+
+# ---------------------------------------------------------------------------
+# action delta (value_net.py:105-117)
+# ---------------------------------------------------------------------------
+
+
+def get_delta(a1: jnp.ndarray, a2: jnp.ndarray, threshold_type: str = "L2") -> jnp.ndarray:
+    """Distance between two (..., action_dim) arm actions, reduced over the
+    last dim. Default 'L2' (eval_calvin.py:335)."""
+    d = jnp.abs(a1 - a2)
+    if threshold_type == "mean":
+        return d.mean(-1)
+    if threshold_type == "L2":
+        return jnp.sqrt(jnp.square(d).mean(-1))
+    if threshold_type == "max":
+        return d.max(-1)
+    if threshold_type == "cosine":
+        f1 = a1 / jnp.maximum(jnp.linalg.norm(a1, axis=-1, keepdims=True), 1e-5)
+        f2 = a2 / jnp.maximum(jnp.linalg.norm(a2, axis=-1, keepdims=True), 1e-5)
+        return 1.0 - (f1 * f2).sum(-1)
+    raise NotImplementedError(threshold_type)
+
+
+# ---------------------------------------------------------------------------
+# calibration: per-exit deltas over a batch (value_net.py:134-160 'generate')
+# ---------------------------------------------------------------------------
+
+
+def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
+                         rand_layer_feat: jnp.ndarray, cfg: DeerConfig,
+                         exit_list: Sequence[int],
+                         threshold_type: str = "L2") -> jnp.ndarray:
+    """Faithful port of ActionValueNet 'generate' mode.
+
+    Args:
+      hidden_states: (L, B*W, S, D) all layer outputs for a batch
+      rand_layer_feat: (B*W, S, D) random-exit features (sampling strategy 1)
+      exit_list: the exit layer ids (0 must not be in it, value_net.py:135)
+    Returns:
+      deltas: (n_exit, B * n_seq_positions) where row k is the action gap
+      between exit_list[k] and the previous entry of [0]+exit_list, evaluated
+      at seq positions W//2-1 .. W-2 with random-layer history prefixes.
+    """
+    assert 0 not in exit_list
+    w = cfg.window_size
+    s, d = hidden_states.shape[2], hidden_states.shape[3]
+    ids = [0] + list(exit_list)
+    feats = [hidden_states[i].reshape(-1, w, s, d) for i in ids]  # (B, W, S, D) each
+    rand = rand_layer_feat.reshape(-1, w, s, d)
+
+    per_seq = []
+    for seq_id in range(w // 2 - 1, w - 1):
+        prev = rand[:, :seq_id]  # (B, seq_id, S, D)
+        acts = []
+        for f in feats:
+            last = f[:, seq_id:seq_id + 1]
+            combined = jnp.concatenate([prev, last], axis=1)  # (B, seq_id+1, S, D)
+            out = head_forward(
+                extra_exit_params,
+                combined.reshape(-1, s, d), cfg.head,
+                window=seq_id + 1, last_action=True)
+            acts.append(out.actions[:, 0])  # (B, 6)
+        per_seq.append(jnp.stack(acts))  # (n_exit+1, B, 6)
+    stacked = jnp.stack(per_seq, axis=2)  # (n_exit+1, B, n_seq, 6)
+    delta = get_delta(stacked[1:], stacked[:-1], threshold_type)  # (n_exit, B, n_seq)
+    return delta.reshape(delta.shape[0], -1)
+
+
+# ---------------------------------------------------------------------------
+# threshold solver (value_net.py:206-272)
+# ---------------------------------------------------------------------------
+
+
+def exit_probs(real_num_exit: int, exit_ratio: float, exit_dist: str = "exp",
+               model_name: str = "mpt_dolly_3b") -> np.ndarray:
+    if exit_dist == "exp":
+        probs = exit_ratio ** np.arange(1, real_num_exit + 1, dtype=np.float64)
+    elif exit_dist == "gauss":
+        center = exit_ratio
+        probs = np.array([math.exp(-(i - center) ** 2 / 2.0)
+                          for i in range(real_num_exit)])
+    elif exit_dist == "gamma":
+        from scipy import stats
+        x = np.arange(1, real_num_exit + 1, dtype=np.float64)
+        probs = stats.gamma.pdf(x, exit_ratio, scale=2.0)
+    else:
+        raise ValueError(exit_dist)
+    if "mpt_9b" in model_name:
+        probs[0] = 0.0  # only exits >= 4th layer for the deep model (value_net.py:235-236)
+    return probs / probs.sum()
+
+
+def solve_thresholds(pred_values: np.ndarray, exit_ratio: float,
+                     exit_id_list: Sequence[int], max_layer: int,
+                     exit_dist: str = "exp", leq: bool = True,
+                     model_name: str = "mpt_dolly_3b"
+                     ) -> Tuple[Dict[int, float], np.ndarray]:
+    """Pick per-exit thresholds so the sample exit distribution matches the
+    target ``exit_ratio**k`` schedule (value_net.py:206-272).
+
+    pred_values: (n_exit, n_sample) calibration deltas (gathered across hosts).
+    Returns ({exit_id: threshold}, probs).
+    """
+    pred_values = np.asarray(pred_values)
+    n_stage, n_sample = pred_values.shape
+    real_ids = [x for x in exit_id_list if x <= max_layer]
+    real_num_exit = len(real_ids)
+    probs = exit_probs(real_num_exit, exit_ratio, exit_dist, model_name)
+
+    sorted_idx = np.argsort(pred_values, axis=1)
+    if not leq:
+        sorted_idx = sorted_idx[:, ::-1]
+    filtered = np.zeros(n_sample)
+    T = np.full(real_num_exit, -1e8 if leq else 1e8, dtype=np.float64)
+
+    for k in range(real_num_exit - 1):
+        count = 0
+        out_n = math.floor(n_sample * probs[k])
+        for i in range(n_sample):
+            ori_idx = sorted_idx[k][i]
+            if filtered[ori_idx] == 0:
+                count += 1
+                if count == out_n:
+                    T[k] = pred_values[k][ori_idx]
+                    break
+        if leq:
+            filtered += (pred_values[k] <= T[k]).astype(np.float64)
+        else:
+            filtered += (pred_values[k] >= T[k]).astype(np.float64)
+
+    T[real_num_exit - 1] = 1e8 if leq else -1e8
+    thresholds = {int(real_ids[i]): float(T[i]) for i in range(real_num_exit)}
+    return thresholds, probs
+
+
+# ---------------------------------------------------------------------------
+# exit controller (host-side state; device work happens in the exit buckets)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ExitController:
+    """Decision state for dynamic exit (ExitController, value_net.py:163-297).
+
+    Host-side: holds thresholds, the steps_per_stage stage memory and the
+    previous committed action.  The per-exit delta itself is computed on
+    device inside the exit-bucket program (see eval/rollout); this class only
+    compares the returned scalar against the threshold — the reference's
+    ``forward`` (value_net.py:278-297) split the same way.
+    """
+
+    exit_id_list: Sequence[int]
+    steps_per_stage: int = 1
+    leq: bool = True
+    max_layer: int = 12  # counts layers, not index
+    thresholds: Optional[Dict[int, float]] = None
+    threshold_type: str = "L2"
+
+    cur_step: int = 0
+    cur_exit_id: int = 10 ** 9
+    prev_action: Optional[np.ndarray] = None
+    action_list: List = field(default_factory=list)
+
+    def __post_init__(self):
+        self.effective_max = min(self.max_layer - 1, self.exit_id_list[-1])
+
+    def set_thresholds(self, thresholds: Dict[int, float]) -> None:
+        self.thresholds = thresholds
+
+    def set_threshold_values(self, values: Sequence[float]) -> None:
+        """Direct threshold setting for BO search (value_net.py:177-183)."""
+        real_ids = [x for x in self.exit_id_list if x <= self.effective_max]
+        assert len(values) == len(real_ids)
+        self.thresholds = {int(i): float(v) for i, v in zip(real_ids, values)}
+
+    def reset_episode(self) -> None:
+        self.cur_exit_id = 10 ** 9
+        self.prev_action = None
+        self.action_list = []
+
+    def set_timestep(self, t: int) -> None:
+        self.cur_step = t
+
+    def reuse_stage_exit(self) -> bool:
+        """True if mid-stage: reuse previous exit id (value_net.py:284-286)."""
+        return self.steps_per_stage > 1 and (self.cur_step % self.steps_per_stage != 0)
+
+    def should_exit(self, exit_id: int, delta: float) -> bool:
+        """Threshold compare for one evaluated exit (value_net.py:288-297)."""
+        assert self.thresholds is not None, "set thresholds before rollout"
+        if exit_id not in self.exit_id_list:
+            return False
+        take = (delta <= self.thresholds[exit_id]) if self.leq else \
+               (delta >= self.thresholds[exit_id])
+        if take or exit_id >= self.effective_max:
+            self.cur_exit_id = exit_id
+            return True
+        return False
+
+    def record_action(self, action: np.ndarray) -> None:
+        self.action_list.append(action)
+        self.prev_action = action
+
+    def get_ensemble_action(self) -> np.ndarray:
+        """Mean of the last two evaluated exits' actions (value_net.py:92-95)."""
+        assert len(self.action_list) > 0
+        return np.mean(np.stack(self.action_list[-2:], 0), axis=0)

@@ -1,0 +1,97 @@
+"""CLIP ViT visual tower (open_clip "ViT-L-14"), TPU-native.
+
+The reference loads this through open_clip with ``output_tokens=True``
+(robot_flamingo/models/factory.py:109-114) and feeds the *un-projected*
+per-patch tokens after the final LayerNorm to the perceiver
+(flamingo_mpt.py:580: ``vision_encoder.visual(vision_x)[1]``).
+
+TPU design notes:
+  * patch embedding is a (B, P, c*ph*pw) x (c*ph*pw, width) matmul — the
+    stride-14 conv reshaped so it runs on the MXU with no Conv lowering.
+    Weight layout matches ``torch_conv_w.reshape(width, -1).T`` for direct
+    checkpoint conversion.
+  * attention uses ops.attention.dot_attention (pallas flash kernel on TPU).
+  * the whole tower is bf16 under jit; LayerNorm stats in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deer_vla_tpu.core.config import ViTConfig
+from deer_vla_tpu.ops.attention import dot_attention, merge_heads, split_heads
+from deer_vla_tpu.ops.layers import (init_layernorm, init_linear, layernorm,
+                                     linear, quick_gelu, trunc_normal)
+
+
+def init_vit(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 6 + cfg.layers)
+    patch_dim = 3 * cfg.patch_size * cfg.patch_size
+    scale = cfg.width ** -0.5
+    params = {
+        "patch_embed": {"w": trunc_normal(keys[0], (patch_dim, cfg.width), 0.02, dtype)},
+        "class_embedding": scale * jax.random.normal(keys[1], (cfg.width,), dtype),
+        "positional_embedding": scale * jax.random.normal(
+            keys[2], (cfg.seq_len, cfg.width), dtype),
+        "ln_pre": init_layernorm(cfg.width, dtype=dtype),
+        "ln_post": init_layernorm(cfg.width, dtype=dtype),
+        "blocks": [],
+    }
+    for i in range(cfg.layers):
+        k = jax.random.split(keys[6 + i], 6)
+        params["blocks"].append({
+            "ln_1": init_layernorm(cfg.width, dtype=dtype),
+            "ln_2": init_layernorm(cfg.width, dtype=dtype),
+            "qkv": init_linear(k[0], cfg.width, 3 * cfg.width, bias=True, dtype=dtype),
+            "out": init_linear(k[1], cfg.width, cfg.width, bias=True, dtype=dtype),
+            "mlp_fc": init_linear(k[2], cfg.width, int(cfg.width * cfg.mlp_ratio),
+                                  bias=True, dtype=dtype),
+            "mlp_proj": init_linear(k[3], int(cfg.width * cfg.mlp_ratio), cfg.width,
+                                    bias=True, dtype=dtype),
+        })
+    return params
+
+
+def _patchify(x: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, 3, H, W) -> (B, P, 3*patch*patch), flatten order (c, ph, pw)
+    matching torch's conv-weight reshape."""
+    b, c, h, w = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, gh, gw, c, ph, pw)
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+def _block(p: dict, x: jnp.ndarray, heads: int, act) -> jnp.ndarray:
+    h = layernorm(p["ln_1"], x)
+    qkv = linear(p["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (split_heads(t, heads) for t in (q, k, v))
+    attn = merge_heads(dot_attention(q, k, v))
+    x = x + linear(p["out"], attn)
+    h = layernorm(p["ln_2"], x)
+    h = linear(p["mlp_proj"], act(linear(p["mlp_fc"], h)))
+    return x + h
+
+
+def vit_forward(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: (B, 3, H, W) preprocessed images.
+
+    Returns (pooled_pre_proj, tokens): tokens (B, P, width) are the
+    per-patch features after ln_post — exactly open_clip's
+    ``output_tokens=True`` second output that DeeR consumes.
+    """
+    b = x.shape[0]
+    h = jnp.dot(_patchify(x, cfg.patch_size), params["patch_embed"]["w"].astype(x.dtype))
+    cls = jnp.broadcast_to(params["class_embedding"].astype(x.dtype), (b, 1, cfg.width))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["positional_embedding"].astype(x.dtype)
+    h = layernorm(params["ln_pre"], h)
+    act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
+    for blk in params["blocks"]:
+        h = _block(blk, h, cfg.heads, act)
+    h = layernorm(params["ln_post"], h)
+    return h[:, 0], h[:, 1:]

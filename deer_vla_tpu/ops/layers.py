@@ -1,0 +1,164 @@
+"""Primitive layers as pure functions over param pytrees.
+
+Convention: every layer has ``init_*(key, ...) -> params`` returning a dict of
+jnp arrays, and an apply function taking ``(params, x, ...)``.  Parameters are
+stored in ``param_dtype`` and cast to ``compute_dtype`` at the callsite via
+:func:`cast_tree`; layernorms always accumulate statistics in fp32 (the
+reference uses MPT's low-precision layernorm which downcasts weights but
+normalizes in the input dtype; on TPU fp32 stats are free and strictly more
+accurate).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch.nn.Linear default init (kaiming_uniform with a=sqrt(5)) for
+    (in, out)-shaped weights."""
+    fan_in = shape[0]
+    bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def lecun_normal(key, shape, dtype=jnp.float32):
+    fan_in = shape[0]
+    return jax.random.normal(key, shape, dtype) * (1.0 / math.sqrt(fan_in))
+
+
+# ---------------------------------------------------------------------------
+# linear
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
+                dtype=jnp.float32, init="torch") -> dict:
+    wkey, bkey = jax.random.split(key)
+    if init == "torch":
+        w = kaiming_uniform(wkey, (in_dim, out_dim), dtype)
+    elif init == "normal02":
+        w = trunc_normal(wkey, (in_dim, out_dim), 0.02, dtype)
+    else:
+        w = lecun_normal(wkey, (in_dim, out_dim), dtype)
+    p = {"w": w}
+    if bias:
+        bound = 1.0 / math.sqrt(in_dim)
+        p["b"] = jax.random.uniform(bkey, (out_dim,), dtype, -bound, bound)
+    return p
+
+
+def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# layernorm
+# ---------------------------------------------------------------------------
+
+
+def init_layernorm(dim: int, bias: bool = True, dtype=jnp.float32) -> dict:
+    p = {"scale": jnp.ones((dim,), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((dim,), dtype)
+    return p
+
+
+def layernorm(p: Optional[dict], x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics, output in input dtype."""
+    dt = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if p is not None:
+        y = y * p["scale"].astype(jnp.float32)
+        if "bias" in p and p["bias"] is not None:
+            y = y + p["bias"].astype(jnp.float32)
+    return y.astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# embedding
+# ---------------------------------------------------------------------------
+
+
+def init_embedding(key, num: int, dim: int, std=0.02, dtype=jnp.float32) -> dict:
+    return {"w": trunc_normal(key, (num, dim), std, dtype)}
+
+
+def embedding(p: dict, ids: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    w = p["w"]
+    if compute_dtype is not None:
+        w = w.astype(compute_dtype)
+    return jnp.take(w, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# MLP variants
+# ---------------------------------------------------------------------------
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def init_mlp(key, dims: Sequence[int], bias: bool = True, dtype=jnp.float32) -> list:
+    keys = jax.random.split(key, len(dims) - 1)
+    return [init_linear(k, dims[i], dims[i + 1], bias=bias, dtype=dtype)
+            for i, k in enumerate(keys)]
+
+
+def mlp_relu(ps: list, x: jnp.ndarray, *, ln_params: Optional[list] = None,
+             final_act=None) -> jnp.ndarray:
+    """Stack of Linear(+LayerNorm)+ReLU with a final Linear(+final_act).
+
+    Mirrors MLPTanhHead / MLPSigmoidHead (action_head.py:82-269): hidden
+    layers use ReLU (optionally LayerNorm before ReLU); the output layer
+    applies ``final_act``.  Dropout is handled by the caller (train-only).
+    """
+    n = len(ps)
+    for i, p in enumerate(ps):
+        x = linear(p, x)
+        if i < n - 1:
+            if ln_params is not None and ln_params[i] is not None:
+                x = layernorm(ln_params[i], x)
+            x = jax.nn.relu(x)
+        elif final_act is not None:
+            x = final_act(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# dtype casting helpers
+# ---------------------------------------------------------------------------
+
+
+def cast_tree(tree, dtype):
+    """Cast every floating-point leaf to ``dtype`` (ints untouched)."""
+    def _cast(x):
+        if isinstance(x, jnp.ndarray) and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(_cast, tree)
+
+
+def count_params(tree) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "size"))

@@ -1,0 +1,101 @@
+"""Offline threshold calibration — generate_action_values + set_threshold
+(value_net.py:185-272, 301-399) as one jitted batch program + numpy solver.
+
+Pipeline: for each calibration batch, run the backbone once collecting all
+layer outputs, sample random-layer history features (sampling strategy 1),
+compute per-exit action deltas on device, then gather to host and solve the
+thresholds from the target exit distribution.  The calibration deltas cache
+is persisted in a sidecar (checkpoint.save_calibration_values) instead of the
+reference's in-place ckpt['values'] mutation (eval_calvin.py:601-611).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.data.preprocess import preprocess_train_frames
+from deer_vla_tpu.models.flamingo import forward_train
+from deer_vla_tpu.models.value_net import (generate_exit_deltas,
+                                           solve_thresholds)
+
+
+def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2"):
+    """One jitted program: backbone (all layers) + calibration deltas."""
+    exit_list = list(cfg.all_exit_ids())
+
+    @jax.jit
+    def delta_fn(params, image, gripper, input_ids, attention_mask, rng):
+        out = forward_train(params, image, input_ids, attention_mask, cfg, rng,
+                            vision_gripper=gripper, only_extra_exit=True,
+                            train=False)
+        return generate_exit_deltas(
+            params["extra_exit"], out.hidden_states, out.rand_layer_feat,
+            cfg, exit_list, threshold_type)
+
+    return delta_fn
+
+
+def generate_calibration_values(params: dict, cfg: DeerConfig,
+                                batches: Iterable[Dict[str, np.ndarray]],
+                                *, rng=None, threshold_type: str = "L2",
+                                max_batches: Optional[int] = None) -> np.ndarray:
+    """Run the calibration pass over a loader of raw batches.
+
+    Returns (n_exit, n_samples) deltas, host numpy.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    delta_fn = make_delta_fn(cfg, threshold_type)
+    outs = []
+    for bi, batch in enumerate(batches):
+        if max_batches is not None and bi >= max_batches:
+            break
+        rng, prep_rng, fwd_rng = jax.random.split(rng, 3)
+        stat = batch["rgb_static"].reshape(-1, *batch["rgb_static"].shape[2:])
+        grip = batch["rgb_gripper"].reshape(-1, *batch["rgb_gripper"].shape[2:])
+        img, gri = preprocess_train_frames(
+            prep_rng, jnp.asarray(stat), jnp.asarray(grip),
+            rgb_pad=0, gripper_pad=0, window=cfg.window_size,
+            size=cfg.vit.image_size)
+        bsw = img.shape[0]
+        s = batch["input_ids"].shape[-1]
+        ids = np.repeat(batch["input_ids"][:, None], cfg.window_size, axis=1)
+        mask = np.repeat(batch["attention_mask"][:, None], cfg.window_size, axis=1)
+        from deer_vla_tpu.data.text import fixed_length
+        # pad to the static text_len so one compiled program serves all
+        # batches (padding ids are masked out by attention_mask)
+        ids2, mask2 = fixed_length(ids.reshape(bsw, s), mask.reshape(bsw, s),
+                                   cfg.text_len, 0)
+        d = delta_fn(params, img, gri, jnp.asarray(ids2), jnp.asarray(mask2),
+                     fwd_rng)
+        outs.append(np.asarray(d))
+    return np.concatenate(outs, axis=1)
+
+
+def calibrate(params: dict, cfg: DeerConfig,
+              batches: Iterable[Dict[str, np.ndarray]], exit_ratio: float,
+              *, max_layer: Optional[int] = None, exit_dist: str = "exp",
+              model_name: str = "mpt_dolly_3b", threshold_type: str = "L2",
+              values: Optional[np.ndarray] = None,
+              all_gather: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+              max_batches: Optional[int] = None
+              ) -> Tuple[Dict[int, float], np.ndarray]:
+    """Full set_threshold flow.  ``values`` short-circuits generation (the
+    reference's ckpt['values'] cache); ``all_gather`` hooks multi-host
+    concatenation (torch all_gather equivalent, value_net.py:195-201)."""
+    if values is None:
+        values = generate_calibration_values(
+            params, cfg, batches, threshold_type=threshold_type,
+            max_batches=max_batches)
+        if all_gather is not None:
+            values = all_gather(values)
+    ml = max_layer if max_layer is not None else cfg.n_layers
+    thresholds, probs = solve_thresholds(
+        values, exit_ratio, list(cfg.all_exit_ids()), ml - 1,
+        exit_dist=exit_dist, model_name=model_name)
+    return thresholds, values

@@ -1,0 +1,227 @@
+"""CALVIN rollout harness (host-side driver) + DebugEnv fake backend.
+
+Port of eval_utils.py: make_env stays host-side (the CALVIN simulator is a
+CPU/GL program; the TPU program only consumes rendered frames — SURVEY §2.9);
+this module provides the env protocol, the fake DebugEnv
+(eval_utils.py:152-175), the rollout loop (:625-687, EP_LEN=360), sequence
+evaluation (:583-622) and multi-process sequence sharding (:521-527).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.data.preprocess import clip_preprocess
+from deer_vla_tpu.eval.metrics import summarize
+from deer_vla_tpu.eval.policy import DeerPolicy
+
+EP_LEN = 360
+
+
+# ---------------------------------------------------------------------------
+# environments
+# ---------------------------------------------------------------------------
+
+
+class DebugEnv:
+    """Fake CALVIN env (eval_utils.py:152-175): constant observations.
+
+    ``dynamic=True`` makes observations depend on an internal state driven by
+    the actions so closed-loop behavior (and success detection in
+    DebugTaskOracle) is testable without the simulator.
+    """
+
+    def __init__(self, img_hw: int = 200, grip_hw: int = 84, dynamic: bool = True,
+                 seed: int = 0):
+        self.img_hw, self.grip_hw = img_hw, grip_hw
+        self.dynamic = dynamic
+        self._r = np.random.RandomState(seed)
+        self.reset()
+
+    def reset(self, robot_obs=None, scene_obs=None):
+        self._state = np.zeros(15, np.float32)
+        if robot_obs is not None:
+            self._state[:len(robot_obs)] = np.asarray(robot_obs)[:15]
+        self._progress = 0.0
+        return self.get_obs()
+
+    def get_obs(self) -> Dict:
+        if self.dynamic:
+            base = int(abs(self._state[:3].sum()) * 50) % 200
+        else:
+            base = 1
+        img = np.full((self.img_hw, self.img_hw, 3), base, np.uint8)
+        grip = np.full((self.grip_hw, self.grip_hw, 3), 255 - base, np.uint8)
+        return {"rgb_obs": {"rgb_static": img, "rgb_gripper": grip},
+                "robot_obs": self._state.copy()}
+
+    def step(self, action: np.ndarray):
+        action = np.asarray(action, np.float32)
+        self._state[:6] += 0.02 * action[:6]
+        self._state[6] = action[6]
+        self._progress += float(np.abs(action[:6]).mean())
+        return self.get_obs(), 0.0, False, self.get_info()
+
+    def get_info(self) -> Dict:
+        return {"progress": self._progress, "state": self._state.copy()}
+
+
+class DebugTaskOracle:
+    """Deterministic success oracle for DebugEnv: a subtask succeeds once
+    enough motion has accumulated since the start of the rollout."""
+
+    def __init__(self, threshold: float = 0.5):
+        self.threshold = threshold
+
+    def get_task_info_for_set(self, start_info: Dict, current_info: Dict,
+                              subtasks: set) -> set:
+        if current_info["progress"] - start_info["progress"] >= self.threshold:
+            return set(subtasks)
+        return set()
+
+
+# ---------------------------------------------------------------------------
+# policy adapter: obs dict -> device arrays -> DeerPolicy.step
+# ---------------------------------------------------------------------------
+
+
+class CalvinPolicyAdapter:
+    """ModelWrapper equivalent (eval_utils.py:187-490): per-step preprocessing
+    and text caching around a DeerPolicy.  Observation frames go to device
+    raw-uint8; resize/normalize runs on device inside the jitted prefix."""
+
+    def __init__(self, policy: DeerPolicy, text_fn: Callable, text_len: int = 32):
+        self.policy = policy
+        self.text_fn = text_fn
+        self.text_len = text_len
+        self._goal_cache: Tuple[Optional[str], Optional[tuple]] = (None, None)
+        self.llm_time = 0.0
+
+    def reset(self):
+        self.policy.reset()
+
+    @property
+    def current_exit_layer(self) -> int:
+        return self.policy.last_exit_layer
+
+    def _tokenize(self, goal: str):
+        cached_goal, cached = self._goal_cache
+        if cached_goal == goal:
+            return cached
+        from deer_vla_tpu.data.text import fixed_length
+        ids, mask = self.text_fn([goal])
+        pad_id = getattr(self.text_fn, "pad_token_id", 0)
+        ids, mask = fixed_length(ids, mask, self.text_len, pad_id)
+        out = (jnp.asarray(ids), jnp.asarray(mask))
+        self._goal_cache = (goal, out)
+        return out
+
+    def step(self, obs: Dict, goal: str) -> np.ndarray:
+        import time
+        size = self.policy.cfg.vit.image_size
+        img = clip_preprocess(jnp.asarray(obs["rgb_obs"]["rgb_static"])[None], size)
+        grip = clip_preprocess(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None], size)
+        img = img[:, None, None]   # (1, 1, 1, 3, 224, 224)
+        grip = grip[:, None, None]
+        ids, mask = self._tokenize(goal)
+        t0 = time.perf_counter()
+        action = self.policy.step(img, grip, ids, mask)
+        self.llm_time = time.perf_counter() - t0
+        return action
+
+
+# ---------------------------------------------------------------------------
+# rollout loops (eval_utils.py:583-687)
+# ---------------------------------------------------------------------------
+
+
+def rollout(env, adapter: CalvinPolicyAdapter, task_oracle, subtask: str,
+            lang_annotation: str, ep_len: int = EP_LEN
+            ) -> Tuple[bool, List[int], int, List[float]]:
+    obs = env.get_obs()
+    adapter.reset()
+    start_info = env.get_info()
+    exit_layers, llm_times = [], []
+    for step in range(ep_len):
+        adapter.policy.set_timestep(step)
+        action = adapter.step(obs, lang_annotation)
+        exit_layers.append(adapter.current_exit_layer)
+        llm_times.append(adapter.llm_time)
+        obs, _, _, current_info = env.step(action)
+        if task_oracle.get_task_info_for_set(start_info, current_info, {subtask}):
+            return True, exit_layers, step + 1, llm_times
+    return False, exit_layers, ep_len, llm_times
+
+
+def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
+                      annotations: Dict[str, str], ep_len: int = EP_LEN):
+    """One 5-subtask chain; stops at the first failure (eval_utils.py:583-622)."""
+    env.reset(robot_obs=initial_state.get("robot_obs") if isinstance(initial_state, dict) else None)
+    success_counter = 0
+    s_exits, f_exits, s_steps, s_times = [], [], [], []
+    for subtask in eval_sequence:
+        lang = annotations.get(subtask, subtask)
+        ok, exits, n_steps, times = rollout(env, adapter, task_oracle, subtask,
+                                            lang, ep_len)
+        if ok:
+            success_counter += 1
+            s_exits.extend(exits)
+            s_steps.append(n_steps)
+            s_times.extend(times)
+        else:
+            f_exits.extend(exits)
+            break
+    return success_counter, s_exits, f_exits, s_steps, s_times
+
+
+def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
+                    annotations: Dict[str, str], task_oracle,
+                    *, rank: int = 0, world_size: int = 1,
+                    num_sequences: Optional[int] = None,
+                    ep_len: int = EP_LEN,
+                    flops_per_layer: Optional[float] = None,
+                    n_layers: Optional[int] = None) -> Dict:
+    """Statically shard sequences over processes (eval_utils.py:521-527),
+    run chains, aggregate.  Cross-process aggregation is the caller's job
+    (host gather; the tensors are tiny)."""
+    n = num_sequences or len(sequences)
+    assert n % world_size == 0, "NUM_SEQUENCES % device_num == 0 (eval_utils.py:525)"
+    per = n // world_size
+    my = sequences[rank * per:(rank + 1) * per]
+
+    results, s_exits, f_exits, steps, s_times = [], [], [], [], []
+    for initial_state, eval_sequence in my:
+        r, se, fe, st, ti = evaluate_sequence(
+            env, adapter, task_oracle, initial_state, eval_sequence,
+            annotations, ep_len)
+        results.append(r)
+        s_exits.extend(se)
+        f_exits.extend(fe)
+        steps.extend(st)
+        s_times.extend(ti)
+    nl = n_layers or adapter.policy.cfg.n_layers
+    return summarize(results, s_exits, f_exits, steps, s_times, my, nl,
+                     flops_per_layer)
+
+
+def load_eval_sequences(path: str) -> List:
+    """Frozen 1000-chain list (eval_sequences.json, eval_utils.py:521-522)."""
+    with open(path) as f:
+        return json.load(f)
+
+
+def make_debug_sequences(n: int = 8, seed: int = 0) -> List:
+    from deer_vla_tpu.data.debug_data import TASKS
+    r = np.random.RandomState(seed)
+    seqs = []
+    for _ in range(n):
+        chain = [TASKS[r.randint(len(TASKS))] for _ in range(5)]
+        seqs.append(({}, chain))
+    return seqs

@@ -33,8 +33,10 @@ def main():
 
     cfg = deer_3b(max_layer=12)  # DeeR-B
     rng = jax.random.PRNGKey(0)
-    params = init_deer(rng, cfg)
-    params = jax.device_put(params)
+    # jit the whole init: one compiled program on device (eager init would
+    # dispatch thousands of ops over the axon tunnel)
+    params = jax.jit(lambda k: init_deer(k, cfg))(rng)
+    jax.block_until_ready(params)
 
     exits = list(cfg.all_exit_ids())
     ctrl = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)

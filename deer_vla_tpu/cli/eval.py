@@ -1,0 +1,210 @@
+"""Evaluation CLI — eval_calvin.py equivalent.
+
+Differences by design: the model config comes from the checkpoint's JSON
+sidecar, not from regexing the filename (eval_calvin.py:356-421); the
+calibrated value cache is a .values.npz sidecar, not an in-place mutation of
+the checkpoint (:601-611).
+
+BO/eval_ckpts contract preserved: the LAST THREE stdout lines are
+  thresholds (comma separated)
+  avg successful sequence length
+  avg exit layer
+(eval_calvin.py:646-653 prints exactly these for bayesian_optimization.py
+and eval_ckpts.py log parsing.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DeeR-VLA TPU evaluation")
+    p.add_argument("--evaluate_from_checkpoint", default="")
+    p.add_argument("--model", default="tiny",
+                   help="model config when no checkpoint is given")
+    p.add_argument("--max_layer", type=int, default=-1)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--calvin_dataset", default=os.environ.get("calvin_dataset_path", ""))
+    p.add_argument("--calvin_conf_path", default=os.environ.get("calvin_conf_path", ""))
+    p.add_argument("--tokenizer_path", default="")
+    p.add_argument("--num_seq", type=int, default=224)
+    p.add_argument("--eval_sequences", default="eval_sequences.json")
+    p.add_argument("--ep_len", type=int, default=360)
+    # dynamic exit
+    p.add_argument("--exit_ratio", type=float, default=1.0)
+    p.add_argument("--exit_dist", default="exp", choices=["exp", "gauss", "gamma"])
+    p.add_argument("--threshold_type", default="L2",
+                   choices=["mean", "L2", "max", "cosine"])
+    p.add_argument("--steps_per_stage", type=int, default=1)
+    p.add_argument("--thresholds", type=float, nargs="*", default=None,
+                   help="direct thresholds (BO mode), last should be 1e5")
+    p.add_argument("--exit_id", type=int, default=None,
+                   help="fixed exit layer (static eval, disables dynamic exit)")
+    p.add_argument("--value_cache", default="",
+                   help="values .npz sidecar; defaults to ckpt path")
+    p.add_argument("--recompute_values", action="store_true")
+    p.add_argument("--calib_batches", type=int, default=8)
+    p.add_argument("--batch_size_calvin", type=int, default=6)
+    p.add_argument("--validation_set", action="store_true", default=True)
+    p.add_argument("--amp", type=int, default=0)  # accepted for parity; bf16 covers it
+    p.add_argument("--debug", action="store_true", help="DebugEnv fake backend")
+    p.add_argument("--num_sequences_override", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def load_model(args):
+    import jax
+    from deer_vla_tpu.core.config import BF16, FP32, DeerConfig, MODEL_REGISTRY
+    from deer_vla_tpu.models.flamingo import init_deer
+    from deer_vla_tpu.train.checkpoint import load_checkpoint
+
+    dtypes = BF16 if args.precision == "bf16" else FP32
+    if args.evaluate_from_checkpoint:
+        side = args.evaluate_from_checkpoint.replace(".ckpt", "") + ".json"
+        with open(side) as f:
+            cfg = DeerConfig.from_json(json.dumps(json.load(f)["config"]))
+        cfg = dataclasses.replace(cfg, dtypes=dtypes)
+        if args.max_layer > 0:
+            cfg = dataclasses.replace(
+                cfg, mpt=dataclasses.replace(cfg.mpt, n_layers=args.max_layer))
+        params = init_deer(jax.random.PRNGKey(args.seed), cfg)
+        params, _, meta = load_checkpoint(args.evaluate_from_checkpoint, params)
+        print(f"loaded {meta['meta'].get('loaded_keys')} param groups from ckpt")
+    else:
+        factory = MODEL_REGISTRY[args.model]
+        cfg = factory(dtypes=dtypes) if args.model == "tiny" else \
+            factory(max_layer=args.max_layer if args.max_layer > 0 else 12,
+                    dtypes=dtypes)
+        params = init_deer(jax.random.PRNGKey(args.seed), cfg)
+    return cfg, params
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import numpy as np
+    from deer_vla_tpu.cli.train import make_tokenizer
+    from deer_vla_tpu.eval.calibrate import calibrate
+    from deer_vla_tpu.eval.flops import avg_llm_gflops, llm_flops_per_exit
+    from deer_vla_tpu.eval.metrics import format_report
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.rollout import (CalvinPolicyAdapter, DebugEnv,
+                                           DebugTaskOracle, evaluate_policy,
+                                           load_eval_sequences,
+                                           make_debug_sequences)
+    from deer_vla_tpu.models.value_net import ExitController
+    from deer_vla_tpu.train.checkpoint import (load_calibration_values,
+                                               save_calibration_values)
+
+    cfg, params = load_model(args)
+    tok = make_tokenizer(args, cfg)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    max_layer = args.max_layer if args.max_layer > 0 else cfg.n_layers
+    exits = list(cfg.all_exit_ids())
+
+    controller = None
+    thresholds = {}
+    if args.exit_id is None:
+        controller = ExitController(
+            exit_id_list=exits, steps_per_stage=args.steps_per_stage,
+            max_layer=max_layer, threshold_type=args.threshold_type)
+        if args.thresholds:
+            controller.set_threshold_values(args.thresholds[:len(
+                [e for e in exits if e <= controller.effective_max])])
+            thresholds = controller.thresholds
+        else:
+            cache = args.value_cache or args.evaluate_from_checkpoint
+            values = None
+            if cache and not args.recompute_values:
+                values = load_calibration_values(cache)
+            batches = None
+            if values is None:
+                batches = _calibration_batches(args, cfg, tok)
+            thresholds, values = calibrate(
+                params, cfg, batches or [], args.exit_ratio,
+                max_layer=max_layer, exit_dist=args.exit_dist,
+                model_name=args.model, threshold_type=args.threshold_type,
+                values=values, max_batches=args.calib_batches)
+            if cache:
+                save_calibration_values(cache, values,
+                                        {"exit_ratio": args.exit_ratio})
+            controller.set_thresholds(thresholds)
+
+    policy = DeerPolicy(params, cfg, controller=controller, exit_id=args.exit_id,
+                        threshold_type=args.threshold_type)
+    adapter = CalvinPolicyAdapter(policy, tok, text_len=cfg.text_len)
+
+    if args.debug or not args.calvin_conf_path:
+        env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+        oracle = DebugTaskOracle(threshold=0.05)
+        sequences = make_debug_sequences(args.num_sequences_override or 8)
+        annotations = {}
+        ep_len = min(args.ep_len, 40)
+    else:
+        env, oracle, sequences, annotations = _make_calvin_env(args)
+        ep_len = args.ep_len
+
+    n_seq = min(args.num_seq, len(sequences))
+    per_layer = llm_flops_per_exit(cfg)
+    report = evaluate_policy(
+        adapter, env, sequences[:n_seq], annotations, oracle,
+        rank=jax.process_index(), world_size=jax.process_count(),
+        num_sequences=n_seq, ep_len=ep_len,
+        flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
+        n_layers=cfg.n_layers)
+    report["avg_llm_gflops"] = avg_llm_gflops(
+        cfg, np.add(report["success_exit_hist"], report["fail_exit_hist"])
+        / max(1e-9, sum(report["success_exit_hist"]) + sum(report["fail_exit_hist"])))
+    print(format_report(report))
+    # -- BO/eval_ckpts parse contract: last three lines ---------------------
+    th_list = [thresholds[e] for e in sorted(thresholds)] if thresholds else []
+    print(",".join(f"{t:.6f}" for t in th_list))
+    print(f"{report['avg_seq_len']:.6f}")
+    print(f"{report['avg_exit_layer'] - 1:.6f}")
+    return report
+
+
+def _calibration_batches(args, cfg, tok):
+    if args.debug or not args.calvin_dataset:
+        from deer_vla_tpu.data.debug_data import DebugBatcher
+        return DebugBatcher(cfg, tok, batch_size=2,
+                            num_batches=args.calib_batches,
+                            img_hw=cfg.vit.image_size,
+                            grip_hw=cfg.vit.image_size)
+    from deer_vla_tpu.data.calvin import (CalvinDataConfig, CalvinLoader,
+                                          DiskCalvinDataset)
+    dcfg = CalvinDataConfig(
+        dataset_dir=os.path.join(args.calvin_dataset, "validation"),
+        window_size=cfg.window_size, seed=args.seed)
+    ds = DiskCalvinDataset(dcfg, validation=True)
+    import jax
+    return CalvinLoader(ds, tok, args.batch_size_calvin,
+                        rank=jax.process_index(),
+                        world_size=jax.process_count(), shuffle=False)
+
+
+def _make_calvin_env(args):
+    """Real CALVIN env (requires calvin_env installed; host-side)."""
+    from deer_vla_tpu.eval.rollout import load_eval_sequences
+    os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
+    import hydra
+    from omegaconf import OmegaConf
+    from pathlib import Path
+    conf_dir = Path(args.calvin_conf_path)
+    task_cfg = OmegaConf.load(conf_dir / "callbacks/rollout/tasks/new_playtable_tasks.yaml")
+    task_oracle = hydra.utils.instantiate(task_cfg)
+    val_annotations = OmegaConf.load(conf_dir / "annotations/new_playtable_validation.yaml")
+    annotations = {k: v[0] for k, v in val_annotations.items()}
+    sequences = load_eval_sequences(args.eval_sequences)
+    from calvin_env.envs.play_table_env import get_env
+    env = get_env(Path(args.calvin_dataset) / "validation", show_gui=False)
+    return env, task_oracle, sequences, annotations
+
+
+if __name__ == "__main__":
+    main()

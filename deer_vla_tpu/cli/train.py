@@ -1,0 +1,160 @@
+"""Training CLI — train_calvin_post_strategy.py equivalent.
+
+Single JAX process drives all local TPU chips through the mesh (no torchrun;
+multi-host runs use `jax.distributed.initialize` via --coordinator).
+
+Example (smoke, no dataset needed):
+  python -m deer_vla_tpu.cli.train --debug --model tiny --num_joint_epochs 1 \
+      --num_exit_epochs 1 --batch_size 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DeeR-VLA TPU training")
+    # model (mirrors factory mpt_dict + flags)
+    p.add_argument("--model", default="mpt_dolly_3b",
+                   choices=["mpt_dolly_3b", "mpt_9b", "tiny"])
+    p.add_argument("--max_layer", type=int, default=12,
+                   help="truncated decoder depth (early_exit_layer + 1)")
+    p.add_argument("--exit_interval", type=int, default=2)
+    p.add_argument("--window_size", type=int, default=12)
+    p.add_argument("--multi_step_action", type=int, default=1)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--use_state", action="store_true")
+    p.add_argument("--sep_resampler", action="store_true")
+    p.add_argument("--share_exit", action="store_true")
+    # data
+    p.add_argument("--calvin_dataset", default=os.environ.get("calvin_dataset_path", ""))
+    p.add_argument("--tokenizer_path", default="")
+    p.add_argument("--rgb_pad", type=int, default=10)
+    p.add_argument("--gripper_pad", type=int, default=4)
+    p.add_argument("--traj_cons", action="store_true", default=True)
+    p.add_argument("--text_aug", action="store_true")
+    p.add_argument("--data_percent", type=float, default=1.0)
+    p.add_argument("--workers", type=int, default=4)
+    # optimization (train_calvin_post_strategy.py defaults)
+    p.add_argument("--batch_size_calvin", type=int, default=6)
+    p.add_argument("--num_joint_epochs", type=int, default=4)
+    p.add_argument("--num_exit_epochs", type=int, default=5)
+    p.add_argument("--joint_learning_rate", type=float, default=1e-4)
+    p.add_argument("--exit_learning_rate", type=float, default=2.5e-4)
+    p.add_argument("--joint_lr_scheduler", default="constant")
+    p.add_argument("--exit_lr_scheduler", default="constant")
+    p.add_argument("--joint_warmup_steps", type=int, default=2500)
+    p.add_argument("--exit_warmup_steps", type=int, default=2500)
+    p.add_argument("--weight_decay", type=float, default=0.1)
+    p.add_argument("--exit_lr_scale", type=float, default=1.0)
+    p.add_argument("--exit_decay", action="store_true")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--real_data", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    # run
+    p.add_argument("--run_name", default="runs/deer")
+    p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--debug", action="store_true",
+                   help="random-tensor data, no dataset required")
+    p.add_argument("--coordinator", default="",
+                   help="host:port for multi-host jax.distributed")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    return p
+
+
+def make_model_config(args):
+    from deer_vla_tpu.core.config import BF16, FP32, MODEL_REGISTRY
+    dtypes = BF16 if args.precision == "bf16" else FP32
+    factory = MODEL_REGISTRY[args.model]
+    if args.model == "tiny":
+        cfg = factory(window_size=min(args.window_size, 4), dtypes=dtypes)
+    else:
+        cfg = factory(max_layer=args.max_layer, exit_interval=args.exit_interval,
+                      window_size=args.window_size, dtypes=dtypes)
+    updates = {"use_state": args.use_state, "sep_resampler": args.sep_resampler,
+               "share_exit": args.share_exit}
+    if args.multi_step_action != 1:
+        updates["head"] = dataclasses.replace(
+            cfg.head, multi_step_action=args.multi_step_action)
+    return dataclasses.replace(cfg, **updates)
+
+
+def make_tokenizer(args, cfg):
+    from deer_vla_tpu.data.text import HashTokenizer, HFTokenizer
+    if args.tokenizer_path:
+        return HFTokenizer(args.tokenizer_path, max_length=cfg.text_len)
+    return HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.coordinator:
+        import jax
+        jax.distributed.initialize(args.coordinator, args.num_processes,
+                                   args.process_id)
+    import jax
+    from deer_vla_tpu.train.trainer import TrainConfig, Trainer
+
+    cfg = make_model_config(args)
+    tok = make_tokenizer(args, cfg)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id,
+                              eoc_token_id=getattr(tok, "eoc_token_id",
+                                                   cfg.eoc_token_id))
+
+    if args.debug:
+        from deer_vla_tpu.data.debug_data import DebugBatcher
+        loader = DebugBatcher(cfg, tok, batch_size=args.batch_size_calvin,
+                              num_batches=4, img_hw=cfg.vit.image_size,
+                              grip_hw=cfg.vit.image_size)
+    else:
+        from deer_vla_tpu.data.calvin import (CalvinDataConfig, CalvinLoader,
+                                              DiskCalvinDataset)
+        dcfg = CalvinDataConfig(
+            dataset_dir=os.path.join(args.calvin_dataset, "training"),
+            window_size=cfg.window_size, act_step=args.multi_step_action,
+            text_aug=args.text_aug, data_percent=args.data_percent,
+            seed=args.seed)
+        ds = DiskCalvinDataset(dcfg, validation=False)
+        loader = CalvinLoader(ds, tok, args.batch_size_calvin,
+                              rank=jax.process_index(),
+                              world_size=jax.process_count(),
+                              seed=args.seed, workers=args.workers)
+
+    tcfg = TrainConfig(
+        run_dir=args.run_name,
+        num_joint_epochs=args.num_joint_epochs,
+        num_exit_epochs=args.num_exit_epochs,
+        joint_lr=args.joint_learning_rate, exit_lr=args.exit_learning_rate,
+        joint_warmup_steps=args.joint_warmup_steps,
+        exit_warmup_steps=args.exit_warmup_steps,
+        joint_scheduler=args.joint_lr_scheduler,
+        exit_scheduler=args.exit_lr_scheduler,
+        weight_decay=args.weight_decay, exit_lr_scale=args.exit_lr_scale,
+        exit_decay=args.exit_decay,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        batch_size=args.batch_size_calvin,
+        world_size=jax.process_count(),
+        rgb_pad=args.rgb_pad, gripper_pad=args.gripper_pad,
+        traj_cons=args.traj_cons, real_data=args.real_data,
+        logging_steps=args.logging_steps, seed=args.seed)
+
+    def log_fn(d):
+        print(json.dumps({k: v for k, v in d.items()}, default=float))
+
+    trainer = Trainer(cfg, tcfg, loader, log_fn=log_fn)
+    if args.resume:
+        start = trainer.maybe_resume()
+        if start:
+            print(f"resumed from epoch {start}")
+    metrics = trainer.train()
+    print(json.dumps({"final": metrics}, default=float))
+
+
+if __name__ == "__main__":
+    main()

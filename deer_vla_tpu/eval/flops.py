@@ -1,0 +1,108 @@
+"""Analytic FLOPs accounting — replaces thop/fvcore profiling
+(flamingo_mpt.py:423-427,574-578,640-644; mosaic_gpt_3b.py:401-407).
+
+On TPU the per-exit compute is fully static, so GFLOPs per action is a
+closed-form function of the config and the exit layer: no profiler needed.
+All counts are multiply-accumulate*2 (the thop convention for Linear).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from deer_vla_tpu.core.config import DeerConfig, MPTConfig, PerceiverConfig, ViTConfig
+
+
+def linear_flops(tokens: int, d_in: int, d_out: int) -> int:
+    return 2 * tokens * d_in * d_out
+
+
+def attention_flops(tokens_q: int, tokens_kv: int, dim: int, inner: int) -> int:
+    # q/k/v/out projections + 2 * (QK^T and PV)
+    proj = linear_flops(tokens_q, dim, inner) + 2 * linear_flops(tokens_kv, dim, inner) \
+        + linear_flops(tokens_q, inner, dim)
+    scores = 2 * tokens_q * tokens_kv * inner * 2
+    return proj + scores
+
+
+def vit_flops(cfg: ViTConfig) -> int:
+    s = cfg.seq_len
+    d = cfg.width
+    per_layer = (attention_flops(s, s, d, d)
+                 + linear_flops(s, d, int(d * cfg.mlp_ratio))
+                 + linear_flops(s, int(d * cfg.mlp_ratio), d))
+    patch = linear_flops(cfg.num_patches, 3 * cfg.patch_size ** 2, d)
+    return patch + cfg.layers * per_layer
+
+
+def perceiver_flops(cfg: PerceiverConfig, num_media_tokens: int) -> int:
+    n, v, d, inner = cfg.num_latents, num_media_tokens, cfg.dim, cfg.inner_dim
+    per_layer = (linear_flops(n, d, inner)              # to_q
+                 + linear_flops(v + n, d, 2 * inner)    # to_kv
+                 + 2 * 2 * n * (v + n) * inner          # scores + values
+                 + linear_flops(n, inner, d)            # out
+                 + linear_flops(n, d, d * cfg.ff_mult) * 2)
+    return cfg.depth * per_layer
+
+
+def mpt_layer_flops(cfg: MPTConfig, text_len: int) -> int:
+    s, d = text_len, cfg.d_model
+    return (linear_flops(s, d, 3 * d) + linear_flops(s, d, d)
+            + 2 * 2 * s * s * d
+            + linear_flops(s, d, cfg.mlp_ratio * d)
+            + linear_flops(s, cfg.mlp_ratio * d, d))
+
+
+def xattn_layer_flops(cfg: DeerConfig, text_len: int) -> int:
+    s, d = text_len, cfg.lang_dim
+    m = cfg.num_media_tokens
+    inner = cfg.xattn_dim_head * cfg.xattn_heads
+    return (linear_flops(s, d, inner) + linear_flops(m, cfg.vis_dim, 2 * inner)
+            + 2 * 2 * s * m * inner + linear_flops(s, inner, d)
+            + linear_flops(s, d, d * cfg.xattn_ff_mult) * 2)
+
+
+def head_flops(cfg: DeerConfig) -> int:
+    h = cfg.head
+    lstm = 0
+    d_in = h.in_features
+    for _ in range(h.lstm_num_layers):
+        lstm += 2 * (d_in + h.hidden_size) * 4 * h.hidden_size
+        d_in = h.hidden_size
+    dims = (h.hidden_size,) + tuple(h.mlp_hidden_dims[:h.mlp_num_hidden_layers])
+    mlp = 0
+    for i in range(len(dims) - 1):
+        mlp += 2 * dims[i] * dims[i + 1]
+    mlp = 2 * mlp + 2 * dims[-1] * (h.out_features + 1)
+    return lstm + mlp
+
+
+def llm_flops_per_exit(cfg: DeerConfig) -> Dict[int, float]:
+    """{exit_layer: LLM GFLOPs} — the paper's headline metric counts only
+    the LLM part (decoder layers incl. x-attn)."""
+    per_layer = mpt_layer_flops(cfg.mpt, cfg.text_len)
+    per_xattn = xattn_layer_flops(cfg, cfg.text_len)
+    out = {}
+    for e in range(cfg.n_layers):
+        total = 0
+        for i in range(e + 1):
+            total += per_layer + (per_xattn if cfg.has_xattn(i) else 0)
+        out[e] = total / 1e9
+    return out
+
+
+def full_step_flops(cfg: DeerConfig, exit_layer: int) -> float:
+    """GFLOPs for one full streaming action at a given exit (2 cameras)."""
+    total = 2 * vit_flops(cfg.vit)
+    total += 2 * perceiver_flops(cfg.perceiver, cfg.vit.num_patches)
+    total += llm_flops_per_exit(cfg)[exit_layer] * 1e9
+    total += head_flops(cfg)
+    return total / 1e9
+
+
+def avg_llm_gflops(cfg: DeerConfig, exit_histogram) -> float:
+    """Average LLM GFLOPs per action from an exit-layer histogram
+    (the reference derives avg GFLOPs = avg exit layer x FLOPs/layer,
+    bayesian_optimization.py:76-79)."""
+    per_exit = llm_flops_per_exit(cfg)
+    return float(sum(per_exit[i] * p for i, p in enumerate(exit_histogram)))

@@ -14,6 +14,7 @@ import os
 from dataclasses import dataclass
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,11 +99,16 @@ class CalvinPolicyAdapter:
     raw-uint8; resize/normalize runs on device inside the jitted prefix."""
 
     def __init__(self, policy: DeerPolicy, text_fn: Callable, text_len: int = 32):
+        import functools
         self.policy = policy
         self.text_fn = text_fn
         self.text_len = text_len
         self._goal_cache: Tuple[Optional[str], Optional[tuple]] = (None, None)
         self.llm_time = 0.0
+        size = policy.cfg.vit.image_size
+        # jit: eager resize/normalize would dispatch per-op (fatal over a
+        # tunneled TPU); one compiled program per camera instead
+        self._prep = jax.jit(functools.partial(clip_preprocess, size=size))
 
     def reset(self):
         self.policy.reset()
@@ -125,9 +131,8 @@ class CalvinPolicyAdapter:
 
     def step(self, obs: Dict, goal: str) -> np.ndarray:
         import time
-        size = self.policy.cfg.vit.image_size
-        img = clip_preprocess(jnp.asarray(obs["rgb_obs"]["rgb_static"])[None], size)
-        grip = clip_preprocess(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None], size)
+        img = self._prep(jnp.asarray(obs["rgb_obs"]["rgb_static"])[None])
+        grip = self._prep(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None])
         img = img[:, None, None]   # (1, 1, 1, 3, 224, 224)
         grip = grip[:, None, None]
         ids, mask = self._tokenize(goal)

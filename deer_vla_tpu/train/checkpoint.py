@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import serialization
-from flax.traverse_util import flatten_dict, unflatten_dict
 
 from deer_vla_tpu.core.config import DeerConfig
 
@@ -34,23 +33,43 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _flat_state(tree) -> Dict[str, np.ndarray]:
+    """Flatten via flax state-dict semantics (lists -> '0','1',... keys)."""
+    out = {}
+
+    def rec(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(prefix + (str(k),), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(prefix + (str(i),), v)
+        elif node is None:
+            pass
+        else:
+            out["/".join(prefix)] = node
+
+    rec((), serialization.to_state_dict(tree) if not isinstance(tree, dict) else tree)
+    return out
+
+
 def save_checkpoint(path: str, params: dict, cfg: DeerConfig,
                     meta: Optional[Dict] = None,
                     trainable_mask: Optional[dict] = None,
                     opt_state=None) -> str:
     """Write <path>.ckpt (+ .json).  If trainable_mask is given, only leaves
-    marked True are stored (delta checkpoint, get_checkpoint equivalent)."""
+    marked True are stored (delta checkpoint, get_checkpoint equivalent,
+    train_utils.py:631-638)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-    tree = params
+    flat = _flat_state(params)
     if trainable_mask is not None:
-        flat_p = flatten_dict(params)
-        flat_m = flatten_dict(trainable_mask)
-        tree = unflatten_dict({k: v for k, v in flat_p.items() if flat_m[k]})
-    payload = {"params": _to_host(tree)}
+        flat_m = _flat_state(trainable_mask)
+        flat = {k: v for k, v in flat.items() if flat_m.get(k, False)}
+    payload = {"params": {k: np.asarray(v) for k, v in flat.items()}}
     if opt_state is not None:
-        payload["opt_state"] = _to_host(opt_state)
+        payload["opt_state"] = serialization.to_state_dict(_to_host(opt_state))
     with open(path + ".ckpt", "wb") as f:
-        f.write(serialization.to_bytes(payload))
+        f.write(serialization.msgpack_serialize(payload))
     sidecar = {"config": json.loads(cfg.to_json()), "meta": meta or {}}
     with open(path + ".json", "w") as f:
         json.dump(sidecar, f, indent=2)
@@ -59,26 +78,29 @@ def save_checkpoint(path: str, params: dict, cfg: DeerConfig,
 
 def load_checkpoint(path: str, params_template: dict,
                     opt_state_template=None) -> Tuple[dict, Optional[object], Dict]:
-    """Non-strict load: leaves present in the file overwrite the template
-    (two-stage base+delta composition; missing keys keep template values)."""
+    """Non-strict load: flat keys present in the file overwrite the template
+    (two-stage base+delta composition, eval_calvin.py:543-577; missing keys
+    keep template values)."""
     path = path[:-5] if path.endswith(".ckpt") else path
     with open(path + ".ckpt", "rb") as f:
-        raw = f.read()
-    target = {"params": params_template}
-    if opt_state_template is not None:
-        target["opt_state"] = opt_state_template
-    # decode without a target first to see what keys exist
-    loaded = serialization.msgpack_restore(raw)
-    flat_t = flatten_dict(params_template, keep_empty_nodes=False)
-    flat_l = flatten_dict(loaded.get("params", {}), keep_empty_nodes=False)
-    merged = dict(flat_t)
+        loaded = serialization.msgpack_restore(f.read())
+    flat_l = dict(loaded.get("params", {}))
     n_hit = 0
-    for k, v in flat_l.items():
-        if k in merged:
-            ref = merged[k]
-            merged[k] = jnp.asarray(v, dtype=getattr(ref, "dtype", None))
+
+    def rec(node, prefix):
+        nonlocal n_hit
+        if isinstance(node, dict):
+            return {k: rec(v, prefix + (str(k),)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v, prefix + (str(i),))
+                              for i, v in enumerate(node))
+        key = "/".join(prefix)
+        if node is not None and key in flat_l:
             n_hit += 1
-    params = unflatten_dict(merged)
+            return jnp.asarray(flat_l[key], dtype=getattr(node, "dtype", None))
+        return node
+
+    params = rec(params_template, ())
     meta = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
@@ -86,9 +108,8 @@ def load_checkpoint(path: str, params_template: dict,
     meta.setdefault("meta", {})["loaded_keys"] = n_hit
     opt_state = None
     if opt_state_template is not None and "opt_state" in loaded:
-        opt_state = serialization.from_bytes(
-            {"params": params_template, "opt_state": opt_state_template},
-            raw)["opt_state"]
+        opt_state = serialization.from_state_dict(opt_state_template,
+                                                  loaded["opt_state"])
     return params, opt_state, meta
 
 

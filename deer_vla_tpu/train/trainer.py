@@ -1,0 +1,189 @@
+"""Two-phase "post strategy" trainer — the driver loop of
+train_calvin_post_strategy.py:30-694 re-built around the jitted train step.
+
+Phases (train_calvin_post_strategy.py:644-660):
+  epochs [0, num_joint_epochs)                 — joint: backbone + heads
+  epochs [num_joint_epochs, +num_exit_epochs)  — exit-only: backbone frozen
+    (stop_gradient in the forward, optax.set_to_zero on backbone leaves,
+    mirroring DDP find_unused_parameters + requires_grad juggling)
+
+Each phase has its own optimizer + schedule (two AdamW optimizers,
+train_calvin_post_strategy.py:535-585); auto-resume picks the newest
+checkpoint and restores the right phase optimizer (:589-629).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.data.preprocess import preprocess_train_frames
+from deer_vla_tpu.data.text import fixed_length
+from deer_vla_tpu.models.flamingo import init_deer, trainable_mask
+from deer_vla_tpu.train.checkpoint import (find_latest_checkpoint,
+                                           load_checkpoint, save_checkpoint)
+from deer_vla_tpu.train.optimizer import adaptive_lr, make_optimizer
+from deer_vla_tpu.train.train_step import (TrainState, init_train_state,
+                                           make_train_step)
+
+
+@dataclass
+class TrainConfig:
+    run_dir: str = "runs/deer"
+    num_joint_epochs: int = 4
+    num_exit_epochs: int = 5
+    joint_lr: float = 1e-4
+    exit_lr: float = 2.5e-4
+    joint_warmup_steps: int = 2500
+    exit_warmup_steps: int = 2500
+    joint_scheduler: str = "constant"
+    exit_scheduler: str = "constant"
+    weight_decay: float = 0.1
+    exit_lr_scale: float = 1.0
+    exit_decay: bool = False
+    gradient_accumulation_steps: int = 1
+    batch_size: int = 6
+    world_size: int = 1
+    rgb_pad: int = 10
+    gripper_pad: int = 4
+    traj_cons: bool = True
+    real_data: bool = False
+    save_every_epoch: bool = True
+    logging_steps: int = 100
+    seed: int = 42
+
+    @property
+    def num_epochs(self) -> int:
+        return self.num_joint_epochs + self.num_exit_epochs
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_prep(rgb_pad, gripper_pad, traj_cons, window, size):
+    return jax.jit(functools.partial(
+        preprocess_train_frames, rgb_pad=rgb_pad, gripper_pad=gripper_pad,
+        traj_cons=traj_cons, window=window, size=size))
+
+
+def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
+                  tcfg: TrainConfig) -> Dict[str, jnp.ndarray]:
+    """Raw loader batch -> device batch (preprocess+aug on device,
+    the host->device flatten of train_utils.py:441-478)."""
+    w = cfg.window_size
+    stat = raw["rgb_static"].reshape(-1, *raw["rgb_static"].shape[2:])
+    grip = raw["rgb_gripper"].reshape(-1, *raw["rgb_gripper"].shape[2:])
+    prep = _jitted_prep(tcfg.rgb_pad, tcfg.gripper_pad, tcfg.traj_cons, w,
+                        cfg.vit.image_size)
+    img, gri = prep(rng, jnp.asarray(stat), jnp.asarray(grip))
+    bs = raw["input_ids"].shape[0]
+    s = raw["input_ids"].shape[-1]
+    ids = np.repeat(raw["input_ids"][:, None], w, axis=1).reshape(bs * w, s)
+    mask = np.repeat(raw["attention_mask"][:, None], w, axis=1).reshape(bs * w, s)
+    ids, mask = fixed_length(ids, mask, cfg.text_len, 0)
+    return {
+        "image": img, "gripper": gri,
+        "input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
+        "labels": jnp.asarray(raw["actions"][:, :w]),
+    }
+
+
+class Trainer:
+    def __init__(self, cfg: DeerConfig, tcfg: TrainConfig, loader,
+                 params: Optional[dict] = None,
+                 log_fn: Optional[Callable[[Dict], None]] = None):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.loader = loader
+        self.log_fn = log_fn or (lambda d: None)
+        self.rng = jax.random.PRNGKey(tcfg.seed)
+        if params is None:
+            self.rng, k = jax.random.split(self.rng)
+            params = init_deer(k, cfg)
+        self.params = params
+        steps_per_epoch = len(loader)
+        self._phases = {}
+        for phase, lr, warm, sched, n_ep in (
+                ("joint", tcfg.joint_lr, tcfg.joint_warmup_steps,
+                 tcfg.joint_scheduler, tcfg.num_joint_epochs),
+                ("exit_only", tcfg.exit_lr, tcfg.exit_warmup_steps,
+                 tcfg.exit_scheduler, tcfg.num_exit_epochs)):
+            lr = adaptive_lr(lr, tcfg.batch_size, tcfg.world_size)
+            mask = trainable_mask(params, cfg, phase if phase == "joint" else "exit_only")
+            opt = make_optimizer(
+                params, cfg, phase=phase, learning_rate=lr,
+                warmup_steps=warm, total_steps=max(1, steps_per_epoch * n_ep),
+                scheduler=sched, weight_decay=tcfg.weight_decay,
+                exit_lr_scale=tcfg.exit_lr_scale, exit_decay=tcfg.exit_decay,
+                trainable=mask)
+            step = make_train_step(
+                cfg, opt, phase=phase,
+                bin_coef=0.05 if tcfg.real_data else 0.01)
+            self._phases[phase] = (opt, step)
+        self.state: Optional[TrainState] = None
+        self.start_epoch = 0
+
+    def phase_of_epoch(self, epoch: int) -> str:
+        return "joint" if epoch < self.tcfg.num_joint_epochs else "exit_only"
+
+    def maybe_resume(self) -> int:
+        ck = find_latest_checkpoint(self.tcfg.run_dir)
+        if ck is None:
+            return 0
+        self.params, _, meta = load_checkpoint(ck, self.params)
+        self.start_epoch = int(meta.get("meta", {}).get("epoch", -1)) + 1
+        return self.start_epoch
+
+    def train(self, num_epochs: Optional[int] = None) -> Dict:
+        tcfg = self.tcfg
+        num_epochs = num_epochs or tcfg.num_epochs
+        last_metrics: Dict = {}
+        cur_phase = None
+        for epoch in range(self.start_epoch, num_epochs):
+            phase = self.phase_of_epoch(epoch)
+            if phase != cur_phase:
+                opt, step = self._phases[phase]
+                self.state = init_train_state(self.params, opt)
+                self._step_fn = step
+                cur_phase = phase
+            self.loader.set_epoch(epoch)
+            t0 = time.time()
+            for it, raw in enumerate(self.loader):
+                self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
+                batch = prepare_batch(raw, self.cfg, prep_rng, tcfg)
+                self.state, metrics = self._step_fn(self.state, batch, step_rng)
+                if (it + 1) % tcfg.logging_steps == 0:
+                    last_metrics = {k: float(v) for k, v in metrics.items()
+                                    if np.ndim(v) == 0}
+                    self.log_fn({"epoch": epoch, "step": it, "phase": phase,
+                                 **last_metrics})
+            self.params = self.state.params
+            last_metrics = {k: float(v) for k, v in metrics.items()
+                            if np.ndim(v) == 0}
+            last_metrics.update(epoch=epoch, phase=phase,
+                                epoch_time=time.time() - t0)
+            self.log_fn(last_metrics)
+            if tcfg.save_every_epoch:
+                self.save(epoch)
+        return last_metrics
+
+    def save(self, epoch: int) -> str:
+        phase = self.phase_of_epoch(epoch)
+        mask = trainable_mask(self.params, self.cfg,
+                              "joint" if phase == "joint" else "exit_only")
+        # always persist head + backbone-trainable leaves (joint mask is the
+        # superset — matches trainable-only ckpts, train_utils.py:631-638)
+        mask = trainable_mask(self.params, self.cfg, "joint")
+        path = os.path.join(self.tcfg.run_dir, f"deer_{epoch}")
+        return save_checkpoint(path, self.params, self.cfg,
+                               meta={"epoch": epoch, "phase": phase},
+                               trainable_mask=mask)

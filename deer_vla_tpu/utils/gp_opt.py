@@ -1,0 +1,98 @@
+"""Minimal Gaussian-process minimizer (gp_minimize replacement).
+
+The reference uses scikit-optimize's gp_minimize for online threshold search
+(bayesian_optimization.py:157-165).  skopt isn't in this image, so this is a
+compact, dependency-free (numpy/scipy) GP-EI/LCB/PI optimizer with the same
+call shape: box bounds, optional (x0, y0) warm start, n_calls budget.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.spatial.distance import cdist
+from scipy.stats import norm
+
+
+def _matern52(a: np.ndarray, b: np.ndarray, length: np.ndarray) -> np.ndarray:
+    d = cdist(a / length, b / length)
+    s = np.sqrt(5.0) * d
+    return (1.0 + s + s * s / 3.0) * np.exp(-s)
+
+
+@dataclass
+class GPResult:
+    x: List[float]
+    fun: float
+    x_iters: List[List[float]]
+    func_vals: List[float]
+
+
+def gp_minimize_lite(objective: Callable[[Sequence[float]], float],
+                     bounds: Sequence[Tuple[float, float]],
+                     *, x0: Optional[Sequence[Sequence[float]]] = None,
+                     y0: Optional[Sequence[float]] = None,
+                     n_calls: int = 20, n_initial: int = 5,
+                     acq_func: str = "EI", random_state: int = 1,
+                     noise: float = 1e-6, n_candidates: int = 4096) -> GPResult:
+    rng = np.random.RandomState(random_state)
+    lo = np.array([b[0] for b in bounds])
+    hi = np.array([b[1] for b in bounds])
+    span = np.maximum(hi - lo, 1e-12)
+
+    X: List[np.ndarray] = [np.asarray(x, float) for x in (x0 or [])]
+    y: List[float] = [float(v) for v in (y0 or [])]
+    assert len(X) == len(y)
+
+    def ask_random():
+        return lo + rng.rand(len(bounds)) * span
+
+    n_rand = max(0, n_initial - len(X))
+    evals_left = n_calls - 0
+
+    def evaluate(x):
+        nonlocal evals_left
+        v = float(objective(list(x)))
+        X.append(np.asarray(x, float))
+        y.append(v)
+        evals_left -= 1
+        return v
+
+    for _ in range(min(n_rand, evals_left)):
+        evaluate(ask_random())
+
+    while evals_left > 0:
+        Xa = np.stack(X)
+        ya = np.asarray(y)
+        ymu, ystd = ya.mean(), max(ya.std(), 1e-12)
+        yn = (ya - ymu) / ystd
+        length = span * 0.25
+        K = _matern52(Xa, Xa, length) + noise * np.eye(len(Xa))
+        try:
+            L = np.linalg.cholesky(K)
+        except np.linalg.LinAlgError:
+            L = np.linalg.cholesky(K + 1e-4 * np.eye(len(Xa)))
+        alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+
+        cand = lo + rng.rand(n_candidates, len(bounds)) * span
+        Ks = _matern52(cand, Xa, length)
+        mu = Ks @ alpha
+        v = np.linalg.solve(L, Ks.T)
+        var = np.maximum(1.0 - np.sum(v * v, axis=0), 1e-12)
+        sigma = np.sqrt(var)
+
+        best = yn.min()
+        if acq_func == "LCB":
+            score = -(mu - 1.96 * sigma)          # maximize -> minimize LCB
+        elif acq_func == "PI":
+            score = norm.cdf((best - mu) / sigma)
+        else:  # EI
+            z = (best - mu) / sigma
+            score = sigma * (z * norm.cdf(z) + norm.pdf(z))
+        evaluate(cand[int(np.argmax(score))])
+
+    i = int(np.argmin(y))
+    return GPResult(x=list(X[i]), fun=y[i],
+                    x_iters=[list(x) for x in X], func_vals=list(y))

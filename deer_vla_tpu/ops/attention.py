@@ -50,7 +50,10 @@ def dot_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = q.shape[-1] ** -0.5
     backend = _resolve_backend()
-    if backend == "pallas":
+    # the fused kernel pays off on ViT-scale blocks; for tiny decoder/x-attn
+    # shapes (text<=32 q tokens) XLA's fusion is already optimal and the
+    # kernel's per-(b,h) grid granularity just adds overhead
+    if backend == "pallas" and q.shape[-2] >= 128:
         try:
             from deer_vla_tpu.ops.pallas.flash_attention import flash_attention
             return flash_attention(q, k, v, bias=bias, scale=scale)

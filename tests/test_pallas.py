@@ -1,0 +1,59 @@
+"""Pallas flash-attention parity (interpreter mode on CPU; the real-TPU
+compile path is exercised by bench.py on hardware)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deer_vla_tpu.ops.attention import _xla_attention
+
+
+def run_pallas_interpret(q, k, v, bias, scale):
+    from jax.experimental.pallas import tpu as pltpu
+    from deer_vla_tpu.ops.pallas import flash_attention as fa
+    with pltpu.force_tpu_interpret_mode():
+        return fa.flash_attention(q, k, v, bias=bias, scale=scale)
+
+
+@pytest.mark.parametrize("shape,has_bias", [
+    ((2, 4, 32, 16), True),    # MPT-like (alibi+causal bias)
+    ((2, 4, 257, 64), False),  # ViT-like (no bias, unaligned seq)
+    ((2, 2, 64, 32), True),    # perceiver-like with kv longer than q
+])
+def test_flash_attention_parity(shape, has_bias):
+    b, h, sq, d = shape
+    sk = sq + 15 if shape[2] == 64 else sq
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(b, h, sq, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, h, sk, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, h, sk, d), jnp.float32)
+    bias = jnp.asarray(r.randn(b, 1, sq, sk) * 2, jnp.float32) if has_bias else None
+    scale = d ** -0.5
+    ref = _xla_attention(q, k, v, bias, scale)
+    out = run_pallas_interpret(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_bias_head_broadcast():
+    r = np.random.RandomState(1)
+    b, h, s, d = 2, 4, 24, 16
+    q = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    k = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    v = jnp.asarray(r.randn(b, h, s, d), jnp.float32)
+    bias_full = jnp.asarray(np.broadcast_to(r.randn(1, h, s, s), (b, h, s, s)),
+                            jnp.float32)
+    ref = _xla_attention(q, k, v, bias_full, d ** -0.5)
+    out = run_pallas_interpret(q, k, v, bias_full[:1], d ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_rejects_oversize():
+    from deer_vla_tpu.ops.pallas import flash_attention as fa
+    q = jnp.zeros((1, 1, 4096, 64))
+    with pytest.raises(ValueError):
+        fa.flash_attention(q, q, q)

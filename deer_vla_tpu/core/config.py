@@ -131,6 +131,10 @@ class MPTConfig:
     no_bias: bool = True  # MPT removes all linear/LN biases (mosaic_gpt_3b.py:147-153)
     qk_ln: bool = False
     logit_scale: Optional[float] = None
+    # 'mpt' (ALiBi, GELU MLP) or 'llama' (RoPE, RMSNorm, SwiGLU) — the llama
+    # arch backs the BCFlamingo legacy path (factory.py:161-162)
+    arch: str = "mpt"
+    rope_theta: float = 10000.0
 
     @property
     def head_dim(self) -> int:
@@ -305,6 +309,24 @@ def deer_9b(max_layer: int = 12, exit_interval: int = 4, window_size: int = 12,
     )
 
 
+def bc_llama(n_layers: int = 32, d_model: int = 4096, window_size: int = 12,
+             dtypes: DTypePolicy = BF16) -> DeerConfig:
+    """BCFlamingo legacy config (llama LM, no early exits,
+    robot_flamingo/models/flamingo_bc.py:10)."""
+    return DeerConfig(
+        vit=ViTConfig(),
+        perceiver=PerceiverConfig(dim=1024),
+        mpt=MPTConfig(d_model=d_model, n_heads=d_model // 128,
+                      n_layers=n_layers, vocab_size=32000, arch="llama",
+                      alibi=False),
+        head=HeadConfig(in_features=d_model, window_size=window_size),
+        cross_attn_every_n_layers=4,
+        multi_exit=False,
+        window_size=window_size,
+        dtypes=dtypes,
+    )
+
+
 def deer_tiny(n_layers: int = 4, exit_interval: int = 2, window_size: int = 4,
               dtypes: DTypePolicy = FP32) -> DeerConfig:
     """Small config for CPU tests: same topology, tiny dims."""
@@ -329,5 +351,6 @@ def deer_tiny(n_layers: int = 4, exit_interval: int = 2, window_size: int = 4,
 MODEL_REGISTRY = {
     "mpt_dolly_3b": deer_3b,
     "mpt_9b": deer_9b,
+    "llama_9b": bc_llama,
     "tiny": deer_tiny,
 }

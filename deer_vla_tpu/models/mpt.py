@@ -71,7 +71,11 @@ def init_decoder(key, cfg: DeerConfig, dtype=jnp.float32) -> dict:
         "xattn": [],
     }
     for i in range(mpt.n_layers):
-        params["blocks"].append(init_mpt_block(keys[2 + 2 * i], mpt, dtype))
+        if mpt.arch == "llama":
+            from deer_vla_tpu.models.llama import init_llama_block
+            params["blocks"].append(init_llama_block(keys[2 + 2 * i], mpt, dtype))
+        else:
+            params["blocks"].append(init_mpt_block(keys[2 + 2 * i], mpt, dtype))
         if cfg.has_xattn(i):
             params["xattn"].append(init_gated_xattn(
                 keys[3 + 2 * i], mpt.d_model, cfg.vis_dim,
@@ -112,10 +116,14 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray, compute_dtype) -> jnp.nda
 
 def make_attn_bias(attention_mask: jnp.ndarray, cfg: MPTConfig,
                    dtype) -> jnp.ndarray:
-    """(B, H, S, S) fused ALiBi+causal+padding bias (mosaic_gpt_3b.py:158-219)."""
+    """(B, H|1, S, S) fused [ALiBi+]causal+padding bias
+    (mosaic_gpt_3b.py:158-219); llama arch has no ALiBi."""
     s = attention_mask.shape[-1]
-    return full_attn_bias(attention_mask, cfg.n_heads, s,
-                          cfg.alibi_bias_max, dtype)
+    if cfg.alibi and cfg.arch == "mpt":
+        return full_attn_bias(attention_mask, cfg.n_heads, s,
+                              cfg.alibi_bias_max, dtype)
+    from deer_vla_tpu.ops.alibi import causal_padding_bias
+    return causal_padding_bias(attention_mask, s, dtype)
 
 
 def _layer(params: dict, i: int, x: jnp.ndarray, media: jnp.ndarray,
@@ -128,6 +136,9 @@ def _layer(params: dict, i: int, x: jnp.ndarray, media: jnp.ndarray,
             dim_head=cfg.xattn_dim_head,
             only_attend_immediate_media=cfg.only_attend_immediate_media,
             text_time=text_time)
+    if cfg.mpt.arch == "llama":
+        from deer_vla_tpu.models.llama import llama_block_forward
+        return llama_block_forward(params["blocks"][i], x, attn_bias, cfg.mpt)
     return mpt_block_forward(params["blocks"][i], x, attn_bias, cfg.mpt)
 
 

@@ -3,15 +3,19 @@
 Metric: actions/sec/chip for the product inference path (BASELINE.json) —
 dual-camera ViT-L encode + perceiver + N-layer MPT-flamingo decode + exit
 head — averaged over the DeeR exit-layer distribution (exp, exit_ratio 0.8,
-the paper's CALVIN-D operating point; README.md:111-127).  Each exit depth is
-its own compiled bucket program, timed steady-state; the reported value is
-the expectation of per-depth throughput under the exit distribution (exactly
-what a rollout with calibrated thresholds pays, minus host/sim time).
+the paper's CALVIN-D operating point; README.md:111-127).
+
+Execution model measured: the FUSED single-program dynamic exit
+(eval/fused_policy.py) — the whole per-timestep decision chain (all exit
+buckets under lax.cond) is ONE XLA program, one dispatch per action, zero
+host round-trips inside the decision.  Per-depth cost is measured by driving
+the same compiled program with runtime thresholds that force each exit
+depth; the reported value is the expectation of throughput under the exit
+distribution.
 
 vs_baseline anchor: the reference publishes no actions/sec; from its eval
 cost (1000 sequences in ~4.5 h on 8x V100, README.md:126; ~650 env steps per
-sequence incl. failed-task steps) the per-GPU policy rate is ~4 actions/s.
-vs_baseline = ours / 4.0.
+sequence) the per-GPU policy rate is ~4 actions/s.  vs_baseline = ours / 4.
 """
 
 import json
@@ -26,22 +30,16 @@ REFERENCE_ACTIONS_PER_SEC = 4.0
 
 def main():
     from deer_vla_tpu.core.config import deer_3b
+    from deer_vla_tpu.eval.fused_policy import FusedDeerPolicy
     from deer_vla_tpu.models.flamingo import init_deer
     from deer_vla_tpu.models.value_net import exit_probs
-    from deer_vla_tpu.eval.policy import DeerPolicy
-    from deer_vla_tpu.models.value_net import ExitController
 
     cfg = deer_3b(max_layer=12)  # DeeR-B
-    rng = jax.random.PRNGKey(0)
-    # jit the whole init: one compiled program on device (eager init would
-    # dispatch thousands of ops over the axon tunnel)
-    params = jax.jit(lambda k: init_deer(k, cfg))(rng)
+    params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     exits = list(cfg.all_exit_ids())
-    ctrl = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)
-    ctrl.set_thresholds({e: 0.0 for e in exits})  # never exit early via threshold
-    policy = DeerPolicy(params, cfg, controller=ctrl)
+    policy = FusedDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
 
     hw, s = cfg.vit.image_size, cfg.text_len
     r = np.random.RandomState(0)
@@ -52,40 +50,70 @@ def main():
     ids = jnp.asarray(ids)
     mask = jnp.ones((1, s), jnp.int32)
 
-    # Per-exit-depth streaming step timing.  We time the real bucket
-    # programs: encode prefix + segments up to the chosen exit + head.
-    def time_depth(n_buckets: int, iters: int = 30, warmup: int = 5) -> float:
-        carry = None
-        from deer_vla_tpu.ops.lstm import zero_carry
+    def force_depth_thresholds(k):
+        return [-1e8] * k + [1e8] * (len(exits) - k)
+
+    from deer_vla_tpu.ops.lstm import zero_carry
+
+    def time_depth(k, iters=30, warmup=5):
+        """Device-pipelined timing: chain `iters` fused steps through the
+        on-device carry WITHOUT reading the action back each step, then sync
+        once.  This measures the framework's per-action device cost; the
+        host-readback-per-step cost (pure transport, huge variance on
+        tunneled chips) is reported separately as sync_step_ms."""
+        th = jnp.asarray(force_depth_thresholds(k), jnp.float32)
         carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
                            jnp.float32)
-        prev_action = jnp.zeros((1, 6), jnp.float32)
-
-        def one_step():
-            media, x, mloc = policy._encode_prefix(params, img, grip, ids, mask)
-            out = None
-            for k in range(n_buckets):
-                start, e, fn, fn_first = policy._segments[k]
-                x2, out, cand, delta = fn(params, x if k == 0 else x2, mask,
-                                          media, mloc, carry, prev_action, None)
-            return out.actions
-
+        prev = jnp.zeros((1, 6), jnp.float32)
+        has_prev = jnp.zeros((), bool)
         for _ in range(warmup):
-            a = one_step()
-        a.block_until_ready()
+            arm, gp, carry, el = policy._step(params, img, grip, ids, mask,
+                                              carry, prev, has_prev, th)
+            prev, has_prev = arm, jnp.ones((), bool)
+        jax.block_until_ready(arm)
+        assert int(el) == exits[k]
         t0 = time.perf_counter()
         for _ in range(iters):
-            a = one_step()
-        a.block_until_ready()
+            arm, gp, carry, el = policy._step(params, img, grip, ids, mask,
+                                              carry, prev, has_prev, th)
+            prev = arm
+        jax.block_until_ready(arm)
+        return (time.perf_counter() - t0) / iters
+
+    # synchronous single-step (includes one device->host action readback)
+    def time_sync_step(iters=10):
+        policy.set_thresholds(force_depth_thresholds(len(exits) - 1))
+        policy.reset()
+        policy.step(img, grip, ids, mask)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            policy.step(img, grip, ids, mask)
         return (time.perf_counter() - t0) / iters
 
     probs = exit_probs(len(exits), 0.8, "exp")
-    per_depth_t = np.array([time_depth(k + 1) for k in range(len(exits))])
-    # expected per-action latency under the exit distribution
+    per_depth_t = np.array([time_depth(k) for k in range(len(exits))])
     expected_t = float((probs * per_depth_t).sum())
     aps = 1.0 / expected_t
     aps_full = 1.0 / per_depth_t[-1]
     avg_exit_layer = float((probs * (np.array(exits) + 1)).sum())
+
+    # batched serving throughput: 32 parallel streams, full depth
+    from deer_vla_tpu.eval.batched_policy import BatchedDeerPolicy
+    B = 32
+    bp = BatchedDeerPolicy(params, cfg, batch=B,
+                           thresholds=[-1.0] * (len(exits) - 1) + [1e8])
+    imgB = jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
+    idsB = np.full((B, s), 11, np.int32)
+    idsB[:, 0] = cfg.media_token_id
+    idsB = jnp.asarray(idsB)
+    maskB = jnp.ones((B, s), jnp.int32)
+    for _ in range(3):
+        bp.step(imgB, imgB, idsB, maskB)
+    t0 = time.perf_counter()
+    iters_b = 10
+    for _ in range(iters_b):
+        bp.step(imgB, imgB, idsB, maskB)
+    batched_aps = B * iters_b / (time.perf_counter() - t0)
 
     result = {
         "metric": "deer_b_3b_dynamic_exit_actions_per_sec_per_chip",
@@ -94,8 +122,11 @@ def main():
         "vs_baseline": round(aps / REFERENCE_ACTIONS_PER_SEC, 2),
         "detail": {
             "full_depth_actions_per_sec": round(aps_full, 2),
+            "batched32_full_depth_actions_per_sec": round(batched_aps, 2),
             "avg_exit_layer": round(avg_exit_layer, 2),
             "per_depth_ms": [round(1000 * t, 2) for t in per_depth_t],
+            "sync_step_ms": round(1000 * time_sync_step(), 2),
+            "execution_model": "fused_single_program_lax_cond",
             "backend": jax.default_backend(),
         },
     }

@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="direct thresholds (BO mode), last should be 1e5")
     p.add_argument("--exit_id", type=int, default=None,
                    help="fixed exit layer (static eval, disables dynamic exit)")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "fused", "bucketed"],
+                   help="dynamic-exit execution model: fused = one XLA "
+                        "program per action (lax.cond buckets); bucketed = "
+                        "host-sequenced bucket programs (supports "
+                        "steps_per_stage/ensemble)")
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -135,8 +141,18 @@ def main(argv=None):
                                         {"exit_ratio": args.exit_ratio})
             controller.set_thresholds(thresholds)
 
-    policy = DeerPolicy(params, cfg, controller=controller, exit_id=args.exit_id,
-                        threshold_type=args.threshold_type)
+    use_fused = (args.engine == "fused" or
+                 (args.engine == "auto" and controller is not None
+                  and args.steps_per_stage == 1))
+    if use_fused and controller is not None:
+        from deer_vla_tpu.eval.fused_policy import FusedDeerPolicy
+        policy = FusedDeerPolicy(params, cfg, threshold_type=args.threshold_type,
+                                 max_layer=max_layer)
+        policy.set_thresholds(controller.thresholds)
+    else:
+        policy = DeerPolicy(params, cfg, controller=controller,
+                            exit_id=args.exit_id,
+                            threshold_type=args.threshold_type)
     adapter = CalvinPolicyAdapter(policy, tok, text_len=cfg.text_len)
 
     if args.debug or not args.calvin_conf_path:

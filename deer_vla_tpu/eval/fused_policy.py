@@ -1,0 +1,156 @@
+"""Single-program dynamic-exit inference: the whole per-timestep decision
+chain compiles into ONE XLA program with `lax.cond`-guarded segments.
+
+This is the BASELINE.json north-star execution model: "the data-dependent
+exit decision runs under lax.cond/scan with no host round-trips".  Each exit
+bucket (decoder layers (prev_exit, exit_k] + speculative head + delta
+compare) sits inside a lax.cond whose predicate is "not exited yet" — XLA
+executes only the taken branch, so early exit still skips the FLOPs of the
+remaining layers, and the host dispatches exactly one program per action
+(vs one per bucket in eval/policy.DeerPolicy — decisive when dispatch
+latency is non-trivial, e.g. remote/tunneled TPUs or tight control loops).
+
+Thresholds are a runtime ARRAY argument, so Bayesian-optimization sweeps
+(cli/bayes_opt.py) re-use one compiled program across candidate thresholds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.models.action_head import head_step
+from deer_vla_tpu.models.flamingo import encode_vision
+from deer_vla_tpu.models.mpt import decoder_segment_forward, embed_tokens, \
+    make_attn_bias
+from deer_vla_tpu.models.value_net import get_delta
+from deer_vla_tpu.ops.lstm import zero_carry
+
+
+def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
+                     threshold_type: str = "L2", max_layer: Optional[int] = None):
+    """Returns jitted step(params, img, grip, ids, mask, carry, prev_action,
+    has_prev, thresholds) -> (arm, gripper_prob, new_carry, exit_layer)."""
+    ml = (max_layer if max_layer is not None else cfg.n_layers) - 1
+    exits = [e for e in exit_ids if e <= ml] or [exit_ids[0]]
+    segments = []
+    prev = 0
+    for e in exits:
+        segments.append((prev, e + 1))
+        prev = e + 1
+
+    def step(params, img, grip, ids, mask, carry, prev_action, has_prev,
+             thresholds):
+        media = encode_vision(params, img, grip, cfg)
+        x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
+        mloc = ids == cfg.media_token_id
+        head = params["extra_exit"]
+        b = x.shape[0]
+
+        done = jnp.zeros((), bool)
+        best_arm = jnp.zeros((b, 6), jnp.float32)
+        best_grip = jnp.zeros((b,), jnp.float32)
+        best_carry = carry
+        exit_layer = jnp.zeros((), jnp.int32)
+        ref_action = prev_action  # updated per evaluated bucket
+
+        for k, (start, stop) in enumerate(segments):
+            is_last = k == len(segments) - 1
+
+            def run(ops, start=start, stop=stop, k=k):
+                x, ref_action = ops
+                x_prev, x_out = decoder_segment_forward(
+                    params["decoder"], x, mask, media, cfg, start, stop, mloc)
+                # head + carry in fp32: the LSTM carry persists across the
+                # whole episode, bf16 accumulation would drift
+                out, cand = head_step(head, x_out.astype(jnp.float32), carry,
+                                      cfg.head, None)
+                action = out.actions[:, 0].astype(jnp.float32)
+                if k == 0:
+                    pseudo, _ = head_step(head, x_prev.astype(jnp.float32),
+                                          carry, cfg.head, None)
+                    ref = jnp.where(has_prev, ref_action,
+                                    pseudo.actions[:, 0].astype(jnp.float32))
+                else:
+                    ref = ref_action
+                delta = get_delta(action, ref, threshold_type).mean()
+                grip = out.gripper_probs[:, 0, 0].astype(jnp.float32)
+                return x_out, action, grip, cand, delta
+
+            def skip(ops, k=k):
+                x, ref_action = ops
+                return (x, jnp.zeros((b, 6), jnp.float32),
+                        jnp.zeros((b,), jnp.float32), carry,
+                        jnp.asarray(jnp.inf, jnp.float32))
+
+            x, action, grip, cand, delta = jax.lax.cond(
+                done, skip, run, (x, ref_action))
+            take = (~done) & ((delta <= thresholds[k]) | is_last)
+            best_arm = jnp.where(take, action, best_arm)
+            best_grip = jnp.where(take, grip, best_grip)
+            best_carry = tuple(jnp.where(take, c, bc)
+                               for c, bc in zip(cand, best_carry))
+            exit_layer = jnp.where(take, jnp.int32(stop - 1), exit_layer)
+            ref_action = jnp.where(done, ref_action, action)
+            done = done | take
+
+        return best_arm, best_grip, best_carry, exit_layer
+
+    return jax.jit(step), exits
+
+
+class FusedDeerPolicy:
+    """Drop-in single-stream policy using the fused program.  Same public
+    surface as eval/policy.DeerPolicy (reset / set_timestep / step /
+    last_exit_layer) minus the steps_per_stage stage reuse (host-controlled
+    mode covers that)."""
+
+    def __init__(self, params: dict, cfg: DeerConfig,
+                 exit_ids: Optional[List[int]] = None,
+                 thresholds: Optional[List[float]] = None,
+                 threshold_type: str = "L2", max_layer: Optional[int] = None):
+        self.params = params
+        self.cfg = cfg
+        exit_ids = list(exit_ids or cfg.all_exit_ids())
+        self._step, self.exits = build_fused_step(cfg, exit_ids,
+                                                  threshold_type, max_layer)
+        if thresholds is None:
+            thresholds = [1e8] * len(self.exits)
+        self.set_thresholds(thresholds)
+        self.last_exit_layer = -1
+        self.reset()
+
+    def set_thresholds(self, thresholds) -> None:
+        if isinstance(thresholds, dict):
+            thresholds = [thresholds[e] for e in self.exits]
+        assert len(thresholds) == len(self.exits)
+        self.thresholds = jnp.asarray(thresholds, jnp.float32)
+
+    def reset(self):
+        self.carry = None
+        self.prev_action = jnp.zeros((1, 6), jnp.float32)
+        self.has_prev = jnp.zeros((), bool)
+
+    def set_timestep(self, t: int):
+        pass  # stage reuse not supported in fused mode
+
+    def step(self, image, gripper, input_ids, attention_mask,
+             state=None) -> np.ndarray:
+        if self.carry is None:
+            self.carry = zero_carry(self.cfg.head.lstm_num_layers,
+                                    image.shape[0], self.cfg.head.hidden_size,
+                                    jnp.float32)
+        arm, grip, self.carry, exit_layer = self._step(
+            self.params, image, gripper, input_ids, attention_mask,
+            self.carry, self.prev_action, self.has_prev, self.thresholds)
+        self.prev_action = arm
+        self.has_prev = jnp.ones((), bool)
+        self.last_exit_layer = int(exit_layer)
+        a = np.asarray(arm[0])
+        g = 1.0 if float(grip[0]) > 0.5 else -1.0
+        return np.concatenate([a, [g]]).astype(np.float32)

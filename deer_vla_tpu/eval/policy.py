@@ -99,12 +99,14 @@ class DeerPolicy:
             head = params["extra_exit"] if not cfg.layerwise_exit_eval else (
                 params["lm_head"] if stop == cfg.n_layers
                 else params["lm_exits"][str(stop - 1)])
-            out, cand_carry = head_step(head, x_out, carry, cfg.head, state)
+            out, cand_carry = head_step(head, x_out.astype(jnp.float32),
+                                        carry, cfg.head, state)
             action = out.actions[:, 0]  # (B, 6)
             if first_exit:
                 # pseudo previous action from the layer below the first exit
                 # (value_net.py:122-126), same uncommitted carry
-                pseudo, _ = head_step(head, x_prev, carry, cfg.head, state)
+                pseudo, _ = head_step(head, x_prev.astype(jnp.float32),
+                                      carry, cfg.head, state)
                 ref_action = pseudo.actions[:, 0]
             else:
                 ref_action = prev_action
@@ -161,6 +163,9 @@ class DeerPolicy:
             x, out, cand_carry, delta = run_fn(
                 self.params, x, attention_mask, media, mloc, self.carry,
                 prev_action, state)
+            # value_net.py:127: within a timestep, exit k>0 compares against
+            # the PREVIOUS EXIT's action (action_list[-1] grows per exit)
+            prev_action = out.actions[:, 0]
             if ctrl is None:
                 chosen = (e, out, cand_carry)
                 break

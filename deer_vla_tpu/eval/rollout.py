@@ -148,33 +148,57 @@ class CalvinPolicyAdapter:
 
 
 def rollout(env, adapter: CalvinPolicyAdapter, task_oracle, subtask: str,
-            lang_annotation: str, ep_len: int = EP_LEN
-            ) -> Tuple[bool, List[int], int, List[float]]:
+            lang_annotation: str, ep_len: int = EP_LEN,
+            replan: int = -1) -> Tuple[bool, List[int], int, List[float]]:
+    """One subtask episode (eval_utils.py:625-687).  The policy may return a
+    single (7,) action or a (k, 7) plan (multi_step_action/multi_execution);
+    planned actions are consumed one per env step without re-running the
+    policy (planned_actions queue, eval_utils.py:668-675)."""
     obs = env.get_obs()
     adapter.reset()
     start_info = env.get_info()
     exit_layers, llm_times = [], []
+    planned: List[np.ndarray] = []
     for step in range(ep_len):
+        if replan != -1 and step % replan == 0:
+            adapter.reset()
+            planned.clear()
         adapter.policy.set_timestep(step)
-        action = adapter.step(obs, lang_annotation)
-        exit_layers.append(adapter.current_exit_layer)
-        llm_times.append(adapter.llm_time)
-        obs, _, _, current_info = env.step(action)
+        if not planned:
+            action = adapter.step(obs, lang_annotation)
+            if action.ndim == 2:
+                planned.extend(list(action))
+            else:
+                planned.append(action)
+            exit_layers.append(adapter.current_exit_layer)
+            llm_times.append(adapter.llm_time)
+        obs, _, _, current_info = env.step(planned.pop(0))
         if task_oracle.get_task_info_for_set(start_info, current_info, {subtask}):
             return True, exit_layers, step + 1, llm_times
     return False, exit_layers, ep_len, llm_times
 
 
+def resolve_annotation(annotations, subtask: str, seq_i: int = 0,
+                       subtask_i: int = 0) -> str:
+    """Dict {task: text} (standard) or list-of-lists [seq][subtask]
+    (enriched lang_annotation_cache.json for --diverse_inst,
+    eval_utils.py:513-516,538-541)."""
+    if isinstance(annotations, list):
+        return annotations[seq_i][subtask_i]
+    return annotations.get(subtask, subtask)
+
+
 def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
-                      annotations: Dict[str, str], ep_len: int = EP_LEN):
+                      annotations, ep_len: int = EP_LEN, seq_i: int = 0,
+                      replan: int = -1):
     """One 5-subtask chain; stops at the first failure (eval_utils.py:583-622)."""
     env.reset(robot_obs=initial_state.get("robot_obs") if isinstance(initial_state, dict) else None)
     success_counter = 0
     s_exits, f_exits, s_steps, s_times = [], [], [], []
-    for subtask in eval_sequence:
-        lang = annotations.get(subtask, subtask)
+    for subtask_i, subtask in enumerate(eval_sequence):
+        lang = resolve_annotation(annotations, subtask, seq_i, subtask_i)
         ok, exits, n_steps, times = rollout(env, adapter, task_oracle, subtask,
-                                            lang, ep_len)
+                                            lang, ep_len, replan)
         if ok:
             success_counter += 1
             s_exits.extend(exits)
@@ -187,12 +211,13 @@ def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
 
 
 def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
-                    annotations: Dict[str, str], task_oracle,
+                    annotations, task_oracle,
                     *, rank: int = 0, world_size: int = 1,
                     num_sequences: Optional[int] = None,
                     ep_len: int = EP_LEN,
                     flops_per_layer: Optional[float] = None,
-                    n_layers: Optional[int] = None) -> Dict:
+                    n_layers: Optional[int] = None,
+                    replan: int = -1) -> Dict:
     """Statically shard sequences over processes (eval_utils.py:521-527),
     run chains, aggregate.  Cross-process aggregation is the caller's job
     (host gather; the tensors are tiny)."""
@@ -202,10 +227,10 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
     my = sequences[rank * per:(rank + 1) * per]
 
     results, s_exits, f_exits, steps, s_times = [], [], [], [], []
-    for initial_state, eval_sequence in my:
+    for local_i, (initial_state, eval_sequence) in enumerate(my):
         r, se, fe, st, ti = evaluate_sequence(
             env, adapter, task_oracle, initial_state, eval_sequence,
-            annotations, ep_len)
+            annotations, ep_len, seq_i=rank * per + local_i, replan=replan)
         results.append(r)
         s_exits.extend(se)
         f_exits.extend(fe)

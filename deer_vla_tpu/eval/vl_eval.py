@@ -1,0 +1,160 @@
+"""Vision-language benchmark evaluation — TPU-native equivalent of the
+upstream open_flamingo eval harness (open_flamingo/eval/evaluate.py:393,
+rices.py:95; SURVEY §2.6): greedy caption/VQA generation, RICES
+retrieval-based in-context example selection, and the standard VQA accuracy
+metric.
+
+Generation is one `lax.scan` over decode steps with a static-length token
+buffer (the text lengths here are tiny, so full recompute per step beats a
+KV-cache in both simplicity and, at S<=64, actual cost).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.models.flamingo import encode_vision
+from deer_vla_tpu.models.mpt import decoder_forward, lm_logits
+
+
+def make_greedy_generate(cfg: DeerConfig, total_len: int):
+    """Returns jitted generate(params, vision_x, ids, mask, start_len) where
+    ids is a (B, total_len) buffer pre-filled with the prompt and padding;
+    decodes greedily from position start_len."""
+
+    def step_decode(params, vision_x, ids, mask, start_len):
+        media = encode_vision(params, vision_x, None, cfg)
+
+        def body(carry, i):
+            ids, mask = carry
+            hidden, _ = decoder_forward(params["decoder"], ids, mask, media, cfg)
+            logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt)
+            pos = start_len + i - 1  # logits at the last prompt/generated tok
+            nxt = logits[jnp.arange(ids.shape[0]), pos].argmax(-1)
+            write = start_len + i
+            ids = ids.at[:, write].set(nxt.astype(ids.dtype))
+            mask = mask.at[:, write].set(1)
+            return (ids, mask), nxt
+
+        n_new = total_len - 1  # upper bound; caller slices
+        (ids, mask), toks = jax.lax.scan(body, (ids, mask),
+                                         jnp.arange(n_new))
+        return ids, jnp.swapaxes(toks, 0, 1)
+
+    return jax.jit(step_decode, static_argnames=())
+
+
+def greedy_generate(params: dict, cfg: DeerConfig, vision_x, prompt_ids,
+                    prompt_mask, max_new_tokens: int = 10,
+                    eos_id: Optional[int] = None) -> np.ndarray:
+    """Host wrapper: pads the prompt into a static buffer, decodes, trims at
+    eos. prompt_ids: (B, S)."""
+    b, s = prompt_ids.shape
+    total = s + max_new_tokens
+    ids = np.zeros((b, total), np.int32)
+    mask = np.zeros((b, total), np.int32)
+    ids[:, :s] = np.asarray(prompt_ids)
+    mask[:, :s] = np.asarray(prompt_mask)
+    start_len = int(np.asarray(prompt_mask).sum(1).max())
+    gen = make_greedy_generate(cfg, total)
+    out_ids, _ = gen(params, vision_x, jnp.asarray(ids), jnp.asarray(mask),
+                     start_len)
+    out = np.asarray(out_ids)[:, start_len:start_len + max_new_tokens]
+    if eos_id is not None:
+        for r in out:
+            stop = np.where(r == eos_id)[0]
+            if len(stop):
+                r[stop[0]:] = eos_id
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RICES (Retrieval-based In-Context Example Selection, rices.py)
+# ---------------------------------------------------------------------------
+
+
+class RICES:
+    """CLIP-vision-feature nearest-neighbor example retrieval.
+
+    The upstream caches train-set CLIP features
+    (scripts/cache_rices_features.py) and retrieves top-k cosine neighbors
+    per query image.  Here the same ViT tower (pooled pre-proj CLS feature)
+    provides the embedding."""
+
+    def __init__(self, params: dict, cfg: DeerConfig, batch_size: int = 32):
+        self.cfg = cfg
+        self._embed = jax.jit(
+            lambda p, x: _l2norm(_pooled(p, x, cfg)))
+        self.params = params
+        self.batch_size = batch_size
+        self.features: Optional[np.ndarray] = None
+
+    def build_index(self, images: np.ndarray) -> np.ndarray:
+        """images: (N, 3, H, W) preprocessed. Caches (N, D) features."""
+        feats = []
+        for i in range(0, len(images), self.batch_size):
+            feats.append(np.asarray(
+                self._embed(self.params, jnp.asarray(images[i:i + self.batch_size]))))
+        self.features = np.concatenate(feats, 0)
+        return self.features
+
+    def retrieve(self, query_images: np.ndarray, k: int) -> np.ndarray:
+        """(B, 3, H, W) -> (B, k) train indices, most similar LAST (the
+        upstream reverses so the closest example is nearest the query)."""
+        assert self.features is not None, "call build_index first"
+        q = np.asarray(self._embed(self.params, jnp.asarray(query_images)))
+        sim = q @ self.features.T
+        top = np.argsort(-sim, axis=1)[:, :k]
+        return top[:, ::-1]
+
+
+def _pooled(params, x, cfg):
+    from deer_vla_tpu.models.vit import vit_forward
+    pooled, _ = vit_forward(params["vit"], x.astype(cfg.dtypes.cdt), cfg.vit)
+    return pooled
+
+
+def _l2norm(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# metrics (vqa_metric.py equivalents, dependency-free)
+# ---------------------------------------------------------------------------
+
+
+_ARTICLES = {"a", "an", "the"}
+
+
+def normalize_answer(s: str) -> str:
+    s = s.lower().strip()
+    s = re.sub(r"[^\w\s]", "", s)
+    return " ".join(w for w in s.split() if w not in _ARTICLES)
+
+
+def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
+    """Official VQA accuracy: min(#matching human answers / 3, 1)."""
+    pred = normalize_answer(prediction)
+    matches = sum(normalize_answer(a) == pred for a in answers)
+    return min(matches / 3.0, 1.0)
+
+
+def caption_bleu1(prediction: str, references: Sequence[str]) -> float:
+    """Unigram precision with brevity penalty (lightweight CIDEr stand-in)."""
+    pred = normalize_answer(prediction).split()
+    if not pred:
+        return 0.0
+    best = 0.0
+    for ref in references:
+        r = normalize_answer(ref).split()
+        overlap = sum(min(pred.count(w), r.count(w)) for w in set(pred))
+        p = overlap / len(pred)
+        bp = 1.0 if len(pred) >= len(r) else np.exp(1 - len(r) / max(len(pred), 1))
+        best = max(best, p * bp)
+    return float(best)

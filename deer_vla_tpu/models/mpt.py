@@ -167,6 +167,18 @@ def decoder_forward(params: dict, input_ids: jnp.ndarray,
     return jnp.stack(outs, axis=0), x
 
 
+def lm_logits(params: dict, hidden: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Vocabulary logits from final hidden states: ln_f + tied wte^T (MPT
+    ties input/output embeddings).  Unused by the DeeR action path (the
+    action heads replaced lm_head) but required for the upstream
+    OpenFlamingo LM-pretraining capability (open_flamingo/train/)."""
+    h = layernorm(params["ln_f"], hidden)
+    w = params["wte"]["w"]
+    if compute_dtype is not None:
+        w = w.astype(compute_dtype)
+    return jnp.dot(h, w.T.astype(h.dtype))
+
+
 def decoder_segment_forward(params: dict, x: jnp.ndarray,
                             attention_mask: jnp.ndarray, media: jnp.ndarray,
                             cfg: DeerConfig, start: int, stop: int,

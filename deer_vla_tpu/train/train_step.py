@@ -34,7 +34,7 @@ def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> T
 
 def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                     *, phase: str = "joint", bin_coef: float = 0.01,
-                    donate: bool = True):
+                    donate: bool = True, grad_accum: int = 1):
     """Returns jitted train_step(state, batch, rng) -> (state, metrics).
 
     batch dict (leading dim B*W except labels):
@@ -42,6 +42,12 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
       input_ids, attention_mask: (B*W, S)
       labels: (B, W, 7)
       state (optional): (B*W, state_dim)
+
+    grad_accum > 1 splits the batch into k microbatches along the trajectory
+    dim and accumulates (averages) gradients over a lax.scan before the
+    single optimizer update — the reference's host-side
+    gradient_accumulation_steps (train_utils.py:573-583), traded for one
+    fused program and k-x lower peak activation memory.
     """
     exit_only = phase == "exit_only"
 
@@ -54,12 +60,47 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             no_backbone_grad=exit_only, train=True)
         return multi_exit_loss(out, batch["labels"], bin_coef)
 
+    def _split_micro(batch: Dict) -> Dict:
+        """Reshape leading dims to (k, .../k, ...)."""
+        w = cfg.window_size
+        bs = batch["labels"].shape[0]
+        assert bs % grad_accum == 0, (bs, grad_accum)
+        mb = bs // grad_accum
+
+        def per_leaf(key, x):
+            if key == "labels":
+                return x.reshape(grad_accum, mb, *x.shape[1:])
+            # (B*W, ...) -> (k, mb*W, ...)
+            return x.reshape(grad_accum, mb * w, *x.shape[1:])
+
+        return {k: per_leaf(k, v) for k, v in batch.items()}
+
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+        if grad_accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng)
+        else:
+            micro = _split_micro(batch)
+
+            def scan_body(acc, xs):
+                mb, mrng = xs
+                (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, mrng)
+                acc_g, acc_l = acc
+                return (jax.tree_util.tree_map(jnp.add, acc_g, g),
+                        acc_l + l), m
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            rngs = jax.random.split(rng, grad_accum)
+            (grads, loss_sum), ms = jax.lax.scan(
+                scan_body, (zero_g, jnp.zeros(())), (micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            loss = loss_sum / grad_accum
+            metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)
+        metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
         return TrainState(new_params, new_opt, state.step + 1), metrics
 

@@ -127,7 +127,8 @@ class Trainer:
                 trainable=mask)
             step = make_train_step(
                 cfg, opt, phase=phase,
-                bin_coef=0.05 if tcfg.real_data else 0.01)
+                bin_coef=0.05 if tcfg.real_data else 0.01,
+                grad_accum=tcfg.gradient_accumulation_steps)
             self._phases[phase] = (opt, step)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0

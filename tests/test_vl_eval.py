@@ -1,0 +1,88 @@
+"""LM pretraining step, greedy generation, RICES, VQA metrics."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.models.flamingo import init_deer
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = deer_tiny()
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def test_lm_loss_and_pretrain_step(tiny):
+    cfg, params = tiny
+    import optax
+    from deer_vla_tpu.models.flamingo import trainable_mask
+    from deer_vla_tpu.train.pretrain import lm_loss, make_pretrain_step
+
+    r = np.random.RandomState(0)
+    b = 2
+    img = jnp.asarray(r.randn(b, 1, 1, 3, 28, 28), jnp.float32)
+    ids = np.full((b, cfg.text_len), 5, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((b, cfg.text_len), jnp.int32)
+
+    loss, m = lm_loss(params, cfg, img, ids, mask)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    # roughly ln(vocab) at random init
+    assert float(loss) < np.log(cfg.mpt.vocab_size) * 3
+
+    opt = optax.adam(1e-3)
+    step = make_pretrain_step(cfg, opt, donate=False)
+    p, st = params, opt.init(params)
+    batch = {"image": img, "input_ids": ids, "attention_mask": mask}
+    l0 = float(lm_loss(p, cfg, img, ids, mask)[0])
+    for _ in range(5):
+        p, st, metrics = step(p, st, batch)
+    l1 = float(lm_loss(p, cfg, img, ids, mask)[0])
+    assert l1 < l0  # memorizes the constant batch
+
+
+def test_greedy_generate(tiny):
+    cfg, params = tiny
+    from deer_vla_tpu.eval.vl_eval import greedy_generate
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(2, 1, 1, 3, 28, 28), jnp.float32)
+    prompt = np.full((2, 4), 5, np.int32)
+    prompt[:, 0] = cfg.media_token_id
+    pm = np.ones((2, 4), np.int32)
+    out = greedy_generate(params, cfg, img, prompt, pm, max_new_tokens=5)
+    assert out.shape == (2, 5)
+    assert np.all((out >= 0) & (out < cfg.mpt.vocab_size))
+    # deterministic
+    out2 = greedy_generate(params, cfg, img, prompt, pm, max_new_tokens=5)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_rices_retrieval(tiny):
+    cfg, params = tiny
+    from deer_vla_tpu.eval.vl_eval import RICES
+    r = np.random.RandomState(0)
+    train = r.randn(6, 3, 28, 28).astype(np.float32)
+    rices = RICES(params, cfg, batch_size=4)
+    rices.build_index(train)
+    assert rices.features.shape[0] == 6
+    # the query equal to a train image must retrieve itself as closest
+    idx = rices.retrieve(train[2:3], k=3)
+    assert idx.shape == (1, 3)
+    assert idx[0, -1] == 2  # closest example comes LAST
+
+
+def test_vqa_metrics():
+    from deer_vla_tpu.eval.vl_eval import caption_bleu1, vqa_accuracy
+    assert vqa_accuracy("The red block", ["red block"] * 3) == 1.0
+    assert vqa_accuracy("blue", ["red"] * 10) == 0.0
+    assert vqa_accuracy("red", ["red", "blue", "green"]) == pytest.approx(1 / 3)
+    assert caption_bleu1("a red block on the table",
+                         ["red block on a table"]) > 0.5
+    assert caption_bleu1("", ["anything"]) == 0.0

@@ -5,13 +5,13 @@ dual-camera ViT-L encode + perceiver + N-layer MPT-flamingo decode + exit
 head — averaged over the DeeR exit-layer distribution (exp, exit_ratio 0.8,
 the paper's CALVIN-D operating point; README.md:111-127).
 
-Execution model measured: the FUSED single-program dynamic exit
-(eval/fused_policy.py) — the whole per-timestep decision chain (all exit
-buckets under lax.cond) is ONE XLA program, one dispatch per action, zero
-host round-trips inside the decision.  Per-depth cost is measured by driving
-the same compiled program with runtime thresholds that force each exit
-depth; the reported value is the expectation of throughput under the exit
-distribution.
+Execution model measured: the while-loop single-program dynamic exit
+(eval/scan_policy.py) — one lax.while_loop over stacked decoder layers with
+the exit predicate evaluated on device, ONE dispatch per action, zero host
+round-trips inside the decision, and compile time constant in depth.
+Per-depth cost is measured by driving the same compiled program with runtime
+thresholds that force each exit depth; the reported value is the expectation
+of throughput under the exit distribution.
 
 vs_baseline anchor: the reference publishes no actions/sec; from its eval
 cost (1000 sequences in ~4.5 h on 8x V100, README.md:126; ~650 env steps per
@@ -30,7 +30,7 @@ REFERENCE_ACTIONS_PER_SEC = 4.0
 
 def main():
     from deer_vla_tpu.core.config import deer_3b
-    from deer_vla_tpu.eval.fused_policy import FusedDeerPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     from deer_vla_tpu.models.flamingo import init_deer
     from deer_vla_tpu.models.value_net import exit_probs
 
@@ -39,7 +39,7 @@ def main():
     jax.block_until_ready(params)
 
     exits = list(cfg.all_exit_ids())
-    policy = FusedDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
+    policy = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
 
     hw, s = cfg.vit.image_size, cfg.text_len
     r = np.random.RandomState(0)
@@ -53,6 +53,14 @@ def main():
     def force_depth_thresholds(k):
         return [-1e8] * k + [1e8] * (len(exits) - k)
 
+    def full_thresholds(k):
+        import numpy as _np
+        th = _np.full(cfg.n_layers, -1e30, _np.float32)
+        for e in exits:
+            th[e] = -1e8
+        th[exits[k]] = 1e30
+        return jnp.asarray(th)
+
     from deer_vla_tpu.ops.lstm import zero_carry
 
     def time_depth(k, iters=30, warmup=5):
@@ -61,21 +69,23 @@ def main():
         once.  This measures the framework's per-action device cost; the
         host-readback-per-step cost (pure transport, huge variance on
         tunneled chips) is reported separately as sync_step_ms."""
-        th = jnp.asarray(force_depth_thresholds(k), jnp.float32)
+        th = full_thresholds(k)
         carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
                            jnp.float32)
         prev = jnp.zeros((1, 6), jnp.float32)
         has_prev = jnp.zeros((), bool)
         for _ in range(warmup):
-            arm, gp, carry, el = policy._step(params, img, grip, ids, mask,
-                                              carry, prev, has_prev, th)
+            arm, gp, carry, el = policy._step(params, policy.stacked, img,
+                                              grip, ids, mask, carry, prev,
+                                              has_prev, th)
             prev, has_prev = arm, jnp.ones((), bool)
         jax.block_until_ready(arm)
-        assert int(el) == exits[k]
+        assert int(el) == exits[k], (int(el), exits[k])
         t0 = time.perf_counter()
         for _ in range(iters):
-            arm, gp, carry, el = policy._step(params, img, grip, ids, mask,
-                                              carry, prev, has_prev, th)
+            arm, gp, carry, el = policy._step(params, policy.stacked, img,
+                                              grip, ids, mask, carry, prev,
+                                              has_prev, th)
             prev = arm
         jax.block_until_ready(arm)
         return (time.perf_counter() - t0) / iters
@@ -126,7 +136,7 @@ def main():
             "avg_exit_layer": round(avg_exit_layer, 2),
             "per_depth_ms": [round(1000 * t, 2) for t in per_depth_t],
             "sync_step_ms": round(1000 * time_sync_step(), 2),
-            "execution_model": "fused_single_program_lax_cond",
+            "execution_model": "while_loop_single_program",
             "backend": jax.default_backend(),
         },
     }

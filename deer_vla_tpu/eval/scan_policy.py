@@ -1,0 +1,196 @@
+"""While-loop dynamic-exit engine: ONE compiled program, one-layer body.
+
+The third execution model (SURVEY §7.3 "lax.while_loop over per-layer scan
+with an early-exit predicate"), complementing:
+  * eval/policy.DeerPolicy       — host-sequenced bucket programs
+  * eval/fused_policy            — unrolled lax.cond bucket chain (compiles
+                                   slowly at 3B scale: 6 big branches)
+
+Here decoder layers live as STACKED pytrees (L, ...) and a lax.while_loop
+runs one layer per iteration; at exit layers a lax.cond evaluates the
+speculative head + action delta and sets the stop flag.  The body HLO is a
+single layer + head, so compile time is tiny and constant in depth, the
+loop stops issuing work at the exit (true FLOPs savings), and the host
+dispatches exactly one program per action with runtime thresholds.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.models.action_head import head_step
+from deer_vla_tpu.models.flamingo import encode_vision
+from deer_vla_tpu.models.gated_xattn import gated_xattn_forward
+from deer_vla_tpu.models.mpt import embed_tokens, make_attn_bias, \
+    mpt_block_forward
+from deer_vla_tpu.ops.lstm import zero_carry
+
+
+def stack_decoder_layers(params: dict, cfg: DeerConfig) -> dict:
+    """blocks: list of per-layer dicts -> one pytree with leading L dim;
+    xattn likewise (padded index map for every_n > 1)."""
+    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                    *params["decoder"]["blocks"])
+    xattn_list = [x for x in params["decoder"]["xattn"] if x is not None]
+    xattn = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *xattn_list)
+    has_xattn = np.array([cfg.has_xattn(i) for i in range(cfg.n_layers)])
+    xidx = np.zeros(cfg.n_layers, np.int32)
+    j = 0
+    for i in range(cfg.n_layers):
+        xidx[i] = min(j, len(xattn_list) - 1)
+        if has_xattn[i]:
+            j += 1
+    return {"blocks": blocks, "xattn": xattn,
+            "has_xattn": jnp.asarray(has_xattn),
+            "xattn_idx": jnp.asarray(xidx)}
+
+
+def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
+                    threshold_type: str = "L2",
+                    max_layer: Optional[int] = None):
+    """jitted step(params, stacked, img, grip, ids, mask, carry, prev_action,
+    has_prev, thresholds_full) where thresholds_full is (n_layers,) with
+    +inf at the forced-exit layer and the per-exit thresholds at exit layers
+    (non-exit layers -inf => never exit)."""
+    from deer_vla_tpu.models.value_net import get_delta
+
+    ml = (max_layer if max_layer is not None else cfg.n_layers) - 1
+    exits = [e for e in exit_ids if e <= ml] or [exit_ids[0]]
+    last_exit = exits[-1]
+    is_exit = np.full(cfg.n_layers, False)
+    for e in exits:
+        is_exit[e] = True
+
+    def step(params, stacked, img, grip, ids, mask, carry, prev_action,
+             has_prev, thresholds_full):
+        media = encode_vision(params, img, grip, cfg)
+        x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
+        mloc = ids == cfg.media_token_id
+        attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
+        head = params["extra_exit"]
+        b = x.shape[0]
+        is_exit_arr = jnp.asarray(is_exit)
+
+        def eval_head(x_in):
+            out, cand = head_step(head, x_in.astype(jnp.float32), carry,
+                                  cfg.head, None)
+            return out.actions[:, 0].astype(jnp.float32), \
+                out.gripper_probs[:, 0, 0].astype(jnp.float32), cand
+
+        def body(state):
+            (i, x, done, ref, best_arm, best_grip, best_carry, exit_layer) = state
+            blk = jax.tree_util.tree_map(lambda s: s[i], stacked["blocks"])
+            xat = jax.tree_util.tree_map(lambda s: s[stacked["xattn_idx"][i]],
+                                         stacked["xattn"])
+
+            def apply_x(x):
+                return gated_xattn_forward(
+                    xat, x, media, mloc, heads=cfg.xattn_heads,
+                    dim_head=cfg.xattn_dim_head,
+                    only_attend_immediate_media=cfg.only_attend_immediate_media)
+
+            x = jax.lax.cond(stacked["has_xattn"][i], apply_x, lambda x: x, x)
+            x_prev = x
+            x = mpt_block_forward(blk, x, attn_bias, cfg.mpt)
+
+            def check(_):
+                arm, grip, cand = eval_head(x)
+                # first-exit pseudo action from layer i-1 features when no
+                # previous action exists (value_net.py:122-126)
+                def pseudo(_):
+                    pa, _, _ = eval_head(x_prev)
+                    return pa
+                ref_k = jax.lax.cond(
+                    has_prev | (exit_layer >= 0) | (i != exits[0]),
+                    lambda _: ref, pseudo, None)
+                delta = get_delta(arm, ref_k, threshold_type).mean()
+                take = delta <= thresholds_full[i]
+                return arm, grip, cand, take, arm  # last: new ref
+
+            def skip(_):
+                return (jnp.zeros((b, 6), jnp.float32),
+                        jnp.zeros((b,), jnp.float32), carry,
+                        jnp.asarray(False), ref)
+
+            arm, grip, cand, take, new_ref = jax.lax.cond(
+                is_exit_arr[i], check, skip, None)
+            best_arm = jnp.where(take, arm, best_arm)
+            best_grip = jnp.where(take, grip, best_grip)
+            best_carry = tuple(jnp.where(take, c, bc)
+                               for c, bc in zip(cand, best_carry))
+            exit_layer = jnp.where(take, i, exit_layer)
+            return (i + 1, x, done | take, new_ref, best_arm, best_grip,
+                    best_carry, exit_layer)
+
+        def cond_fn(state):
+            i, _, done, *_ = state
+            return (~done) & (i <= last_exit)
+
+        init = (jnp.int32(0), x, jnp.asarray(False), prev_action,
+                jnp.zeros((b, 6), jnp.float32), jnp.zeros((b,), jnp.float32),
+                carry, jnp.int32(-1))
+        (_, _, done, _, best_arm, best_grip, best_carry,
+         exit_layer) = jax.lax.while_loop(cond_fn, body, init)
+        return best_arm, best_grip, best_carry, exit_layer
+
+    return jax.jit(step), exits
+
+
+class ScanDeerPolicy:
+    """Single-stream policy over the while-loop engine.  Same surface as
+    FusedDeerPolicy."""
+
+    def __init__(self, params: dict, cfg: DeerConfig,
+                 exit_ids: Optional[List[int]] = None,
+                 thresholds: Optional[List[float]] = None,
+                 threshold_type: str = "L2", max_layer: Optional[int] = None):
+        self.params = params
+        self.cfg = cfg
+        self.stacked = stack_decoder_layers(params, cfg)
+        exit_ids = list(exit_ids or cfg.all_exit_ids())
+        self._step, self.exits = build_scan_step(cfg, exit_ids,
+                                                 threshold_type, max_layer)
+        self.set_thresholds(thresholds if thresholds is not None
+                            else [1e8] * len(self.exits))
+        self.last_exit_layer = -1
+        self.reset()
+
+    def set_thresholds(self, thresholds) -> None:
+        if isinstance(thresholds, dict):
+            thresholds = [thresholds[e] for e in self.exits]
+        assert len(thresholds) == len(self.exits)
+        full = np.full(self.cfg.n_layers, -1e30, np.float32)
+        for e, t in zip(self.exits, thresholds):
+            full[e] = t
+        full[self.exits[-1]] = 1e30  # last exit always fires
+        self.thresholds = jnp.asarray(full)
+
+    def reset(self):
+        self.carry = None
+        self.prev_action = jnp.zeros((1, 6), jnp.float32)
+        self.has_prev = jnp.zeros((), bool)
+
+    def set_timestep(self, t: int):
+        pass
+
+    def step(self, image, gripper, input_ids, attention_mask,
+             state=None) -> np.ndarray:
+        if self.carry is None:
+            self.carry = zero_carry(self.cfg.head.lstm_num_layers,
+                                    image.shape[0], self.cfg.head.hidden_size,
+                                    jnp.float32)
+        arm, grip, self.carry, exit_layer = self._step(
+            self.params, self.stacked, image, gripper, input_ids,
+            attention_mask, self.carry, self.prev_action, self.has_prev,
+            self.thresholds)
+        self.prev_action = arm
+        self.has_prev = jnp.ones((), bool)
+        self.last_exit_layer = int(exit_layer)
+        a = np.asarray(arm[0])
+        g = 1.0 if float(grip[0]) > 0.5 else -1.0
+        return np.concatenate([a, [g]]).astype(np.float32)

@@ -97,15 +97,25 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
         tokens = jax.lax.stop_gradient(tokens)
         return tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
 
-    rgb_tok = encode(vision_rgb)
-    rgb_lat = perceiver_forward(params["perceiver"], rgb_tok, cfg.perceiver)
-    if cfg.use_gripper and vision_gripper is not None:
-        grip_tok = encode(vision_gripper)
-        pg = params.get("perceiver_gripper") if cfg.sep_resampler else params["perceiver"]
-        grip_lat = perceiver_forward(pg, grip_tok, cfg.perceiver)
+    if cfg.use_gripper and vision_gripper is not None and not cfg.sep_resampler:
+        # both cameras share the ViT and the resampler: run them as ONE
+        # doubled batch (2x MXU utilization at small batch; the reference
+        # runs two sequential encoder+perceiver passes,
+        # flamingo_mpt.py:626-659)
+        both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
+        tok = encode(both)
+        lat = perceiver_forward(params["perceiver"], tok, cfg.perceiver)
+        b = vision_rgb.shape[0]
+        media = jnp.concatenate([lat[:b], lat[b:]], axis=2)
+    elif cfg.use_gripper and vision_gripper is not None:
+        rgb_lat = perceiver_forward(params["perceiver"], encode(vision_rgb),
+                                    cfg.perceiver)
+        grip_lat = perceiver_forward(params["perceiver_gripper"],
+                                     encode(vision_gripper), cfg.perceiver)
         media = jnp.concatenate([rgb_lat, grip_lat], axis=2)
     else:
-        media = rgb_lat
+        media = perceiver_forward(params["perceiver"], encode(vision_rgb),
+                                  cfg.perceiver)
     if cfg.use_state and state_tensor is not None and "state_fc" in params:
         st = linear(params["state_fc"], state_tensor.astype(cdt))
         media = jnp.concatenate([media, st], axis=2)

@@ -1,0 +1,56 @@
+"""While-loop engine (ScanDeerPolicy): parity with the cond-chain engine."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.data.text import HashTokenizer
+from deer_vla_tpu.eval.fused_policy import FusedDeerPolicy
+from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+from deer_vla_tpu.models.flamingo import init_deer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def obs(cfg, seed=0):
+    r = np.random.RandomState(seed)
+    hw, s = cfg.vit.image_size, cfg.text_len
+    img = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+    grip = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+    ids = np.full((1, s), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    return img, grip, jnp.asarray(ids), jnp.ones((1, s), jnp.int32)
+
+
+@pytest.mark.parametrize("th", [[1e8, 1e8], [-1.0, 1e8], [0.05, 1e8]])
+def test_scan_matches_fused(setup, th):
+    cfg, params = setup
+    f = FusedDeerPolicy(params, cfg, thresholds=th)
+    s = ScanDeerPolicy(params, cfg, thresholds=th)
+    for t in range(3):
+        img, grip, ids, mask = obs(cfg, seed=t)
+        a_f = f.step(img, grip, ids, mask)
+        a_s = s.step(img, grip, ids, mask)
+        assert s.last_exit_layer == f.last_exit_layer
+        np.testing.assert_allclose(a_s, a_f, rtol=2e-4, atol=2e-4)
+
+
+def test_scan_max_layer_cap(setup):
+    """DeeR-S style truncation: max_layer caps the reachable exits."""
+    cfg, params = setup
+    s = ScanDeerPolicy(params, cfg, thresholds=[-1.0], max_layer=2)
+    assert s.exits == [1]
+    img, grip, ids, mask = obs(cfg)
+    s.step(img, grip, ids, mask)
+    assert s.last_exit_layer == 1  # forced exit at the capped layer

@@ -141,12 +141,13 @@ class DiskCalvinDataset:
         return int(self._rng.randint(self.cfg.min_window_size,
                                      self.cfg.max_window_size + 1))
 
+    EPISODE_KEYS = ("rgb_static", "rgb_gripper", "rel_actions", "robot_obs")
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         ws = self._window_size(idx)
         start = int(self.episode_lookup[idx])
-        frames = [np.load(self._episode_path(i)) for i in range(start, start + ws)]
-        ep = {k: np.stack([f[k] for f in frames])
-              for k in ("rgb_static", "rgb_gripper", "rel_actions", "robot_obs")}
+        paths = [str(self._episode_path(i)) for i in range(start, start + ws)]
+        ep = self._load_window(paths)
         sample = {
             "rgb_static": ep["rgb_static"].astype(np.uint8),     # (ws, H, W, 3)
             "rgb_gripper": ep["rgb_gripper"].astype(np.uint8),
@@ -162,6 +163,24 @@ class DiskCalvinDataset:
         sample["lang"] = text
         sample["idx"] = idx
         return sample
+
+    def _load_window(self, paths: List[str]) -> Dict[str, np.ndarray]:
+        """Window assembly: native threaded C++ reader (stored-npz fast
+        path, native/npz_reader.cpp) with transparent numpy fallback."""
+        from deer_vla_tpu.data import native_loader
+        if native_loader.available():
+            out = {}
+            ok = True
+            for k in self.EPISODE_KEYS:
+                arr = native_loader.read_window(paths, k)
+                if arr is None:
+                    ok = False
+                    break
+                out[k] = arr
+            if ok:
+                return out
+        frames = [np.load(p) for p in paths]
+        return {k: np.stack([f[k] for f in frames]) for k in self.EPISODE_KEYS}
 
     def _pad_sample(self, s: Dict[str, np.ndarray], pad: int) -> Dict[str, np.ndarray]:
         if pad <= 0 or not self.cfg.pad:

@@ -1,0 +1,206 @@
+// Native CALVIN episode reader: zip(npz) parsing + threaded window loads.
+//
+// The reference's data path is torch DataLoader worker processes calling
+// np.load per episode_XXXXXXX.npz frame (robot_flamingo/data/data.py:660-685)
+// — per-frame Python/zipfile overhead dominates at small files.  This
+// library reads STORED (uncompressed) npz members — np.savez's default and
+// the CALVIN dataset format — with direct pread() into the caller's batch
+// buffer, fanning a window of frames across a thread pool.  DEFLATE members
+// return a sentinel so the Python wrapper falls back to numpy.
+//
+// Exposed C ABI (ctypes):
+//   npz_probe(path, key, shape_out[8], ndim_out, dtype_out[8], nbytes_out)
+//   npz_read (path, key, out, out_cap)                      -> 0 on success
+//   npz_read_many(paths, n, key, out, item_nbytes, n_threads)
+//     reads n files' identical-shape arrays into out[i * item_nbytes].
+// Error codes: 0 ok, -1 io, -2 not found, -3 compressed (fallback),
+//              -4 parse error, -5 buffer too small.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Member {
+  uint64_t data_offset;  // absolute offset of the npy payload's start
+  uint64_t comp_size;
+  uint16_t method;
+};
+
+uint16_t rd16(const unsigned char* p) { return p[0] | (p[1] << 8); }
+uint32_t rd32(const unsigned char* p) {
+  return p[0] | (p[1] << 8) | (p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+// Locate `key`.npy (or `key`) in the zip central directory.
+int find_member(FILE* f, const std::string& key, Member* out) {
+  if (fseek(f, 0, SEEK_END) != 0) return -1;
+  long fsize = ftell(f);
+  long scan = fsize < 66000 ? fsize : 66000;
+  std::vector<unsigned char> tail(scan);
+  if (fseek(f, fsize - scan, SEEK_SET) != 0) return -1;
+  if (fread(tail.data(), 1, scan, f) != (size_t)scan) return -1;
+  long eocd = -1;
+  for (long i = scan - 22; i >= 0; --i) {
+    if (rd32(&tail[i]) == 0x06054b50) { eocd = i; break; }
+  }
+  if (eocd < 0) return -4;
+  uint16_t n_entries = rd16(&tail[eocd + 10]);
+  uint32_t cd_size = rd32(&tail[eocd + 12]);
+  uint32_t cd_off = rd32(&tail[eocd + 16]);
+
+  std::vector<unsigned char> cd(cd_size);
+  if (fseek(f, cd_off, SEEK_SET) != 0) return -1;
+  if (fread(cd.data(), 1, cd_size, f) != cd_size) return -1;
+
+  std::string want1 = key + ".npy";
+  size_t p = 0;
+  for (int e = 0; e < n_entries && p + 46 <= cd_size; ++e) {
+    if (rd32(&cd[p]) != 0x02014b50) return -4;
+    uint16_t method = rd16(&cd[p + 10]);
+    uint32_t csize = rd32(&cd[p + 20]);
+    uint16_t nlen = rd16(&cd[p + 28]);
+    uint16_t xlen = rd16(&cd[p + 30]);
+    uint16_t clen = rd16(&cd[p + 32]);
+    uint32_t lho = rd32(&cd[p + 42]);
+    std::string name((const char*)&cd[p + 46], nlen);
+    if (name == want1 || name == key) {
+      // local header: 30 fixed bytes + name + extra (may differ from CD)
+      unsigned char lh[30];
+      if (fseek(f, lho, SEEK_SET) != 0) return -1;
+      if (fread(lh, 1, 30, f) != 30) return -1;
+      if (rd32(lh) != 0x04034b50) return -4;
+      uint16_t lnlen = rd16(&lh[26]);
+      uint16_t lxlen = rd16(&lh[28]);
+      out->data_offset = (uint64_t)lho + 30 + lnlen + lxlen;
+      out->comp_size = csize;
+      out->method = method;
+      return 0;
+    }
+    p += 46 + nlen + xlen + clen;
+  }
+  return -2;
+}
+
+// Parse the npy header at `off`; returns payload offset or <0.
+long parse_npy(FILE* f, uint64_t off, long* shape, int* ndim, char* dtype) {
+  unsigned char hdr[12];
+  if (fseek(f, off, SEEK_SET) != 0) return -1;
+  if (fread(hdr, 1, 10, f) != 10) return -1;
+  if (memcmp(hdr, "\x93NUMPY", 6) != 0) return -4;
+  int major = hdr[6];
+  uint32_t hlen;
+  uint64_t body;
+  if (major == 1) {
+    hlen = rd16(&hdr[8]);
+    body = off + 10;
+  } else {
+    if (fread(hdr + 10, 1, 2, f) != 2) return -1;
+    hlen = rd32(&hdr[8]);
+    body = off + 12;
+  }
+  std::vector<char> h(hlen + 1, 0);
+  if (fseek(f, body, SEEK_SET) != 0) return -1;
+  if (fread(h.data(), 1, hlen, f) != hlen) return -1;
+  std::string s(h.data());
+  // descr
+  size_t dp = s.find("'descr'");
+  if (dp == std::string::npos) return -4;
+  size_t q1 = s.find('\'', dp + 7);  // opening quote of the descr value
+  size_t q2 = s.find('\'', q1 + 1);  // closing quote
+  if (q1 == std::string::npos || q2 == std::string::npos) return -4;
+  std::string descr = s.substr(q1 + 1, q2 - q1 - 1);
+  strncpy(dtype, descr.c_str(), 7);
+  dtype[7] = 0;
+  // fortran_order must be False (C layout)
+  if (s.find("'fortran_order': True") != std::string::npos) return -4;
+  // shape
+  size_t sp = s.find("'shape'");
+  size_t o1 = s.find('(', sp);
+  size_t o2 = s.find(')', o1);
+  if (o1 == std::string::npos || o2 == std::string::npos) return -4;
+  std::string tup = s.substr(o1 + 1, o2 - o1 - 1);
+  int nd = 0;
+  const char* c = tup.c_str();
+  while (*c && nd < 8) {
+    while (*c == ' ' || *c == ',') ++c;
+    if (!*c) break;
+    long v = strtol(c, (char**)&c, 10);
+    shape[nd++] = v;
+  }
+  *ndim = nd;
+  return (long)(body + hlen);
+}
+
+int read_one(const char* path, const char* key, void* out, long out_cap,
+             long* shape, int* ndim, char* dtype, long* nbytes) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  Member m;
+  int rc = find_member(f, key, &m);
+  if (rc != 0) { fclose(f); return rc; }
+  if (m.method != 0) { fclose(f); return -3; }
+  long payload = parse_npy(f, m.data_offset, shape, ndim, dtype);
+  if (payload < 0) { fclose(f); return (int)payload; }
+  long data_bytes = (long)(m.comp_size - (payload - (long)m.data_offset));
+  if (nbytes) *nbytes = data_bytes;
+  if (out) {
+    if (data_bytes > out_cap) { fclose(f); return -5; }
+    if (fseek(f, payload, SEEK_SET) != 0) { fclose(f); return -1; }
+    if (fread(out, 1, data_bytes, f) != (size_t)data_bytes) {
+      fclose(f);
+      return -1;
+    }
+  }
+  fclose(f);
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int npz_probe(const char* path, const char* key, long* shape, int* ndim,
+              char* dtype, long* nbytes) {
+  return read_one(path, key, nullptr, 0, shape, ndim, dtype, nbytes);
+}
+
+int npz_read(const char* path, const char* key, void* out, long out_cap) {
+  long shape[8];
+  int ndim;
+  char dtype[8];
+  long nbytes;
+  return read_one(path, key, out, out_cap, shape, &ndim, dtype, &nbytes);
+}
+
+// Threaded batch read: n files, same key, identical array byte size.
+int npz_read_many(const char** paths, int n, const char* key, void* out,
+                  long item_nbytes, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+  std::vector<int> rcs(n, 0);
+  auto worker = [&](int tid) {
+    long shape[8];
+    int ndim;
+    char dtype[8];
+    long nbytes;
+    for (int i = tid; i < n; i += n_threads) {
+      rcs[i] = read_one(paths[i], key,
+                        (char*)out + (int64_t)i * item_nbytes, item_nbytes,
+                        shape, &ndim, dtype, &nbytes);
+      if (rcs[i] == 0 && nbytes != item_nbytes) rcs[i] = -5;
+    }
+  };
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; ++t) ts.emplace_back(worker, t);
+  for (auto& t : ts) t.join();
+  for (int i = 0; i < n; ++i)
+    if (rcs[i] != 0) return rcs[i];
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,70 @@
+"""Native C++ npz reader: parity with numpy, fallback behavior, speed."""
+
+import time
+
+import numpy as np
+import pytest
+
+from deer_vla_tpu.data import native_loader
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("npz")
+    paths = []
+    r = np.random.RandomState(0)
+    for i in range(8):
+        p = d / f"episode_{i:07d}.npz"
+        np.savez(p,  # STORED members (np.savez does not compress)
+                 rgb_static=r.randint(0, 256, (24, 24, 3), np.uint8),
+                 rel_actions=r.randn(7).astype(np.float32),
+                 robot_obs=r.randn(15).astype(np.float64))
+        paths.append(str(p))
+    return paths
+
+
+def test_native_builds():
+    assert native_loader.available(), "g++ build of npz_reader failed"
+
+
+def test_read_key_matches_numpy(files):
+    for key in ("rgb_static", "rel_actions", "robot_obs"):
+        ref = np.load(files[0])[key]
+        got = native_loader.read_key(files[0], key)
+        assert got is not None, key
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_read_window_matches_numpy(files):
+    got = native_loader.read_window(files, "rgb_static", n_threads=4)
+    ref = np.stack([np.load(p)["rgb_static"] for p in files])
+    np.testing.assert_array_equal(got, ref)
+    got_f = native_loader.read_window(files, "rel_actions")
+    ref_f = np.stack([np.load(p)["rel_actions"] for p in files])
+    np.testing.assert_array_equal(got_f, ref_f)
+
+
+def test_compressed_falls_back(tmp_path, files):
+    p = tmp_path / "compressed.npz"
+    np.savez_compressed(p, rgb_static=np.zeros((4, 4, 3), np.uint8))
+    assert native_loader.read_key(str(p), "rgb_static") is None  # -3 sentinel
+    assert native_loader.read_window([str(p)], "rgb_static") is None
+
+
+def test_missing_key_and_file(files):
+    assert native_loader.read_key(files[0], "nope") is None
+    assert native_loader.read_key("/does/not/exist.npz", "rgb_static") is None
+
+
+def test_dataset_uses_native_and_matches(tmp_path):
+    from deer_vla_tpu.data.calvin import CalvinDataConfig, DiskCalvinDataset
+    from deer_vla_tpu.data.debug_data import make_synthetic_calvin
+    split = make_synthetic_calvin(str(tmp_path), n_episodes=2, ep_len=12)
+    cfg = CalvinDataConfig(dataset_dir=split, window_size=4)
+    ds = DiskCalvinDataset(cfg, validation=False)
+    s = ds[0]
+    # cross-check a frame against direct numpy
+    f0 = np.load(ds._episode_path(int(ds.episode_lookup[0])))
+    np.testing.assert_array_equal(s["rgb_static"][0], f0["rgb_static"])
+    np.testing.assert_allclose(s["actions"][0], f0["rel_actions"])

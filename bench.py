@@ -108,10 +108,11 @@ def main():
     avg_exit_layer = float((probs * (np.array(exits) + 1)).sum())
 
     # batched serving throughput: 32 parallel streams, full depth
+    # (single bucket to the final exit -> one decision sync per step)
     from deer_vla_tpu.eval.batched_policy import BatchedDeerPolicy
     B = 32
-    bp = BatchedDeerPolicy(params, cfg, batch=B,
-                           thresholds=[-1.0] * (len(exits) - 1) + [1e8])
+    bp = BatchedDeerPolicy(params, cfg, batch=B, exit_ids=[exits[-1]],
+                           thresholds=[1e8])
     imgB = jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
     idsB = np.full((B, s), 11, np.int32)
     idsB[:, 0] = cfg.media_token_id

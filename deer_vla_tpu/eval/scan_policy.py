@@ -33,11 +33,20 @@ from deer_vla_tpu.ops.lstm import zero_carry
 
 def stack_decoder_layers(params: dict, cfg: DeerConfig) -> dict:
     """blocks: list of per-layer dicts -> one pytree with leading L dim;
-    xattn likewise (padded index map for every_n > 1)."""
-    blocks = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                    *params["decoder"]["blocks"])
+    xattn likewise (padded index map for every_n > 1).
+
+    The stacked copy is cast to the COMPUTE dtype: each while-loop iteration
+    dynamic-slices one layer's weights (a real HBM copy), so a bf16 stack
+    halves that traffic — and the matmuls consume bf16 anyway."""
+    cdt = cfg.dtypes.cdt
+
+    def stack(*xs):
+        s = jnp.stack(xs)
+        return s.astype(cdt) if jnp.issubdtype(s.dtype, jnp.floating) else s
+
+    blocks = jax.tree_util.tree_map(stack, *params["decoder"]["blocks"])
     xattn_list = [x for x in params["decoder"]["xattn"] if x is not None]
-    xattn = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *xattn_list)
+    xattn = jax.tree_util.tree_map(stack, *xattn_list)
     has_xattn = np.array([cfg.has_xattn(i) for i in range(cfg.n_layers)])
     xidx = np.zeros(cfg.n_layers, np.int32)
     j = 0

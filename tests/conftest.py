@@ -20,6 +20,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compilation cache: the suite re-compiles the same tiny-model
+# programs across files; caching cuts full-suite time dramatically on reruns
+jax.config.update("jax_compilation_cache_dir", "/tmp/deer_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()

@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--debug", action="store_true",
                    help="random-tensor data, no dataset required")
+    # vision-language co-training (--cotrain, train_calvin_post_strategy.py:296-302)
+    p.add_argument("--cotrain", action="store_true")
+    p.add_argument("--coco_image_dir", default="")
+    p.add_argument("--coco_ann", default="")
+    p.add_argument("--vqa_image_dir", default="")
+    p.add_argument("--vqa_questions", default="")
+    p.add_argument("--vqa_ann", default="")
+    p.add_argument("--vl_weight", type=float, default=1.0)
+    p.add_argument("--vl_batch_size", type=int, default=None)
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize decoder layers (activation memory)")
     p.add_argument("--coordinator", default="",
                    help="host:port for multi-host jax.distributed")
     p.add_argument("--num_processes", type=int, default=1)
@@ -78,7 +89,8 @@ def make_model_config(args):
         cfg = factory(max_layer=args.max_layer, exit_interval=args.exit_interval,
                       window_size=args.window_size, dtypes=dtypes)
     updates = {"use_state": args.use_state, "sep_resampler": args.sep_resampler,
-               "share_exit": args.share_exit}
+               "share_exit": args.share_exit,
+               "remat_layers": getattr(args, "remat", False)}
     if args.multi_step_action != 1:
         updates["head"] = dataclasses.replace(
             cfg.head, multi_step_action=args.multi_step_action)
@@ -147,7 +159,23 @@ def main(argv=None):
     def log_fn(d):
         print(json.dumps({k: v for k, v in d.items()}, default=float))
 
-    trainer = Trainer(cfg, tcfg, loader, log_fn=log_fn)
+    vl_loader = None
+    if args.cotrain:
+        from deer_vla_tpu.data.vl_dataset import (CaptionDataset, VLLoader,
+                                                  VQADataset)
+        vbs = args.vl_batch_size or args.batch_size_calvin
+        if args.coco_ann:
+            vl_ds = CaptionDataset(args.coco_image_dir, args.coco_ann,
+                                   image_size=cfg.vit.image_size)
+        elif args.vqa_questions:
+            vl_ds = VQADataset(args.vqa_image_dir, args.vqa_questions,
+                               args.vqa_ann, image_size=cfg.vit.image_size)
+        else:
+            raise SystemExit("--cotrain needs --coco_ann or --vqa_questions")
+        vl_loader = VLLoader(vl_ds, tok, vbs, seed=args.seed)
+
+    trainer = Trainer(cfg, tcfg, loader, log_fn=log_fn, vl_loader=vl_loader,
+                      vl_weight=args.vl_weight)
     if args.resume:
         start = trainer.maybe_resume()
         if start:

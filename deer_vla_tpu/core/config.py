@@ -211,6 +211,10 @@ class DeerConfig:
     sep_lm_head: bool = True
     layerwise_exit_eval: bool = False
     early_exit_layer: int = -1  # kept for parity bookkeeping; mpt.n_layers is truth
+    # rematerialize each decoder layer in the backward pass (activation
+    # memory ~ O(1) in depth; the reference's gradient-checkpointing flag,
+    # flamingo_lm.py:21-25)
+    remat_layers: bool = False
 
     dtypes: DTypePolicy = field(default_factory=lambda: BF16)
 

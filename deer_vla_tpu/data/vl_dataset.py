@@ -62,6 +62,33 @@ class CaptionDataset:
         return {"image": images, "input_ids": ids, "attention_mask": mask}
 
 
+class VLLoader:
+    """Minimal shuffled batch iterator over a Caption/VQA dataset."""
+
+    def __init__(self, dataset, text_fn: Callable, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        self.ds = dataset
+        self.text_fn = text_fn
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, e: int):
+        self.epoch = e
+
+    def __len__(self):
+        return len(self.ds) // self.batch_size
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        for b in range(len(self)):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            yield self.ds.collate([self.ds[int(i)] for i in idxs], self.text_fn)
+
+
 class VQADataset:
     """VQAv2-style questions+annotations jsons."""
 

@@ -157,13 +157,16 @@ class ScanDeerPolicy:
     def __init__(self, params: dict, cfg: DeerConfig,
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
-                 threshold_type: str = "L2", max_layer: Optional[int] = None):
+                 threshold_type: str = "L2", max_layer: Optional[int] = None,
+                 steps_per_stage: int = 1):
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg)
         exit_ids = list(exit_ids or cfg.all_exit_ids())
         self._step, self.exits = build_scan_step(cfg, exit_ids,
                                                  threshold_type, max_layer)
+        self.steps_per_stage = steps_per_stage
+        self.cur_step = 0
         self.set_thresholds(thresholds if thresholds is not None
                             else [1e8] * len(self.exits))
         self.last_exit_layer = -1
@@ -183,9 +186,24 @@ class ScanDeerPolicy:
         self.carry = None
         self.prev_action = jnp.zeros((1, 6), jnp.float32)
         self.has_prev = jnp.zeros((), bool)
+        self.cur_step = 0
+        self.last_exit_layer = -1
 
     def set_timestep(self, t: int):
-        pass
+        self.cur_step = t
+
+    def _stage_thresholds(self):
+        """steps_per_stage reuse (value_net.py:284-286): mid-stage, force the
+        exit at the previous step's layer by swapping the RUNTIME threshold
+        array (never -> layers below it, always -> that layer). Zero
+        recompiles — thresholds are a program argument."""
+        if (self.steps_per_stage <= 1
+                or self.cur_step % self.steps_per_stage == 0
+                or self.last_exit_layer < 0):
+            return self.thresholds
+        full = np.full(self.cfg.n_layers, -1e30, np.float32)
+        full[self.last_exit_layer] = 1e30
+        return jnp.asarray(full)
 
     def step(self, image, gripper, input_ids, attention_mask,
              state=None) -> np.ndarray:
@@ -196,7 +214,7 @@ class ScanDeerPolicy:
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
             attention_mask, self.carry, self.prev_action, self.has_prev,
-            self.thresholds)
+            self._stage_thresholds())
         self.prev_action = arm
         self.has_prev = jnp.ones((), bool)
         self.last_exit_layer = int(exit_layer)

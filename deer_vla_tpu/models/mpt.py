@@ -161,8 +161,11 @@ def decoder_forward(params: dict, input_ids: jnp.ndarray,
         media_locations = input_ids == cfg.media_token_id
     attn_bias = make_attn_bias(attention_mask, cfg.mpt, cdt)
     outs = []
+    layer_fn = _layer
+    if cfg.remat_layers:
+        layer_fn = jax.checkpoint(_layer, static_argnums=(1, 6))
     for i in range(cfg.n_layers):
-        x = _layer(params, i, x, media, media_locations, attn_bias, cfg, None)
+        x = layer_fn(params, i, x, media, media_locations, attn_bias, cfg, None)
         outs.append(x)
     return jnp.stack(outs, axis=0), x
 

@@ -105,3 +105,46 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
         return TrainState(new_params, new_opt, state.step + 1), metrics
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
+                      *, phase: str = "joint", bin_coef: float = 0.01,
+                      vl_weight: float = 1.0, donate: bool = True):
+    """Co-training step (--cotrain, train_calvin_post_strategy.py:296-302):
+    one update from the CALVIN imitation loss PLUS the vision-language LM
+    loss on a caption/VQA batch, computed in a single program.
+
+    vl_batch: {image (B, 1, 1, 3, H, W), input_ids, attention_mask,
+               [answer_mask]}.
+    """
+    from deer_vla_tpu.train.pretrain import lm_loss
+
+    exit_only = phase == "exit_only"
+
+    def loss_fn(params, batch, vl_batch, rng):
+        out = forward_train(
+            params, batch["image"], batch["input_ids"],
+            batch["attention_mask"], cfg, rng,
+            vision_gripper=batch.get("gripper"),
+            state_tensor=batch.get("state"),
+            no_backbone_grad=exit_only, train=True)
+        calvin_loss, metrics = multi_exit_loss(out, batch["labels"], bin_coef)
+        vl, vl_metrics = lm_loss(params, cfg, vl_batch["image"],
+                                 vl_batch["input_ids"],
+                                 vl_batch["attention_mask"],
+                                 loss_mask=vl_batch.get("answer_mask"))
+        metrics = dict(metrics)
+        metrics.update(vl_metrics)
+        return calvin_loss + vl_weight * vl, metrics
+
+    def step_fn(state: TrainState, batch, vl_batch, rng):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, vl_batch, rng)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

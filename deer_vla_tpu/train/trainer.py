@@ -97,13 +97,33 @@ def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
     }
 
 
+def prepare_vl_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig
+                     ) -> Dict[str, jnp.ndarray]:
+    """Caption/VQA raw batch -> device batch for the co-training LM loss."""
+    from deer_vla_tpu.data.preprocess import clip_preprocess
+    img = clip_preprocess(jnp.asarray(raw["image"]), cfg.vit.image_size)
+    ids, mask = fixed_length(raw["input_ids"], raw["attention_mask"],
+                             cfg.text_len, 0)
+    out = {"image": img[:, None, None],
+           "input_ids": jnp.asarray(ids),
+           "attention_mask": jnp.asarray(mask)}
+    if "answer_mask" in raw:
+        am, _ = fixed_length(raw["answer_mask"], raw["answer_mask"],
+                             cfg.text_len, 0)
+        out["answer_mask"] = jnp.asarray(am)
+    return out
+
+
 class Trainer:
     def __init__(self, cfg: DeerConfig, tcfg: TrainConfig, loader,
                  params: Optional[dict] = None,
-                 log_fn: Optional[Callable[[Dict], None]] = None):
+                 log_fn: Optional[Callable[[Dict], None]] = None,
+                 vl_loader=None, vl_weight: float = 1.0):
         self.cfg = cfg
         self.tcfg = tcfg
         self.loader = loader
+        self.vl_loader = vl_loader   # co-training (--cotrain)
+        self.vl_weight = vl_weight
         self.log_fn = log_fn or (lambda d: None)
         self.rng = jax.random.PRNGKey(tcfg.seed)
         if params is None:
@@ -125,10 +145,17 @@ class Trainer:
                 scheduler=sched, weight_decay=tcfg.weight_decay,
                 exit_lr_scale=tcfg.exit_lr_scale, exit_decay=tcfg.exit_decay,
                 trainable=mask)
-            step = make_train_step(
-                cfg, opt, phase=phase,
-                bin_coef=0.05 if tcfg.real_data else 0.01,
-                grad_accum=tcfg.gradient_accumulation_steps)
+            if vl_loader is not None:
+                from deer_vla_tpu.train.train_step import make_cotrain_step
+                step = make_cotrain_step(
+                    cfg, opt, phase=phase,
+                    bin_coef=0.05 if tcfg.real_data else 0.01,
+                    vl_weight=vl_weight)
+            else:
+                step = make_train_step(
+                    cfg, opt, phase=phase,
+                    bin_coef=0.05 if tcfg.real_data else 0.01,
+                    grad_accum=tcfg.gradient_accumulation_steps)
             self._phases[phase] = (opt, step)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
@@ -158,10 +185,22 @@ class Trainer:
                 cur_phase = phase
             self.loader.set_epoch(epoch)
             t0 = time.time()
+            vl_iter = iter(self.vl_loader) if self.vl_loader is not None else None
             for it, raw in enumerate(self.loader):
                 self.rng, prep_rng, step_rng = jax.random.split(self.rng, 3)
                 batch = prepare_batch(raw, self.cfg, prep_rng, tcfg)
-                self.state, metrics = self._step_fn(self.state, batch, step_rng)
+                if vl_iter is not None:
+                    try:
+                        vl_raw = next(vl_iter)
+                    except StopIteration:
+                        vl_iter = iter(self.vl_loader)
+                        vl_raw = next(vl_iter)
+                    vl_batch = prepare_vl_batch(vl_raw, self.cfg)
+                    self.state, metrics = self._step_fn(self.state, batch,
+                                                        vl_batch, step_rng)
+                else:
+                    self.state, metrics = self._step_fn(self.state, batch,
+                                                        step_rng)
                 if (it + 1) % tcfg.logging_steps == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()
                                     if np.ndim(v) == 0}

@@ -31,6 +31,10 @@ def run_eval(eval_args) -> tuple:
     return thresholds, float(lines[-2]), float(lines[-1])
 
 
+from deer_vla_tpu.utils.errors import record
+
+
+@record
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--evaluate_from_checkpoint", default="")

@@ -90,6 +90,10 @@ def load_model(args):
     return cfg, params
 
 
+from deer_vla_tpu.utils.errors import record
+
+
+@record
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
@@ -142,12 +146,15 @@ def main(argv=None):
             controller.set_thresholds(thresholds)
 
     use_fused = (args.engine == "fused" or
-                 (args.engine == "auto" and controller is not None
-                  and args.steps_per_stage == 1))
+                 (args.engine == "auto" and controller is not None))
     if use_fused and controller is not None:
-        from deer_vla_tpu.eval.fused_policy import FusedDeerPolicy
-        policy = FusedDeerPolicy(params, cfg, threshold_type=args.threshold_type,
-                                 max_layer=max_layer)
+        # while-loop engine: one program per action, compile time constant
+        # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
+        # small-model alternative)
+        from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+        policy = ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
+                                max_layer=max_layer,
+                                steps_per_stage=args.steps_per_stage)
         policy.set_thresholds(controller.thresholds)
     else:
         policy = DeerPolicy(params, cfg, controller=controller,

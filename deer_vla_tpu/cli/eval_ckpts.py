@@ -14,6 +14,10 @@ import os
 import sys
 
 
+from deer_vla_tpu.utils.errors import record
+
+
+@record
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt_dir", required=True)

@@ -20,7 +20,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="DeeR-VLA TPU training")
     # model (mirrors factory mpt_dict + flags)
     p.add_argument("--model", default="mpt_dolly_3b",
-                   choices=["mpt_dolly_3b", "mpt_9b", "tiny"])
+                   choices=["mpt_dolly_3b", "mpt_9b", "llama_9b", "tiny"])
     p.add_argument("--max_layer", type=int, default=12,
                    help="truncated decoder depth (early_exit_layer + 1)")
     p.add_argument("--exit_interval", type=int, default=2)
@@ -104,6 +104,10 @@ def make_tokenizer(args, cfg):
     return HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
 
 
+from deer_vla_tpu.utils.errors import record
+
+
+@record
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.coordinator:

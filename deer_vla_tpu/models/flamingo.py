@@ -230,6 +230,18 @@ def forward_fixed_exit(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
     return head_step(head, x, carry, cfg.head, st)
 
 
+def cast_frozen_to_bf16(params: dict, mask: dict) -> dict:
+    """Memory saver for single-chip training: frozen leaves (mask False)
+    never receive updates, so they don't need an fp32 master copy — cast
+    them to bf16 (the compute dtype).  On a v5e-16GB this is what lets the
+    full 3B joint train step fit (the reference needed 8x V100-32GB)."""
+    def one(p, m):
+        if not m and hasattr(p, "dtype") and jnp.issubdtype(p.dtype, jnp.floating):
+            return p.astype(jnp.bfloat16)
+        return p
+    return jax.tree_util.tree_map(one, params, mask)
+
+
 def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
     """Boolean pytree mask of trainable leaves.
 

@@ -59,6 +59,9 @@ class TrainConfig:
     save_every_epoch: bool = True
     logging_steps: int = 100
     seed: int = 42
+    # cast frozen leaves to bf16 (no fp32 master needed without updates) —
+    # what lets the 3B joint phase fit one 16GB chip
+    bf16_frozen: bool = True
 
     @property
     def num_epochs(self) -> int:
@@ -129,6 +132,10 @@ class Trainer:
         if params is None:
             self.rng, k = jax.random.split(self.rng)
             params = init_deer(k, cfg)
+        if tcfg.bf16_frozen and cfg.dtypes.compute_dtype == "bfloat16":
+            from deer_vla_tpu.models.flamingo import cast_frozen_to_bf16
+            params = cast_frozen_to_bf16(
+                params, trainable_mask(params, cfg, "joint"))
         self.params = params
         steps_per_epoch = len(loader)
         self._phases = {}

@@ -19,6 +19,7 @@ sequence) the per-GPU policy rate is ~4 actions/s.  vs_baseline = ours / 4.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -27,19 +28,31 @@ import numpy as np
 
 REFERENCE_ACTIONS_PER_SEC = 4.0
 
+# DEER_BENCH_MODEL=mpt_9b benches the truncated 9B (DeeR-B on MPT-7B)
+BENCH_MODEL = os.environ.get("DEER_BENCH_MODEL", "mpt_dolly_3b")
+
 
 def main():
-    from deer_vla_tpu.core.config import deer_3b
+    from deer_vla_tpu.core.config import MODEL_REGISTRY
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     from deer_vla_tpu.models.flamingo import init_deer
     from deer_vla_tpu.models.value_net import exit_probs
 
-    cfg = deer_3b(max_layer=12)  # DeeR-B
+    if BENCH_MODEL == "mpt_9b":
+        # truncated 9B on one 16GB chip: init params directly in bf16
+        from deer_vla_tpu.core.config import DTypePolicy
+        cfg = MODEL_REGISTRY[BENCH_MODEL](
+            max_layer=12,
+            dtypes=DTypePolicy(param_dtype="bfloat16",
+                               compute_dtype="bfloat16"))
+    else:
+        cfg = MODEL_REGISTRY[BENCH_MODEL](max_layer=12)  # DeeR-B
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     exits = list(cfg.all_exit_ids())
-    policy = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
+    policy = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits),
+                            drop_unstacked=BENCH_MODEL == "mpt_9b")
 
     hw, s = cfg.vit.image_size, cfg.text_len
     r = np.random.RandomState(0)
@@ -109,25 +122,28 @@ def main():
 
     # batched serving throughput: 32 parallel streams, full depth
     # (single bucket to the final exit -> one decision sync per step)
-    from deer_vla_tpu.eval.batched_policy import BatchedDeerPolicy
-    B = 32
-    bp = BatchedDeerPolicy(params, cfg, batch=B, exit_ids=[exits[-1]],
-                           thresholds=[1e8])
-    imgB = jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
-    idsB = np.full((B, s), 11, np.int32)
-    idsB[:, 0] = cfg.media_token_id
-    idsB = jnp.asarray(idsB)
-    maskB = jnp.ones((B, s), jnp.int32)
-    for _ in range(3):
-        bp.step(imgB, imgB, idsB, maskB)
-    t0 = time.perf_counter()
-    iters_b = 10
-    for _ in range(iters_b):
-        bp.step(imgB, imgB, idsB, maskB)
-    batched_aps = B * iters_b / (time.perf_counter() - t0)
+    batched_aps = 0.0
+    if BENCH_MODEL != "mpt_9b":  # 9B keeps HBM headroom for stacked weights
+        from deer_vla_tpu.eval.batched_policy import BatchedDeerPolicy
+        B = 32
+        bp = BatchedDeerPolicy(params, cfg, batch=B, exit_ids=[exits[-1]],
+                               thresholds=[1e8])
+        imgB = jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
+        idsB = np.full((B, s), 11, np.int32)
+        idsB[:, 0] = cfg.media_token_id
+        idsB = jnp.asarray(idsB)
+        maskB = jnp.ones((B, s), jnp.int32)
+        for _ in range(3):
+            bp.step(imgB, imgB, idsB, maskB)
+        t0 = time.perf_counter()
+        iters_b = 10
+        for _ in range(iters_b):
+            bp.step(imgB, imgB, idsB, maskB)
+        batched_aps = B * iters_b / (time.perf_counter() - t0)
 
+    short = "3b" if BENCH_MODEL == "mpt_dolly_3b" else BENCH_MODEL
     result = {
-        "metric": "deer_b_3b_dynamic_exit_actions_per_sec_per_chip",
+        "metric": f"deer_b_{short}_dynamic_exit_actions_per_sec_per_chip",
         "value": round(aps, 2),
         "unit": "actions/s",
         "vs_baseline": round(aps / REFERENCE_ACTIONS_PER_SEC, 2),

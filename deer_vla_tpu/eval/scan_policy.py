@@ -158,10 +158,20 @@ class ScanDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
-                 steps_per_stage: int = 1):
+                 steps_per_stage: int = 1, drop_unstacked: bool = False):
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg)
+        if drop_unstacked:
+            # serving mode: the while-loop consumes only the stacked bf16
+            # copy — free the per-layer fp32 originals (halves decoder HBM;
+            # required to fit the truncated 9B on one 16GB chip).  The dict
+            # is copied shallowly so the caller's tree is untouched.
+            dec = dict(params["decoder"])
+            dec["blocks"] = []
+            dec["xattn"] = []
+            self.params = dict(params)
+            self.params["decoder"] = dec
         exit_ids = list(exit_ids or cfg.all_exit_ids())
         self._step, self.exits = build_scan_step(cfg, exit_ids,
                                                  threshold_type, max_layer)

@@ -120,25 +120,25 @@ def main():
     aps_full = 1.0 / per_depth_t[-1]
     avg_exit_layer = float((probs * (np.array(exits) + 1)).sum())
 
-    # batched serving throughput: 32 parallel streams, full depth
-    # (single bucket to the final exit -> one decision sync per step)
+    # batched serving throughput: 32 parallel streams through the SAME
+    # while-loop program (one dispatch per step, per-stream dynamic exits);
+    # measured at full depth
     batched_aps = 0.0
     if BENCH_MODEL != "mpt_9b":  # 9B keeps HBM headroom for stacked weights
-        from deer_vla_tpu.eval.batched_policy import BatchedDeerPolicy
         B = 32
-        bp = BatchedDeerPolicy(params, cfg, batch=B, exit_ids=[exits[-1]],
-                               thresholds=[1e8])
+        bp = ScanDeerPolicy(params, cfg,
+                            thresholds=[-1e8] * (len(exits) - 1) + [1e8])
         imgB = jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
         idsB = np.full((B, s), 11, np.int32)
         idsB[:, 0] = cfg.media_token_id
         idsB = jnp.asarray(idsB)
         maskB = jnp.ones((B, s), jnp.int32)
         for _ in range(3):
-            bp.step(imgB, imgB, idsB, maskB)
+            bp.step_batch(imgB, imgB, idsB, maskB)
         t0 = time.perf_counter()
-        iters_b = 10
+        iters_b = 20
         for _ in range(iters_b):
-            bp.step(imgB, imgB, idsB, maskB)
+            bp.step_batch(imgB, imgB, idsB, maskB)
         batched_aps = B * iters_b / (time.perf_counter() - t0)
 
     short = "3b" if BENCH_MODEL == "mpt_dolly_3b" else BENCH_MODEL

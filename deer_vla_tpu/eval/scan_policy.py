@@ -77,6 +77,10 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
 
     def step(params, stacked, img, grip, ids, mask, carry, prev_action,
              has_prev, thresholds_full):
+        """Fully batched: each of the B streams exits independently; the loop
+        runs until ALL streams have exited (work for the whole batch stops at
+        the SLOWEST stream's exit — the throughput-serving trade; B=1
+        degenerates to per-stream exact semantics)."""
         media = encode_vision(params, img, grip, cfg)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
@@ -110,27 +114,32 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             def check(_):
                 arm, grip, cand = eval_head(x)
                 # first-exit pseudo action from layer i-1 features when no
-                # previous action exists (value_net.py:122-126)
+                # previous action exists (value_net.py:122-126); per-stream:
+                # streams that already have a ref keep it
                 def pseudo(_):
                     pa, _, _ = eval_head(x_prev)
                     return pa
-                ref_k = jax.lax.cond(
-                    has_prev | (exit_layer >= 0) | (i != exits[0]),
-                    lambda _: ref, pseudo, None)
-                delta = get_delta(arm, ref_k, threshold_type).mean()
-                take = delta <= thresholds_full[i]
-                return arm, grip, cand, take, arm  # last: new ref
+                if exits[0] <= last_exit:
+                    need_pseudo = (i == exits[0]) & ~jnp.all(has_prev)
+                    pa = jax.lax.cond(need_pseudo, pseudo,
+                                      lambda _: ref, None)
+                    ref_k = jnp.where(has_prev[:, None], ref, pa)
+                else:
+                    ref_k = ref
+                delta = get_delta(arm, ref_k, threshold_type)  # (B,)
+                take = (~done) & (delta <= thresholds_full[i])
+                return arm, grip, cand, take, jnp.where(done[:, None], ref, arm)
 
             def skip(_):
                 return (jnp.zeros((b, 6), jnp.float32),
                         jnp.zeros((b,), jnp.float32), carry,
-                        jnp.asarray(False), ref)
+                        jnp.zeros((b,), bool), ref)
 
             arm, grip, cand, take, new_ref = jax.lax.cond(
                 is_exit_arr[i], check, skip, None)
-            best_arm = jnp.where(take, arm, best_arm)
+            best_arm = jnp.where(take[:, None], arm, best_arm)
             best_grip = jnp.where(take, grip, best_grip)
-            best_carry = tuple(jnp.where(take, c, bc)
+            best_carry = tuple(jnp.where(take[None, :, None], c, bc)
                                for c, bc in zip(cand, best_carry))
             exit_layer = jnp.where(take, i, exit_layer)
             return (i + 1, x, done | take, new_ref, best_arm, best_grip,
@@ -138,11 +147,11 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
 
         def cond_fn(state):
             i, _, done, *_ = state
-            return (~done) & (i <= last_exit)
+            return (~jnp.all(done)) & (i <= last_exit)
 
-        init = (jnp.int32(0), x, jnp.asarray(False), prev_action,
+        init = (jnp.int32(0), x, jnp.zeros((b,), bool), prev_action,
                 jnp.zeros((b, 6), jnp.float32), jnp.zeros((b,), jnp.float32),
-                carry, jnp.int32(-1))
+                carry, jnp.full((b,), -1, jnp.int32))
         (_, _, done, _, best_arm, best_grip, best_carry,
          exit_layer) = jax.lax.while_loop(cond_fn, body, init)
         return best_arm, best_grip, best_carry, exit_layer
@@ -194,8 +203,8 @@ class ScanDeerPolicy:
 
     def reset(self):
         self.carry = None
-        self.prev_action = jnp.zeros((1, 6), jnp.float32)
-        self.has_prev = jnp.zeros((), bool)
+        self.prev_action = None
+        self.has_prev = None
         self.cur_step = 0
         self.last_exit_layer = -1
 
@@ -217,17 +226,50 @@ class ScanDeerPolicy:
 
     def step(self, image, gripper, input_ids, attention_mask,
              state=None) -> np.ndarray:
+        b = image.shape[0]
         if self.carry is None:
-            self.carry = zero_carry(self.cfg.head.lstm_num_layers,
-                                    image.shape[0], self.cfg.head.hidden_size,
-                                    jnp.float32)
+            self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
+                                    self.cfg.head.hidden_size, jnp.float32)
+            self.prev_action = jnp.zeros((b, 6), jnp.float32)
+            self.has_prev = jnp.zeros((b,), bool)
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
             attention_mask, self.carry, self.prev_action, self.has_prev,
             self._stage_thresholds())
         self.prev_action = arm
-        self.has_prev = jnp.ones((), bool)
-        self.last_exit_layer = int(exit_layer)
+        self.has_prev = jnp.ones((b,), bool)
+        self.last_exit_layer = int(exit_layer[0])
         a = np.asarray(arm[0])
         g = 1.0 if float(grip[0]) > 0.5 else -1.0
         return np.concatenate([a, [g]]).astype(np.float32)
+
+    def step_batch(self, image, gripper, input_ids, attention_mask):
+        """B parallel streams, one dispatch: returns (actions (B, 7),
+        exit_layers (B,)) with per-stream dynamic exits."""
+        b = image.shape[0]
+        if self.carry is None:
+            self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
+                                    self.cfg.head.hidden_size, jnp.float32)
+            self.prev_action = jnp.zeros((b, 6), jnp.float32)
+            self.has_prev = jnp.zeros((b,), bool)
+        arm, grip, self.carry, exit_layer = self._step(
+            self.params, self.stacked, image, gripper, input_ids,
+            attention_mask, self.carry, self.prev_action, self.has_prev,
+            self.thresholds)
+        self.prev_action = arm
+        self.has_prev = jnp.ones((b,), bool)
+        a = np.asarray(arm)
+        g = np.where(np.asarray(grip) > 0.5, 1.0, -1.0)
+        return (np.concatenate([a, g[:, None]], -1).astype(np.float32),
+                np.asarray(exit_layer).astype(np.int64))
+
+    def reset_streams(self, stream_mask) -> None:
+        """Per-stream episode reset for step_batch."""
+        if self.carry is None:
+            return
+        m = jnp.asarray(stream_mask)
+        fresh = zero_carry(self.cfg.head.lstm_num_layers, m.shape[0],
+                           self.cfg.head.hidden_size, jnp.float32)
+        self.carry = tuple(jnp.where(m[None, :, None], f, c)
+                           for f, c in zip(fresh, self.carry))
+        self.has_prev = jnp.where(m, False, self.has_prev)

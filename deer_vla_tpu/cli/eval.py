@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "program per action (lax.cond buckets); bucketed = "
                         "host-sequenced bucket programs (supports "
                         "steps_per_stage/ensemble)")
+    p.add_argument("--use_action_ensemble", action="store_true",
+                   help="average the last two evaluated exits' actions "
+                        "(bucketed engine, value_net.py:92-95)")
+    p.add_argument("--multi_execution", type=int, default=1,
+                   help="repeat/consume k actions per policy call")
+    p.add_argument("--replan", type=int, default=-1)
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -135,18 +141,21 @@ def main(argv=None):
             batches = None
             if values is None:
                 batches = _calibration_batches(args, cfg, tok)
+            from deer_vla_tpu.parallel.multihost import all_gather_values
             thresholds, values = calibrate(
                 params, cfg, batches or [], args.exit_ratio,
                 max_layer=max_layer, exit_dist=args.exit_dist,
                 model_name=args.model, threshold_type=args.threshold_type,
-                values=values, max_batches=args.calib_batches)
+                values=values, max_batches=args.calib_batches,
+                all_gather=all_gather_values)
             if cache:
                 save_calibration_values(cache, values,
                                         {"exit_ratio": args.exit_ratio})
             controller.set_thresholds(thresholds)
 
     use_fused = (args.engine == "fused" or
-                 (args.engine == "auto" and controller is not None))
+                 (args.engine == "auto" and controller is not None
+                  and not args.use_action_ensemble))
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
@@ -159,7 +168,9 @@ def main(argv=None):
     else:
         policy = DeerPolicy(params, cfg, controller=controller,
                             exit_id=args.exit_id,
-                            threshold_type=args.threshold_type)
+                            threshold_type=args.threshold_type,
+                            use_action_ensemble=args.use_action_ensemble,
+                            multi_execution=args.multi_execution)
     adapter = CalvinPolicyAdapter(policy, tok, text_len=cfg.text_len)
 
     if args.debug or not args.calvin_conf_path:
@@ -177,7 +188,7 @@ def main(argv=None):
     report = evaluate_policy(
         adapter, env, sequences[:n_seq], annotations, oracle,
         rank=jax.process_index(), world_size=jax.process_count(),
-        num_sequences=n_seq, ep_len=ep_len,
+        num_sequences=n_seq, ep_len=ep_len, replan=args.replan,
         flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
         n_layers=cfg.n_layers)
     report["avg_llm_gflops"] = avg_llm_gflops(

@@ -194,4 +194,10 @@ class DeerPolicy:
             arm = np.asarray(out.actions[0, 0], np.float32)
             grip_prob = float(out.gripper_probs[0, 0, 0])
         grip = 1.0 if grip_prob > 0.5 else -1.0
-        return np.concatenate([arm, [grip]]).astype(np.float32)
+        action = np.concatenate([arm, [grip]]).astype(np.float32)
+        if self.multi_execution > 1:
+            # repeat one predicted action k times (ModelWrapper
+            # multi_execution, eval_utils.py:469-471); the rollout loop
+            # consumes the plan one env step at a time
+            return np.tile(action, (self.multi_execution, 1))
+        return action

@@ -28,7 +28,7 @@ from deer_vla_tpu.models.mpt import (decoder_forward, decoder_segment_forward,
                                      embed_tokens, init_decoder)
 from deer_vla_tpu.models.perceiver import init_perceiver, perceiver_forward
 from deer_vla_tpu.models.vit import init_vit, vit_forward
-from deer_vla_tpu.ops.layers import cast_tree, init_linear, linear
+from deer_vla_tpu.ops.layers import init_linear, linear
 
 
 class TrainOutputs(NamedTuple):

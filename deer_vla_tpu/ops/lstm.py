@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from deer_vla_tpu.ops.layers import init_layernorm, init_linear, layernorm
+from deer_vla_tpu.ops.layers import init_layernorm, layernorm
 
 Carry = Tuple[jnp.ndarray, jnp.ndarray]
 

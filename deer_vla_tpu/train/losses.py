@@ -9,9 +9,8 @@ so effectively sum of per-exit means — we reproduce exactly that).
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from deer_vla_tpu.models.flamingo import TrainOutputs

@@ -13,10 +13,9 @@ Gradient clipping (global norm 1.0, train_utils.py:570) is part of the chain.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from deer_vla_tpu.core.config import DeerConfig

@@ -10,8 +10,7 @@ Gradient accumulation is a host-side micro-batch loop in the trainer
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,10 @@ checkpoint and restores the right phase optimizer (:589-629).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Dict, Iterable, Optional
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

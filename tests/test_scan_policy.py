@@ -46,6 +46,36 @@ def test_scan_matches_fused(setup, th):
         np.testing.assert_allclose(a_s, a_f, rtol=2e-4, atol=2e-4)
 
 
+def test_scan_step_batch(setup):
+    """Batched streams: per-stream exits in one dispatch; stream 0 matches a
+    single-stream run; per-stream reset works."""
+    cfg, params = setup
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    single = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    r = np.random.RandomState(0)
+    B = 3
+    img = jnp.asarray(r.randn(B, 1, 1, 3, 28, 28), jnp.float32)
+    ids = np.full((B, cfg.text_len), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((B, cfg.text_len), jnp.int32)
+    for t in range(3):
+        acts, exits = pol.step_batch(img, img, ids, mask)
+        a0 = single.step(img[:1], img[:1], ids[:1], mask[:1])
+        assert acts.shape == (B, 7) and exits.shape == (B,)
+        assert set(exits.tolist()) <= set(cfg.all_exit_ids())
+        assert exits[0] == single.last_exit_layer
+        np.testing.assert_allclose(acts[0], a0, rtol=2e-4, atol=2e-4)
+    # resetting stream 1 zeroes only its carry
+    c_before = np.asarray(pol.carry[0])
+    pol.reset_streams(np.array([False, True, False]))
+    c_after = np.asarray(pol.carry[0])
+    assert np.all(c_after[:, 1] == 0)
+    np.testing.assert_array_equal(c_after[:, 0], c_before[:, 0])
+    acts2, exits2 = pol.step_batch(img, img, ids, mask)
+    assert np.isfinite(acts2).all()
+
+
 def test_scan_max_layer_cap(setup):
     """DeeR-S style truncation: max_layer caps the reachable exits."""
     cfg, params = setup

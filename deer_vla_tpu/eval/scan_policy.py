@@ -74,6 +74,16 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
     is_exit = np.full(cfg.n_layers, False)
     for e in exits:
         is_exit[e] = True
+    # uniform exit spacing (the exit_interval grid, flamingo_mpt.py:239) lets
+    # the loop advance one SEGMENT per iteration: `stride` layers + one head
+    # check, halving (interval=2) or quartering (interval=4) the iteration
+    # count and its per-iteration latching/gather overhead
+    seg_bounds = [-1] + exits
+    seg_lens = {seg_bounds[i + 1] - seg_bounds[i] for i in range(len(exits))}
+    uniform = len(seg_lens) == 1
+    stride = seg_lens.pop() if uniform else 1
+    use_strided = uniform and stride >= 1
+    n_segments = len(exits)
 
     def step(params, stacked, img, grip, ids, mask, carry, prev_action,
              has_prev, thresholds_full):
@@ -95,8 +105,12 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             return out.actions[:, 0].astype(jnp.float32), \
                 out.gripper_probs[:, 0, 0].astype(jnp.float32), cand
 
-        def body(state):
-            (i, x, done, ref, best_arm, best_grip, best_carry, exit_layer) = state
+        def run_layer(i, x):
+            """Returns (layer input == hidden_states[i-1], layer output).
+            The first element feeds the first-exit pseudo action — the
+            reference uses feats[i-1], the PREVIOUS FlamingoLayer's output
+            (value_net.py:125), i.e. before this layer's x-attn."""
+            x_in = x
             blk = jax.tree_util.tree_map(lambda s: s[i], stacked["blocks"])
             xat = jax.tree_util.tree_map(lambda s: s[stacked["xattn_idx"][i]],
                                          stacked["xattn"])
@@ -108,46 +122,76 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
                     only_attend_immediate_media=cfg.only_attend_immediate_media)
 
             x = jax.lax.cond(stacked["has_xattn"][i], apply_x, lambda x: x, x)
-            x_prev = x
-            x = mpt_block_forward(blk, x, attn_bias, cfg.mpt)
+            return x_in, mpt_block_forward(blk, x, attn_bias, cfg.mpt)
 
-            def check(_):
-                arm, grip, cand = eval_head(x)
-                # first-exit pseudo action from layer i-1 features when no
-                # previous action exists (value_net.py:122-126); per-stream:
-                # streams that already have a ref keep it
-                def pseudo(_):
-                    pa, _, _ = eval_head(x_prev)
-                    return pa
-                if exits[0] <= last_exit:
-                    need_pseudo = (i == exits[0]) & ~jnp.all(has_prev)
-                    pa = jax.lax.cond(need_pseudo, pseudo,
-                                      lambda _: ref, None)
-                    ref_k = jnp.where(has_prev[:, None], ref, pa)
-                else:
-                    ref_k = ref
-                delta = get_delta(arm, ref_k, threshold_type)  # (B,)
-                take = (~done) & (delta <= thresholds_full[i])
-                return arm, grip, cand, take, jnp.where(done[:, None], ref, arm)
+        def do_check(i, first_seg, x, x_prev, done, ref):
+            """Speculative head + delta at exit layer i (traced scalar)."""
+            arm, grip, cand = eval_head(x)
+            # first-exit pseudo action from layer i-1 features when no
+            # previous action exists (value_net.py:122-126); per-stream:
+            # streams that already have a ref keep it
+            def pseudo(_):
+                pa, _, _ = eval_head(x_prev)
+                return pa
+            need_pseudo = first_seg & ~jnp.all(has_prev)
+            pa = jax.lax.cond(need_pseudo, pseudo, lambda _: ref, None)
+            ref_k = jnp.where(has_prev[:, None], ref, pa)
+            delta = get_delta(arm, ref_k, threshold_type)  # (B,)
+            take = (~done) & (delta <= thresholds_full[i])
+            return arm, grip, cand, take, jnp.where(done[:, None], ref, arm)
 
-            def skip(_):
-                return (jnp.zeros((b, 6), jnp.float32),
-                        jnp.zeros((b,), jnp.float32), carry,
-                        jnp.zeros((b,), bool), ref)
-
-            arm, grip, cand, take, new_ref = jax.lax.cond(
-                is_exit_arr[i], check, skip, None)
+        def commit(state_vals, arm, grip, cand, take, i):
+            best_arm, best_grip, best_carry, exit_layer = state_vals
             best_arm = jnp.where(take[:, None], arm, best_arm)
             best_grip = jnp.where(take, grip, best_grip)
             best_carry = tuple(jnp.where(take[None, :, None], c, bc)
                                for c, bc in zip(cand, best_carry))
             exit_layer = jnp.where(take, i, exit_layer)
-            return (i + 1, x, done | take, new_ref, best_arm, best_grip,
-                    best_carry, exit_layer)
+            return best_arm, best_grip, best_carry, exit_layer
 
-        def cond_fn(state):
-            i, _, done, *_ = state
-            return (~jnp.all(done)) & (i <= last_exit)
+        if use_strided:
+            # one SEGMENT (stride layers + head check) per loop iteration
+            def body(state):
+                (j, x, done, ref, best_arm, best_grip, best_carry,
+                 exit_layer) = state
+                base = j * stride
+                x_prev = x
+                for off in range(stride):  # static unroll
+                    x_prev, x = run_layer(base + off, x)
+                i_exit = base + stride - 1
+                arm, grip, cand, take, new_ref = do_check(
+                    i_exit, j == 0, x, x_prev, done, ref)
+                best = commit((best_arm, best_grip, best_carry, exit_layer),
+                              arm, grip, cand, take, i_exit)
+                return (j + 1, x, done | take, new_ref) + best
+
+            def cond_fn(state):
+                j, _, done, *_ = state
+                return (~jnp.all(done)) & (j < n_segments)
+        else:
+            # non-uniform exits: one layer per iteration, cond'd head check
+            def body(state):
+                (i, x, done, ref, best_arm, best_grip, best_carry,
+                 exit_layer) = state
+                x_prev, x = run_layer(i, x)
+
+                def check(_):
+                    return do_check(i, i == exits[0], x, x_prev, done, ref)
+
+                def skip(_):
+                    return (jnp.zeros((b, 6), jnp.float32),
+                            jnp.zeros((b,), jnp.float32), carry,
+                            jnp.zeros((b,), bool), ref)
+
+                arm, grip, cand, take, new_ref = jax.lax.cond(
+                    is_exit_arr[i], check, skip, None)
+                best = commit((best_arm, best_grip, best_carry, exit_layer),
+                              arm, grip, cand, take, i)
+                return (i + 1, x, done | take, new_ref) + best
+
+            def cond_fn(state):
+                i, _, done, *_ = state
+                return (~jnp.all(done)) & (i <= last_exit)
 
         init = (jnp.int32(0), x, jnp.zeros((b,), bool), prev_action,
                 jnp.zeros((b, 6), jnp.float32), jnp.zeros((b,), jnp.float32),

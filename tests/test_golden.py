@@ -1,0 +1,43 @@
+"""Golden-value regression: the tiny model's fixed-exit forward output is
+pinned for a fixed init/input seed.  Guards semantic drift across refactors
+(attention math, layer order, head pipeline, preprocessing) between rounds.
+If a change is INTENTIONALLY semantics-altering, regenerate with the script
+in the docstring below and explain why in the commit message.
+
+Regenerate:
+  JAX_PLATFORMS=cpu python - <<'EOF'
+  import jax; jax.config.update('jax_platforms','cpu')
+  jax.config.update('jax_default_matmul_precision','highest')
+  ... (see test body; print actions/gripper for seed 1234 / input seed 7)
+  EOF
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.models.flamingo import forward_fixed_exit, init_deer
+
+GOLDEN_ACTIONS = np.array([
+    0.17338372766971588, -0.14165695011615753, 0.224528968334198,
+    0.275127112865448, 0.2573080360889435, -0.01997712254524231,
+], np.float32)
+GOLDEN_GRIPPER = 0.470296710729599
+
+
+def test_fixed_exit_golden():
+    cfg = deer_tiny()
+    params = init_deer(jax.random.PRNGKey(1234), cfg)
+    r = np.random.RandomState(7)
+    img = jnp.asarray(r.randn(1, 1, 1, 3, 28, 28), jnp.float32)
+    grip = jnp.asarray(r.randn(1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = np.full((1, 8), 42, np.int32)
+    ids[0, 0] = cfg.media_token_id
+    out, _ = forward_fixed_exit(params, img, jnp.asarray(ids),
+                                jnp.ones((1, 8), jnp.int32), cfg, exit_id=3,
+                                vision_gripper=grip)
+    np.testing.assert_allclose(np.asarray(out.actions[0, 0]), GOLDEN_ACTIONS,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(out.gripper_probs[0, 0, 0]),
+                               GOLDEN_GRIPPER, rtol=1e-4)

@@ -191,9 +191,14 @@ def main(argv=None):
         num_sequences=n_seq, ep_len=ep_len, replan=args.replan,
         flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
         n_layers=cfg.n_layers)
-    report["avg_llm_gflops"] = avg_llm_gflops(
-        cfg, np.add(report["success_exit_hist"], report["fail_exit_hist"])
-        / max(1e-9, sum(report["success_exit_hist"]) + sum(report["fail_exit_hist"])))
+    hist = np.add(report["success_exit_hist"], report["fail_exit_hist"]) \
+        / max(1e-9, sum(report["success_exit_hist"]) + sum(report["fail_exit_hist"]))
+    report["avg_llm_gflops"] = avg_llm_gflops(cfg, hist)
+    # paper-convention number for Table-2 comparison (thop MACs, ~13-token
+    # unpadded text; see eval/flops.paper_convention_gflops)
+    from deer_vla_tpu.eval.flops import paper_convention_gflops
+    report["avg_llm_gflops_paper_conv"] = float(sum(
+        paper_convention_gflops(cfg, i) * p for i, p in enumerate(hist) if p > 0))
     print(format_report(report))
     # -- BO/eval_ckpts parse contract: last three lines ---------------------
     th_list = [thresholds[e] for e in sorted(thresholds)] if thresholds else []

@@ -106,3 +106,15 @@ def avg_llm_gflops(cfg: DeerConfig, exit_histogram) -> float:
     bayesian_optimization.py:76-79)."""
     per_exit = llm_flops_per_exit(cfg)
     return float(sum(per_exit[i] * p for i, p in enumerate(exit_histogram)))
+
+
+def paper_convention_gflops(cfg: DeerConfig, exit_layer: int,
+                            text_len: int = 13) -> float:
+    """LLM G'FLOPs' in the PAPER's convention for comparing against Table 2
+    (8.6-12.5 G at the DeeR operating points; 31.2 G for RF++):
+    thop counts MACs (1 MAC = 1 'FLOP', half our 2*MAC convention) and the
+    rollout text is unpadded (~13 tokens for a CALVIN instruction, not the
+    max_length-32 training pad)."""
+    import dataclasses
+    c = dataclasses.replace(cfg, text_len=text_len)
+    return llm_flops_per_exit(c)[exit_layer] / 2.0

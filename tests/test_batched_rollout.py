@@ -1,0 +1,63 @@
+"""Batched rollout harness: lockstep streams must reproduce the sequential
+harness results on DebugEnv (same policy math per stream, same oracle)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.data.text import HashTokenizer
+from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
+from deer_vla_tpu.eval.policy import DeerPolicy
+from deer_vla_tpu.eval.rollout import (CalvinPolicyAdapter, DebugEnv,
+                                       DebugTaskOracle, evaluate_policy,
+                                       make_debug_sequences)
+from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+from deer_vla_tpu.models.flamingo import init_deer
+from deer_vla_tpu.models.value_net import ExitController
+
+
+def test_batched_rollout_matches_sequential():
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    th = [0.05, 1e8]
+    seqs = make_debug_sequences(4)
+    oracle = DebugTaskOracle(threshold=0.05)
+
+    # sequential reference (while-loop engine, single stream)
+    pol_seq = ScanDeerPolicy(params, cfg, thresholds=th)
+    adapter = CalvinPolicyAdapter(pol_seq, tok, text_len=cfg.text_len)
+    env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+    ref = evaluate_policy(adapter, env, seqs, {}, oracle, ep_len=15)
+
+    # batched: 2 lanes over the same 4 sequences
+    pol_b = ScanDeerPolicy(params, cfg, thresholds=th)
+    envs = [DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+            for _ in range(2)]
+    out = evaluate_policy_batched(pol_b, envs, seqs, {}, oracle, tok,
+                                  text_len=cfg.text_len, ep_len=15)
+
+    assert out["avg_seq_len"] == ref["avg_seq_len"]
+    assert out["task_info"] == ref["task_info"]
+    np.testing.assert_allclose(out["success_exit_hist"],
+                               ref["success_exit_hist"], atol=1e-9)
+
+
+def test_batched_rollout_more_lanes_than_sequences():
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    envs = [DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+            for _ in range(4)]
+    seqs = make_debug_sequences(2)
+    out = evaluate_policy_batched(pol, envs, seqs, {},
+                                  DebugTaskOracle(0.05), tok,
+                                  text_len=cfg.text_len, ep_len=10)
+    assert 0.0 <= out["avg_seq_len"] <= 5.0
+    assert len(out["task_info"]) >= 1

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi_execution", type=int, default=1,
                    help="repeat/consume k actions per policy call")
     p.add_argument("--replan", type=int, default=-1)
+    p.add_argument("--lanes", type=int, default=1,
+                   help=">1: batched rollout — N env streams in lockstep "
+                        "through one batched policy program "
+                        "(eval/batched_rollout.py; ~lanes-x eval speedup)")
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -185,12 +189,33 @@ def main(argv=None):
 
     n_seq = min(args.num_seq, len(sequences))
     per_layer = llm_flops_per_exit(cfg)
-    report = evaluate_policy(
-        adapter, env, sequences[:n_seq], annotations, oracle,
-        rank=jax.process_index(), world_size=jax.process_count(),
-        num_sequences=n_seq, ep_len=ep_len, replan=args.replan,
-        flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
-        n_layers=cfg.n_layers)
+    if args.lanes > 1:
+        # batched rollout: lanes env streams through one program per step
+        from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
+        from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+        assert controller is not None, "--lanes needs dynamic exit"
+        bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
+            ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
+                           max_layer=max_layer)
+        if not isinstance(policy, ScanDeerPolicy):
+            bpolicy.set_thresholds(controller.thresholds)
+        if args.debug or not args.calvin_conf_path:
+            envs = [DebugEnv(img_hw=cfg.vit.image_size,
+                             grip_hw=cfg.vit.image_size)
+                    for _ in range(args.lanes)]
+        else:
+            envs = [env] + [_make_calvin_env(args)[0]
+                            for _ in range(args.lanes - 1)]
+        report = evaluate_policy_batched(
+            bpolicy, envs, sequences[:n_seq], annotations, oracle, tok,
+            text_len=cfg.text_len, ep_len=ep_len, n_layers=cfg.n_layers)
+    else:
+        report = evaluate_policy(
+            adapter, env, sequences[:n_seq], annotations, oracle,
+            rank=jax.process_index(), world_size=jax.process_count(),
+            num_sequences=n_seq, ep_len=ep_len, replan=args.replan,
+            flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
+            n_layers=cfg.n_layers)
     hist = np.add(report["success_exit_hist"], report["fail_exit_hist"]) \
         / max(1e-9, sum(report["success_exit_hist"]) + sum(report["fail_exit_hist"]))
     report["avg_llm_gflops"] = avg_llm_gflops(cfg, hist)

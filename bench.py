@@ -114,7 +114,13 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     probs = exit_probs(len(exits), 0.8, "exp")
-    per_depth_t = np.array([time_depth(k) for k in range(len(exits))])
+    trace_dir = os.environ.get("DEER_BENCH_PROFILE", "")
+    if trace_dir:
+        from deer_vla_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            per_depth_t = np.array([time_depth(k) for k in range(len(exits))])
+    else:
+        per_depth_t = np.array([time_depth(k) for k in range(len(exits))])
     expected_t = float((probs * per_depth_t).sum())
     aps = 1.0 / expected_t
     aps_full = 1.0 / per_depth_t[-1]

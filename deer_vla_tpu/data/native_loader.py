@@ -3,8 +3,9 @@
 Replaces per-frame Python np.load in the CALVIN window assembly
 (data.py:660-685) with threaded C++ pread into a preallocated batch buffer.
 Compiles lazily with g++ on first use (cached .so); any failure — missing
-toolchain, DEFLATE-compressed members, parse errors — falls back to numpy
-silently, so the framework never depends on the native path for correctness.
+toolchain, parse errors — falls back to numpy silently, so the framework
+never depends on the native path for correctness.  Both STORED and DEFLATE
+(savez_compressed) members are handled natively (zlib).
 """
 
 from __future__ import annotations
@@ -41,7 +42,7 @@ def _build() -> Optional[ctypes.CDLL]:
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17",
-                 _SRC, "-o", _LIB],
+                 _SRC, "-o", _LIB, "-lz"],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_LIB)
         lib.npz_probe.restype = ctypes.c_int

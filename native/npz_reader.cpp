@@ -6,7 +6,8 @@
 // library reads STORED (uncompressed) npz members — np.savez's default and
 // the CALVIN dataset format — with direct pread() into the caller's batch
 // buffer, fanning a window of frames across a thread pool.  DEFLATE members
-// return a sentinel so the Python wrapper falls back to numpy.
+// (savez_compressed) inflate through zlib, so the native path covers every
+// npz the datasets produce.
 //
 // Exposed C ABI (ctypes):
 //   npz_probe(path, key, shape_out[8], ndim_out, dtype_out[8], nbytes_out)
@@ -21,7 +22,10 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <algorithm>
 #include <vector>
+
+#include <zlib.h>  // DEFLATE members (savez_compressed)
 
 namespace {
 
@@ -136,6 +140,68 @@ long parse_npy(FILE* f, uint64_t off, long* shape, int* ndim, char* dtype) {
   return (long)(body + hlen);
 }
 
+// Inflate a DEFLATE-compressed member fully into memory.
+int inflate_member(FILE* f, const Member& m, std::vector<unsigned char>* out) {
+  std::vector<unsigned char> comp(m.comp_size);
+  if (fseek(f, m.data_offset, SEEK_SET) != 0) return -1;
+  if (fread(comp.data(), 1, m.comp_size, f) != m.comp_size) return -1;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) return -4;  // raw deflate
+  zs.next_in = comp.data();
+  zs.avail_in = (uInt)comp.size();
+  out->resize(std::max<size_t>(comp.size() * 4, 1 << 16));
+  int ret;
+  size_t written = 0;
+  do {
+    if (written == out->size()) out->resize(out->size() * 2);
+    zs.next_out = out->data() + written;
+    zs.avail_out = (uInt)(out->size() - written);
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) { inflateEnd(&zs); return -4; }
+    written = out->size() - zs.avail_out;
+  } while (ret != Z_STREAM_END);
+  inflateEnd(&zs);
+  out->resize(written);
+  return 0;
+}
+
+// Parse npy header from an in-memory buffer; returns payload offset or <0.
+long parse_npy_mem(const unsigned char* buf, size_t len, long* shape,
+                   int* ndim, char* dtype) {
+  if (len < 12 || memcmp(buf, "\x93NUMPY", 6) != 0) return -4;
+  int major = buf[6];
+  uint32_t hlen;
+  size_t body;
+  if (major == 1) { hlen = rd16(&buf[8]); body = 10; }
+  else { hlen = rd32(&buf[8]); body = 12; }
+  if (body + hlen > len) return -4;
+  std::string s((const char*)buf + body, hlen);
+  size_t dp = s.find("'descr'");
+  if (dp == std::string::npos) return -4;
+  size_t q1 = s.find('\'', dp + 7);
+  size_t q2 = s.find('\'', q1 + 1);
+  if (q1 == std::string::npos || q2 == std::string::npos) return -4;
+  std::string descr = s.substr(q1 + 1, q2 - q1 - 1);
+  strncpy(dtype, descr.c_str(), 7);
+  dtype[7] = 0;
+  if (s.find("'fortran_order': True") != std::string::npos) return -4;
+  size_t sp = s.find("'shape'");
+  size_t o1 = s.find('(', sp);
+  size_t o2 = s.find(')', o1);
+  if (o1 == std::string::npos || o2 == std::string::npos) return -4;
+  std::string tup = s.substr(o1 + 1, o2 - o1 - 1);
+  int nd = 0;
+  const char* c = tup.c_str();
+  while (*c && nd < 8) {
+    while (*c == ' ' || *c == ',') ++c;
+    if (!*c) break;
+    shape[nd++] = strtol(c, (char**)&c, 10);
+  }
+  *ndim = nd;
+  return (long)(body + hlen);
+}
+
 int read_one(const char* path, const char* key, void* out, long out_cap,
              long* shape, int* ndim, char* dtype, long* nbytes) {
   FILE* f = fopen(path, "rb");
@@ -143,6 +209,21 @@ int read_one(const char* path, const char* key, void* out, long out_cap,
   Member m;
   int rc = find_member(f, key, &m);
   if (rc != 0) { fclose(f); return rc; }
+  if (m.method == 8) {  // DEFLATE (savez_compressed): inflate then parse
+    std::vector<unsigned char> raw;
+    rc = inflate_member(f, m, &raw);
+    fclose(f);
+    if (rc != 0) return rc;
+    long payload = parse_npy_mem(raw.data(), raw.size(), shape, ndim, dtype);
+    if (payload < 0) return (int)payload;
+    long data_bytes = (long)(raw.size() - payload);
+    if (nbytes) *nbytes = data_bytes;
+    if (out) {
+      if (data_bytes > out_cap) return -5;
+      memcpy(out, raw.data() + payload, data_bytes);
+    }
+    return 0;
+  }
   if (m.method != 0) { fclose(f); return -3; }
   long payload = parse_npy(f, m.data_offset, shape, ndim, dtype);
   if (payload < 0) { fclose(f); return (int)payload; }

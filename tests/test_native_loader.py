@@ -45,11 +45,17 @@ def test_read_window_matches_numpy(files):
     np.testing.assert_array_equal(got_f, ref_f)
 
 
-def test_compressed_falls_back(tmp_path, files):
+def test_compressed_members_inflate(tmp_path, files):
+    """savez_compressed members inflate through zlib natively."""
     p = tmp_path / "compressed.npz"
-    np.savez_compressed(p, rgb_static=np.zeros((4, 4, 3), np.uint8))
-    assert native_loader.read_key(str(p), "rgb_static") is None  # -3 sentinel
-    assert native_loader.read_window([str(p)], "rgb_static") is None
+    a = np.random.RandomState(1).randint(0, 256, (4, 4, 3), np.uint8)
+    np.savez_compressed(p, rgb_static=a,
+                        rel_actions=np.arange(7, dtype=np.float32))
+    np.testing.assert_array_equal(native_loader.read_key(str(p), "rgb_static"), a)
+    w = native_loader.read_window([str(p), str(p)], "rel_actions")
+    np.testing.assert_array_equal(w, np.tile(np.arange(7, np.float32) if False
+                                             else np.arange(7, dtype=np.float32),
+                                             (2, 1)))
 
 
 def test_missing_key_and_file(files):

@@ -75,6 +75,56 @@ def greedy_generate(params: dict, cfg: DeerConfig, vision_x, prompt_ids,
 
 
 # ---------------------------------------------------------------------------
+# zero-shot classification by LM scoring (classification_utils equivalent)
+# ---------------------------------------------------------------------------
+
+
+def make_lm_scorer(cfg: DeerConfig):
+    """jitted score(params, vision_x, ids, mask, target_mask) -> (B,) summed
+    NLL of the target-masked tokens — the upstream classification harness
+    ranks class-name continuations by LM likelihood."""
+
+    def score(params, vision_x, ids, mask, target_mask):
+        from deer_vla_tpu.models.flamingo import encode_vision
+        media = encode_vision(params, vision_x, None, cfg)
+        hidden, _ = decoder_forward(params["decoder"], ids, mask, media, cfg)
+        logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt)
+        logits = logits[:, :-1].astype(jnp.float32)
+        targets = ids[:, 1:]
+        logp = jax.nn.log_softmax(logits, -1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+        valid = target_mask[:, 1:].astype(nll.dtype)
+        return (nll * valid).sum(-1)
+
+    return jax.jit(score)
+
+
+def classify_by_lm_score(params: dict, cfg: DeerConfig, vision_x,
+                         class_texts: Sequence[str], text_fn,
+                         text_len: Optional[int] = None,
+                         prompt: str = "A photo of a") -> Tuple[int, np.ndarray]:
+    """Pick the class whose name continuation has the lowest LM NLL for one
+    image.  vision_x: (1, 1, 1, 3, H, W).  Returns (argmin, scores)."""
+    from deer_vla_tpu.data.text import fixed_length
+    tl = text_len or cfg.text_len
+    scorer = make_lm_scorer(cfg)
+    texts = [f"{prompt} {c}" for c in class_texts]
+    ids, mask = text_fn(texts)
+    p_ids, p_mask = text_fn([prompt] * len(texts))
+    ids, mask = fixed_length(ids, mask, tl, getattr(text_fn, "pad_token_id", 0))
+    p_len = p_mask.sum(1) - 2  # exclude the tokenizer's trailing <eoc><eos>
+    pos = np.arange(ids.shape[1])[None]
+    target_mask = ((pos >= p_len[:, None]) & (fixed_length(
+        mask, mask, tl, 0)[0] > 0)).astype(np.int32)
+    mask = fixed_length(mask, mask, tl, 0)[0]
+    n = len(texts)
+    vis = jnp.repeat(vision_x, n, axis=0)
+    scores = np.asarray(scorer(params, vis, jnp.asarray(ids),
+                               jnp.asarray(mask), jnp.asarray(target_mask)))
+    return int(scores.argmin()), scores
+
+
+# ---------------------------------------------------------------------------
 # RICES (Retrieval-based In-Context Example Selection, rices.py)
 # ---------------------------------------------------------------------------
 

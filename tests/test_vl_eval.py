@@ -86,3 +86,33 @@ def test_vqa_metrics():
     assert caption_bleu1("a red block on the table",
                          ["red block on a table"]) > 0.5
     assert caption_bleu1("", ["anything"]) == 0.0
+
+
+def test_classification_by_lm_score(tiny):
+    """After memorizing 'A photo of a cat' for one image, LM scoring must
+    rank 'cat' lowest-NLL among candidates (the upstream ImageNet-style
+    classification harness path)."""
+    import dataclasses
+    import optax
+    from deer_vla_tpu.data.text import HashTokenizer, fixed_length
+    from deer_vla_tpu.eval.vl_eval import classify_by_lm_score
+    from deer_vla_tpu.train.pretrain import make_pretrain_step
+
+    cfg, params = tiny
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(1, 1, 1, 3, 28, 28), jnp.float32)
+    ids, mask = tok(["A photo of a cat"])
+    ids, mask = fixed_length(ids, mask, cfg.text_len, tok.pad_token_id)
+    batch = {"image": img, "input_ids": jnp.asarray(ids),
+             "attention_mask": jnp.asarray(mask)}
+    opt = optax.adam(3e-3)
+    st = opt.init(params)
+    step = make_pretrain_step(cfg, opt, donate=False)
+    p = params
+    for _ in range(30):
+        p, st, m = step(p, st, batch)
+    idx, scores = classify_by_lm_score(p, cfg, img, ["dog", "cat", "banana"], tok)
+    assert idx == 1
+    assert scores[1] < scores[0] and scores[1] < scores[2]

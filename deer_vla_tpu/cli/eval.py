@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tokenizer_path", default="")
     p.add_argument("--num_seq", type=int, default=224)
     p.add_argument("--eval_sequences", default="eval_sequences.json")
+    p.add_argument("--diverse_inst", action="store_true",
+                   help="enriched-instruction eval from the annotation cache "
+                        "(lang_annotation_cache.json, eval_utils.py:513-516)")
+    p.add_argument("--annotation_cache", default="lang_annotation_cache.json")
     p.add_argument("--ep_len", type=int, default=360)
     # dynamic exit
     p.add_argument("--exit_ratio", type=float, default=1.0)
@@ -186,6 +190,10 @@ def main(argv=None):
     else:
         env, oracle, sequences, annotations = _make_calvin_env(args)
         ep_len = args.ep_len
+    if args.diverse_inst and os.path.exists(args.annotation_cache):
+        # list-of-lists [seq][subtask] -> per-chain enriched instructions
+        with open(args.annotation_cache) as f:
+            annotations = json.load(f)
 
     n_seq = min(args.num_seq, len(sequences))
     per_layer = llm_flops_per_exit(cfg)

@@ -85,21 +85,15 @@ def main():
         th = full_thresholds(k)
         carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
                            jnp.float32)
-        prev = jnp.zeros((1, 6), jnp.float32)
-        has_prev = jnp.zeros((1,), bool)
         for _ in range(warmup):
             arm, gp, carry, el = policy._step(params, policy.stacked, img,
-                                              grip, ids, mask, carry, prev,
-                                              has_prev, th)
-            prev, has_prev = arm, jnp.ones((1,), bool)
+                                              grip, ids, mask, carry, th)
         jax.block_until_ready(arm)
         assert int(el[0]) == exits[k], (int(el[0]), exits[k])
         t0 = time.perf_counter()
         for _ in range(iters):
             arm, gp, carry, el = policy._step(params, policy.stacked, img,
-                                              grip, ids, mask, carry, prev,
-                                              has_prev, th)
-            prev = arm
+                                              grip, ids, mask, carry, th)
         jax.block_until_ready(arm)
         return (time.perf_counter() - t0) / iters
 

@@ -70,15 +70,16 @@ class BatchedDeerPolicy:
                     exit_layers):
             x_prev, x_out = decoder_segment_forward(
                 params["decoder"], x, mask, media, cfg, start, stop, mloc)
-            head = params["extra_exit"]
+            head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
             out, cand_carry = head_step(head, x_out.astype(jnp.float32),
                                         carry, cfg.head, None)
             action = out.actions[:, 0]
             if first_exit:
+                # first exit: pseudo action from the layer below, EVERY
+                # timestep (value_net.py:121-126 is layer-indexed)
                 pseudo, _ = head_step(head, x_prev.astype(jnp.float32),
                                       carry, cfg.head, None)
-                ref = jnp.where(prev_action[:, :1] > -1e8,
-                                prev_action, pseudo.actions[:, 0])
+                ref = pseudo.actions[:, 0]
             else:
                 ref = prev_action
             delta = get_delta(action, ref, self.threshold_type)  # (B, 1)->(B,)
@@ -116,12 +117,10 @@ class BatchedDeerPolicy:
                            self.cfg.head.hidden_size, jnp.float32)
         if stream_mask is None or not hasattr(self, "carry"):
             self.carry = fresh
-            self.prev_action = jnp.full((b, 6), -1e9, jnp.float32)
         else:
             m = jnp.asarray(stream_mask)
             self.carry = tuple(jnp.where(m[None, :, None], f, c)
                                for f, c in zip(fresh, self.carry))
-            self.prev_action = jnp.where(m[:, None], -1e9, self.prev_action)
 
     def step(self, image: jnp.ndarray, gripper: jnp.ndarray,
              input_ids: jnp.ndarray, attention_mask: jnp.ndarray
@@ -138,7 +137,8 @@ class BatchedDeerPolicy:
                     jnp.zeros((b, 1, 1), jnp.float32))
         best_carry = self.carry
         exit_layers = jnp.full((b,), -1, jnp.int32)
-        prev_action = self.prev_action
+        # within-timestep reference chain (value_net.py:120-133)
+        prev_action = jnp.zeros((b, 6), jnp.float32)
         for e, fn in self._segments:
             (x, done, best_out, best_carry, all_done, exit_layers,
              action) = fn(self.params, x, attention_mask, media, mloc,
@@ -151,7 +151,6 @@ class BatchedDeerPolicy:
                 break
         self.carry = best_carry
         arm = np.asarray(best_out[0][:, 0])
-        self.prev_action = best_out[0][:, 0]
         grip = np.where(np.asarray(best_out[1][:, 0, 0]) > 0.5, 1.0, -1.0)
         return np.concatenate([arm, grip[:, None]], -1).astype(np.float32), \
             np.asarray(exit_layers).astype(np.int64)

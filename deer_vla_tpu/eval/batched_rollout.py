@@ -80,9 +80,8 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         stream.chain = list(chain)
         stream.subtask_i = 0
         stream.successes = 0
-        envs[stream.idx].reset(
-            robot_obs=initial_state.get("robot_obs")
-            if isinstance(initial_state, dict) else None)
+        from deer_vla_tpu.eval.rollout import reset_env_to_initial_state
+        reset_env_to_initial_state(envs[stream.idx], initial_state)
         _begin_subtask(stream)
         stream.active = True
         return True

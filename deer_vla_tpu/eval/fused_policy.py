@@ -34,8 +34,8 @@ from deer_vla_tpu.ops.lstm import zero_carry
 
 def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
                      threshold_type: str = "L2", max_layer: Optional[int] = None):
-    """Returns jitted step(params, img, grip, ids, mask, carry, prev_action,
-    has_prev, thresholds) -> (arm, gripper_prob, new_carry, exit_layer)."""
+    """Returns jitted step(params, img, grip, ids, mask, carry, thresholds)
+    -> (arm, gripper_prob, new_carry, exit_layer)."""
     ml = (max_layer if max_layer is not None else cfg.n_layers) - 1
     exits = [e for e in exit_ids if e <= ml] or [exit_ids[0]]
     segments = []
@@ -44,12 +44,11 @@ def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
         segments.append((prev, e + 1))
         prev = e + 1
 
-    def step(params, img, grip, ids, mask, carry, prev_action, has_prev,
-             thresholds):
+    def step(params, img, grip, ids, mask, carry, thresholds):
         media = encode_vision(params, img, grip, cfg)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
-        head = params["extra_exit"]
+        head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
         b = x.shape[0]
 
         done = jnp.zeros((), bool)
@@ -57,7 +56,9 @@ def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
         best_grip = jnp.zeros((b,), jnp.float32)
         best_carry = carry
         exit_layer = jnp.zeros((), jnp.int32)
-        ref_action = prev_action  # updated per evaluated bucket
+        # within-timestep reference chain (value_net.py:120-133): set by the
+        # first bucket's pseudo action, then each bucket's own action
+        ref_action = jnp.zeros((b, 6), jnp.float32)
 
         for k, (start, stop) in enumerate(segments):
             is_last = k == len(segments) - 1
@@ -72,10 +73,11 @@ def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
                                       cfg.head, None)
                 action = out.actions[:, 0].astype(jnp.float32)
                 if k == 0:
+                    # first exit: pseudo action from the layer below, EVERY
+                    # timestep (value_net.py:121-126 is layer-indexed)
                     pseudo, _ = head_step(head, x_prev.astype(jnp.float32),
                                           carry, cfg.head, None)
-                    ref = jnp.where(has_prev, ref_action,
-                                    pseudo.actions[:, 0].astype(jnp.float32))
+                    ref = pseudo.actions[:, 0].astype(jnp.float32)
                 else:
                     ref = ref_action
                 delta = get_delta(action, ref, threshold_type).mean()
@@ -133,8 +135,6 @@ class FusedDeerPolicy:
 
     def reset(self):
         self.carry = None
-        self.prev_action = jnp.zeros((1, 6), jnp.float32)
-        self.has_prev = jnp.zeros((), bool)
 
     def set_timestep(self, t: int):
         pass  # stage reuse not supported in fused mode
@@ -147,9 +147,7 @@ class FusedDeerPolicy:
                                     jnp.float32)
         arm, grip, self.carry, exit_layer = self._step(
             self.params, image, gripper, input_ids, attention_mask,
-            self.carry, self.prev_action, self.has_prev, self.thresholds)
-        self.prev_action = arm
-        self.has_prev = jnp.ones((), bool)
+            self.carry, self.thresholds)
         self.last_exit_layer = int(exit_layer)
         a = np.asarray(arm[0])
         g = 1.0 if float(grip[0]) > 0.5 else -1.0

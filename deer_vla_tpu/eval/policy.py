@@ -13,9 +13,10 @@ issued), unlike a masked lax.scan over all layers.
 Per-timestep protocol (faithful to value_net.py:120-133 + flamingo_mpt.py:443-461):
   1. encode prefix: ViT x2 + perceiver + token embed          [1 program]
   2. for each exit bucket k: run layers (prev_exit, exit_k],
-     speculative head_step (carry NOT committed), delta vs the
-     previous timestep's action (or a pseudo-action from layer
-     exit_0 - 1 on the first timestep)                        [1 program each]
+     speculative head_step (carry NOT committed); the delta is WITHIN-
+     timestep: bucket 0 vs the pseudo action from the layer below it
+     (value_net.py:121-126 — layer-indexed, so every timestep), bucket
+     k>0 vs bucket k-1's action                               [1 program each]
   3. on exit: commit that bucket's candidate carry, return its action.
      Exactly one carry commit per env step.
 """
@@ -96,9 +97,8 @@ class DeerPolicy:
             x_prev, x_out = decoder_segment_forward(
                 params["decoder"], x, mask, media, cfg, start, stop,
                 media_locations)
-            head = params["extra_exit"] if not cfg.layerwise_exit_eval else (
-                params["lm_head"] if stop == cfg.n_layers
-                else params["lm_exits"][str(stop - 1)])
+            from deer_vla_tpu.models.flamingo import resolve_head
+            head = resolve_head(params, cfg, stop - 1)
             out, cand_carry = head_step(head, x_out.astype(jnp.float32),
                                         carry, cfg.head, state)
             action = out.actions[:, 0]  # (B, 6)
@@ -152,19 +152,20 @@ class DeerPolicy:
                                     jnp.float32)
 
         ctrl = self.controller
-        first_step = ctrl is None or ctrl.prev_action is None
-        prev_action = (jnp.zeros((x.shape[0], 6), jnp.float32) if first_step
-                       else jnp.asarray(ctrl.prev_action))
+        prev_action = jnp.zeros((x.shape[0], 6), jnp.float32)
 
         reuse = ctrl is not None and ctrl.reuse_stage_exit()
         chosen = None
         for k, (start, e, fn, fn_first) in enumerate(self._segments):
-            run_fn = fn_first if (k == 0 and first_step) else fn
+            # the exit criterion is within-timestep (value_net.py:120-133):
+            # bucket 0 ALWAYS compares against the pseudo action from the
+            # layer below (the `i - interval < 0` branch is layer-indexed);
+            # bucket k>0 compares against bucket k-1's action.  The fixed
+            # exit path (ctrl None) skips the pseudo forward entirely.
+            run_fn = fn_first if (k == 0 and ctrl is not None) else fn
             x, out, cand_carry, delta = run_fn(
                 self.params, x, attention_mask, media, mloc, self.carry,
                 prev_action, state)
-            # value_net.py:127: within a timestep, exit k>0 compares against
-            # the PREVIOUS EXIT's action (action_list[-1] grows per exit)
             prev_action = out.actions[:, 0]
             if ctrl is None:
                 chosen = (e, out, cand_carry)
@@ -174,7 +175,8 @@ class DeerPolicy:
                     chosen = (e, out, cand_carry)
                     break
                 continue
-            ctrl.record_action(np.asarray(out.actions[:, 0]))
+            ctrl.record_action((np.asarray(out.actions[:, 0]),
+                                np.asarray(out.gripper_probs[:, 0])))
             if ctrl.should_exit(e, float(delta)):  # ONE scalar host read
                 chosen = (e, out, cand_carry)
                 break
@@ -184,12 +186,17 @@ class DeerPolicy:
         self.last_exit_layer = exit_layer
         if ctrl is not None and reuse:
             ctrl.cur_exit_id = exit_layer
-            ctrl.record_action(np.asarray(out.actions[:, 0]))
+            ctrl.record_action((np.asarray(out.actions[:, 0]),
+                                np.asarray(out.gripper_probs[:, 0])))
 
         if self.use_action_ensemble and ctrl is not None:
-            acts = ctrl.action_list[-2:]
-            arm = np.mean(np.stack(acts, 0), 0)[0]
-            grip_prob = float(out.gripper_probs[0, 0, 0])
+            # mean of the last two evaluated exits, arm AND gripper, then
+            # reset the list so it never spans env steps
+            # (eval_utils.py:457-463 + value_net.reset_actions)
+            arm_e, grip_e = ctrl.get_ensemble_action()
+            ctrl.action_list.clear()
+            arm = np.asarray(arm_e[0], np.float32)
+            grip_prob = float(np.asarray(grip_e).reshape(-1)[0])
         else:
             arm = np.asarray(out.actions[0, 0], np.float32)
             grip_prob = float(out.gripper_probs[0, 0, 0])

@@ -170,12 +170,42 @@ def rollout(env, adapter: CalvinPolicyAdapter, task_oracle, subtask: str,
                 planned.extend(list(action))
             else:
                 planned.append(action)
-            exit_layers.append(adapter.current_exit_layer)
-            llm_times.append(adapter.llm_time)
+        # metrics recorded once PER ENV STEP, incl. queued-plan steps
+        # (eval_utils.py:664-666), so multi_execution histograms stay
+        # comparable to the reference's accounting
+        exit_layers.append(adapter.current_exit_layer)
+        llm_times.append(adapter.llm_time)
         obs, _, _, current_info = env.step(planned.pop(0))
         if task_oracle.get_task_info_for_set(start_info, current_info, {subtask}):
             return True, exit_layers, step + 1, llm_times
     return False, exit_layers, ep_len, llm_times
+
+
+def reset_env_to_initial_state(env, initial_state) -> None:
+    """Apply a chain's initial state (eval_utils.py:587-589).
+
+    eval_sequences.json entries are SYMBOLIC condition dicts (led/drawer/
+    slider/...); CALVIN converts them with
+    get_env_state_for_initial_condition before env.reset(robot_obs,
+    scene_obs).  Falls back to a raw robot_obs/scene_obs dict or a plain
+    reset when calvin_agent is unavailable (DebugEnv)."""
+    robot_obs = scene_obs = None
+    if isinstance(initial_state, dict) and initial_state:
+        if "robot_obs" in initial_state or "scene_obs" in initial_state:
+            robot_obs = initial_state.get("robot_obs")
+            scene_obs = initial_state.get("scene_obs")
+        else:
+            try:
+                from calvin_agent.evaluation.utils import \
+                    get_env_state_for_initial_condition
+                robot_obs, scene_obs = get_env_state_for_initial_condition(
+                    initial_state)
+            except Exception:
+                pass  # symbolic dict without calvin installed (DebugEnv)
+    try:
+        env.reset(robot_obs=robot_obs, scene_obs=scene_obs)
+    except TypeError:
+        env.reset(robot_obs=robot_obs)
 
 
 def resolve_annotation(annotations, subtask: str, seq_i: int = 0,
@@ -192,7 +222,7 @@ def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
                       annotations, ep_len: int = EP_LEN, seq_i: int = 0,
                       replan: int = -1):
     """One 5-subtask chain; stops at the first failure (eval_utils.py:583-622)."""
-    env.reset(robot_obs=initial_state.get("robot_obs") if isinstance(initial_state, dict) else None)
+    reset_env_to_initial_state(env, initial_state)
     success_counter = 0
     s_exits, f_exits, s_steps, s_times = [], [], [], []
     for subtask_i, subtask in enumerate(eval_sequence):

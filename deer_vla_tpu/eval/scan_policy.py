@@ -85,17 +85,22 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
     use_strided = uniform and stride >= 1
     n_segments = len(exits)
 
-    def step(params, stacked, img, grip, ids, mask, carry, prev_action,
-             has_prev, thresholds_full):
+    def step(params, stacked, img, grip, ids, mask, carry, thresholds_full):
         """Fully batched: each of the B streams exits independently; the loop
         runs until ALL streams have exited (work for the whole batch stops at
         the SLOWEST stream's exit — the throughput-serving trade; B=1
-        degenerates to per-stream exact semantics)."""
+        degenerates to per-stream exact semantics).
+
+        Exit criterion is purely WITHIN-timestep (value_net.py:120-133): the
+        first exit's reference action is ALWAYS the pseudo action from the
+        layer below it (the `i - interval < 0` branch is layer-indexed, so it
+        triggers every timestep), and each later exit compares against the
+        previous exit's action this timestep (action_list[-1])."""
         media = encode_vision(params, img, grip, cfg)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
         attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
-        head = params["extra_exit"]
+        head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
         b = x.shape[0]
         is_exit_arr = jnp.asarray(is_exit)
 
@@ -124,18 +129,20 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             x = jax.lax.cond(stacked["has_xattn"][i], apply_x, lambda x: x, x)
             return x_in, mpt_block_forward(blk, x, attn_bias, cfg.mpt)
 
-        def do_check(i, first_seg, x, x_prev, done, ref):
-            """Speculative head + delta at exit layer i (traced scalar)."""
+        def do_check(i, is_first, x, x_prev, done, ref):
+            """Speculative head + delta at exit layer i (traced scalars).
+
+            is_first (traced bool): at the FIRST exit the reference action is
+            the pseudo action from the layer below — EVERY timestep
+            (value_net.py:121-126, layer-indexed condition); later exits
+            compare against the previous exit's action this timestep."""
             arm, grip, cand = eval_head(x)
-            # first-exit pseudo action from layer i-1 features when no
-            # previous action exists (value_net.py:122-126); per-stream:
-            # streams that already have a ref keep it
+
             def pseudo(_):
                 pa, _, _ = eval_head(x_prev)
                 return pa
-            need_pseudo = first_seg & ~jnp.all(has_prev)
-            pa = jax.lax.cond(need_pseudo, pseudo, lambda _: ref, None)
-            ref_k = jnp.where(has_prev[:, None], ref, pa)
+
+            ref_k = jax.lax.cond(is_first, pseudo, lambda _: ref, None)
             delta = get_delta(arm, ref_k, threshold_type)  # (B,)
             take = (~done) & (delta <= thresholds_full[i])
             return arm, grip, cand, take, jnp.where(done[:, None], ref, arm)
@@ -193,7 +200,10 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
                 i, _, done, *_ = state
                 return (~jnp.all(done)) & (i <= last_exit)
 
-        init = (jnp.int32(0), x, jnp.zeros((b,), bool), prev_action,
+        # ref starts as zeros: it is only consumed after the first exit's
+        # check replaces it (within-timestep chain)
+        init = (jnp.int32(0), x, jnp.zeros((b,), bool),
+                jnp.zeros((b, 6), jnp.float32),
                 jnp.zeros((b, 6), jnp.float32), jnp.zeros((b,), jnp.float32),
                 carry, jnp.full((b,), -1, jnp.int32))
         (_, _, done, _, best_arm, best_grip, best_carry,
@@ -247,8 +257,6 @@ class ScanDeerPolicy:
 
     def reset(self):
         self.carry = None
-        self.prev_action = None
-        self.has_prev = None
         self.cur_step = 0
         self.last_exit_layer = -1
 
@@ -274,14 +282,9 @@ class ScanDeerPolicy:
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
                                     self.cfg.head.hidden_size, jnp.float32)
-            self.prev_action = jnp.zeros((b, 6), jnp.float32)
-            self.has_prev = jnp.zeros((b,), bool)
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
-            attention_mask, self.carry, self.prev_action, self.has_prev,
-            self._stage_thresholds())
-        self.prev_action = arm
-        self.has_prev = jnp.ones((b,), bool)
+            attention_mask, self.carry, self._stage_thresholds())
         self.last_exit_layer = int(exit_layer[0])
         a = np.asarray(arm[0])
         g = 1.0 if float(grip[0]) > 0.5 else -1.0
@@ -294,14 +297,9 @@ class ScanDeerPolicy:
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
                                     self.cfg.head.hidden_size, jnp.float32)
-            self.prev_action = jnp.zeros((b, 6), jnp.float32)
-            self.has_prev = jnp.zeros((b,), bool)
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
-            attention_mask, self.carry, self.prev_action, self.has_prev,
-            self.thresholds)
-        self.prev_action = arm
-        self.has_prev = jnp.ones((b,), bool)
+            attention_mask, self.carry, self.thresholds)
         a = np.asarray(arm)
         g = np.where(np.asarray(grip) > 0.5, 1.0, -1.0)
         return (np.concatenate([a, g[:, None]], -1).astype(np.float32),
@@ -316,4 +314,3 @@ class ScanDeerPolicy:
                            self.cfg.head.hidden_size, jnp.float32)
         self.carry = tuple(jnp.where(m[None, :, None], f, c)
                            for f, c in zip(fresh, self.carry))
-        self.has_prev = jnp.where(m, False, self.has_prev)

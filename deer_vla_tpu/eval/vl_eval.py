@@ -23,49 +23,55 @@ from deer_vla_tpu.models.flamingo import encode_vision
 from deer_vla_tpu.models.mpt import decoder_forward, lm_logits
 
 
-def make_greedy_generate(cfg: DeerConfig, total_len: int):
-    """Returns jitted generate(params, vision_x, ids, mask, start_len) where
-    ids is a (B, total_len) buffer pre-filled with the prompt and padding;
-    decodes greedily from position start_len."""
+import functools as _functools
 
-    def step_decode(params, vision_x, ids, mask, start_len):
+
+@_functools.lru_cache(maxsize=16)
+def make_greedy_generate(cfg: DeerConfig, n_new: int):
+    """Cached jitted generate(params, vision_x, ids, mask, start_lens):
+    ids is a (B, total_len) buffer pre-filled with prompts + padding;
+    each ROW decodes greedily from its own prompt length (start_lens (B,)).
+    Caching the builder avoids one XLA recompile per call."""
+
+    def step_decode(params, vision_x, ids, mask, start_lens):
         media = encode_vision(params, vision_x, None, cfg)
+        rows = jnp.arange(ids.shape[0])
 
         def body(carry, i):
             ids, mask = carry
             hidden, _ = decoder_forward(params["decoder"], ids, mask, media, cfg)
             logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt)
-            pos = start_len + i - 1  # logits at the last prompt/generated tok
-            nxt = logits[jnp.arange(ids.shape[0]), pos].argmax(-1)
-            write = start_len + i
-            ids = ids.at[:, write].set(nxt.astype(ids.dtype))
-            mask = mask.at[:, write].set(1)
+            pos = start_lens + i - 1  # per-row last prompt/generated position
+            nxt = logits[rows, pos].argmax(-1)
+            write = start_lens + i
+            ids = ids.at[rows, write].set(nxt.astype(ids.dtype))
+            mask = mask.at[rows, write].set(1)
             return (ids, mask), nxt
 
-        n_new = total_len - 1  # upper bound; caller slices
-        (ids, mask), toks = jax.lax.scan(body, (ids, mask),
-                                         jnp.arange(n_new))
+        (ids, mask), toks = jax.lax.scan(body, (ids, mask), jnp.arange(n_new))
         return ids, jnp.swapaxes(toks, 0, 1)
 
-    return jax.jit(step_decode, static_argnames=())
+    return jax.jit(step_decode)
 
 
 def greedy_generate(params: dict, cfg: DeerConfig, vision_x, prompt_ids,
                     prompt_mask, max_new_tokens: int = 10,
                     eos_id: Optional[int] = None) -> np.ndarray:
-    """Host wrapper: pads the prompt into a static buffer, decodes, trims at
-    eos. prompt_ids: (B, S)."""
+    """Host wrapper: pads the prompts into a static buffer, decodes each row
+    from ITS OWN prompt length, trims at eos. prompt_ids: (B, S)."""
     b, s = prompt_ids.shape
     total = s + max_new_tokens
     ids = np.zeros((b, total), np.int32)
     mask = np.zeros((b, total), np.int32)
     ids[:, :s] = np.asarray(prompt_ids)
     mask[:, :s] = np.asarray(prompt_mask)
-    start_len = int(np.asarray(prompt_mask).sum(1).max())
-    gen = make_greedy_generate(cfg, total)
+    start_lens = np.asarray(prompt_mask).sum(1).astype(np.int32)
+    gen = make_greedy_generate(cfg, max_new_tokens)
     out_ids, _ = gen(params, vision_x, jnp.asarray(ids), jnp.asarray(mask),
-                     start_len)
-    out = np.asarray(out_ids)[:, start_len:start_len + max_new_tokens]
+                     jnp.asarray(start_lens))
+    out_ids = np.asarray(out_ids)
+    out = np.stack([out_ids[r, start_lens[r]:start_lens[r] + max_new_tokens]
+                    for r in range(b)])
     if eos_id is not None:
         for r in out:
             stop = np.where(r == eos_id)[0]
@@ -79,6 +85,7 @@ def greedy_generate(params: dict, cfg: DeerConfig, vision_x, prompt_ids,
 # ---------------------------------------------------------------------------
 
 
+@_functools.lru_cache(maxsize=8)
 def make_lm_scorer(cfg: DeerConfig):
     """jitted score(params, vision_x, ids, mask, target_mask) -> (B,) summed
     NLL of the target-masked tokens — the upstream classification harness

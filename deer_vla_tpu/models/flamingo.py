@@ -64,13 +64,14 @@ def init_deer(key, cfg: DeerConfig) -> dict:
     if cfg.use_state:
         params["state_fc"] = init_linear(k[6], cfg.state_dim, cfg.vis_dim,
                                          bias=True, dtype=pdt)
-    if cfg.multi_exit:
+    if cfg.multi_exit and not cfg.share_exit:
         for j, layer_id in enumerate(cfg.exit_layer_ids()):
-            params["lm_exits"][str(layer_id)] = (
-                params["lm_head"] if cfg.share_exit
-                else init_head(k[7 + j], cfg.head, pdt))
+            params["lm_exits"][str(layer_id)] = init_head(k[7 + j], cfg.head, pdt)
     if cfg.share_exit:
-        params["extra_exit"] = params["lm_head"]
+        # sharing is resolved at USE time (resolve_head): storing the same
+        # dict under several keys would flatten into INDEPENDENT leaves and
+        # silently untie after the first optimizer update
+        del params["extra_exit"]
     return params
 
 
@@ -163,7 +164,9 @@ def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
     exit_outputs = ()
     if cfg.multi_exit and not only_extra_exit:
         exit_outputs = tuple(
-            run_head(params["lm_exits"][str(i)], hidden[i], jax.random.fold_in(rngs[1], i))
+            run_head(params["lm_head"] if cfg.share_exit
+                     else params["lm_exits"][str(i)],
+                     hidden[i], jax.random.fold_in(rngs[1], i))
             for i in cfg.exit_layer_ids())
 
     # -- extra-exit random-layer sampling (flamingo_mpt.py:476-512) ----------
@@ -177,9 +180,10 @@ def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
     # Sampling strategy 1: independent exit per (b, t)
     idx1 = jax.random.randint(rngs[2], (bs, w), 0, n_exit)
     lay1 = exit_ids[idx1]  # (B, W)
+    extra_head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
     rand_feat = jnp.take_along_axis(
         feats_bw, lay1.reshape(bsw, 1, 1, 1), axis=1).squeeze(1)  # (B*W, S, D)
-    extra_out = run_head(params["extra_exit"], rand_feat, rngs[3])
+    extra_out = run_head(extra_head, rand_feat, rngs[3])
 
     # Sampling strategy 2: one switch point, two exits per trajectory
     prev_len = jax.random.randint(rngs[4], (), 1, w + 1)
@@ -189,7 +193,7 @@ def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
     lay2 = exit_ids[pick]
     feat2 = jnp.take_along_axis(
         feats_bw, lay2.reshape(bsw, 1, 1, 1), axis=1).squeeze(1)
-    extra_out2 = run_head(params["extra_exit"], feat2, rngs[6])
+    extra_out2 = run_head(extra_head, feat2, rngs[6])
 
     return TrainOutputs(exit_outputs, final_out, extra_out, extra_out2,
                         hidden, rand_feat, lay1)
@@ -224,10 +228,22 @@ def forward_fixed_exit(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
                                    media, cfg, 0, exit_id + 1,
                                    media_locations)
     st = state_tensor.reshape(-1, state_tensor.shape[-1]) if state_tensor is not None else None
-    head = params["extra_exit"] if not cfg.layerwise_exit_eval else (
-        params["lm_head"] if exit_id == cfg.n_layers - 1
-        else params["lm_exits"][str(exit_id)])
-    return head_step(head, x, carry, cfg.head, st)
+    head = resolve_head(params, cfg, exit_id)
+    # fp32 head + carry: the LSTM carry persists across the episode; bf16
+    # accumulation would drift (matches the policy engines)
+    return head_step(head, x.astype(jnp.float32), carry, cfg.head, st)
+
+
+def resolve_head(params: dict, cfg: DeerConfig, exit_id: int) -> dict:
+    """Pick the head for an exit (flamingo_mpt.py:450-457).  With
+    share_exit, ALL heads are the single lm_head (aliasing param subtrees in
+    a pytree would silently untie them after one optimizer update, so
+    sharing is resolved at use time instead)."""
+    if cfg.share_exit or not cfg.layerwise_exit_eval:
+        return params["lm_head"] if cfg.share_exit else params["extra_exit"]
+    if exit_id == cfg.n_layers - 1:
+        return params["lm_head"]
+    return params["lm_exits"][str(exit_id)]
 
 
 def cast_frozen_to_bf16(params: dict, mask: dict) -> dict:

@@ -225,11 +225,18 @@ class ExitController:
             return True
         return False
 
-    def record_action(self, action: np.ndarray) -> None:
+    def record_action(self, action) -> None:
+        """action: (arm, gripper_prob) tuple or bare arm array."""
         self.action_list.append(action)
-        self.prev_action = action
+        self.prev_action = action[0] if isinstance(action, tuple) else action
 
-    def get_ensemble_action(self) -> np.ndarray:
-        """Mean of the last two evaluated exits' actions (value_net.py:92-95)."""
+    def get_ensemble_action(self):
+        """Mean of the last two evaluated exits' actions — BOTH arm and
+        gripper (value_net.py:92-95 zips and means the pairs)."""
         assert len(self.action_list) > 0
-        return np.mean(np.stack(self.action_list[-2:], 0), axis=0)
+        last = self.action_list[-2:]
+        if isinstance(last[0], tuple):
+            arms, grips = zip(*last)
+            return (np.mean(np.stack(arms, 0), axis=0),
+                    np.mean(np.stack(grips, 0), axis=0))
+        return np.mean(np.stack(last, 0), axis=0)

@@ -75,7 +75,8 @@ def test_multi_step_action_queue():
                                     ep_len=9)
     assert not ok and n_steps == 9
     assert calls["n"] == 3  # one policy call per 3 env steps
-    assert len(exits) == 3
+    # metrics are per ENV STEP (reference accounting, eval_utils.py:664-666)
+    assert len(exits) == 9
 
 
 def test_grad_accum_matches_full_batch():

@@ -103,3 +103,21 @@ def test_trainable_mask(tiny):
           zip(leaves_p, jax.tree_util.tree_leaves(mask2))}
     assert not any(v for k, v in d2.items() if "'xattn'" in k or "'perceiver'" in k)
     assert all(v for k, v in d2.items() if "'lm_head'" in k)
+
+
+def test_share_exit_single_head():
+    """share_exit: one physical head serves every exit — sharing resolved at
+    use time (aliasing pytree subtrees would untie after one update)."""
+    import dataclasses
+    from deer_vla_tpu.core.config import deer_tiny
+    from deer_vla_tpu.models.flamingo import forward_train, init_deer, resolve_head
+    cfg = dataclasses.replace(deer_tiny(), share_exit=True)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    assert "extra_exit" not in params and params["lm_exits"] == {}
+    assert resolve_head(params, cfg, 1) is params["lm_head"]
+    img, grip, ids, mask = make_batch(cfg)
+    out = forward_train(params, img, ids, mask, cfg, jax.random.PRNGKey(1),
+                        vision_gripper=grip, train=False)
+    # all heads shared: internal exit outputs come from the same weights
+    assert len(out.exit_outputs) == len(cfg.exit_layer_ids())
+    assert np.all(np.isfinite(np.asarray(out.extra_output.actions)))

@@ -87,12 +87,18 @@ def load_model(args):
     if args.evaluate_from_checkpoint:
         side = args.evaluate_from_checkpoint.replace(".ckpt", "") + ".json"
         with open(side) as f:
-            cfg = DeerConfig.from_json(json.dumps(json.load(f)["config"]))
+            side_data = json.load(f)
+        cfg = DeerConfig.from_json(json.dumps(side_data["config"]))
         cfg = dataclasses.replace(cfg, dtypes=dtypes)
         if args.max_layer > 0:
             cfg = dataclasses.replace(
                 cfg, mpt=dataclasses.replace(cfg.mpt, n_layers=args.max_layer))
-        params = init_deer(jax.random.PRNGKey(args.seed), cfg)
+        # trainable-delta ckpts overlay a PRNG-initialized frozen backbone:
+        # the init seed MUST be the training seed or the backbone is random.
+        # The trainer records it in the sidecar meta; --seed is the fallback
+        # for ckpts written before that.
+        init_seed = int(side_data.get("meta", {}).get("seed", args.seed))
+        params = init_deer(jax.random.PRNGKey(init_seed), cfg)
         params, _, meta = load_checkpoint(args.evaluate_from_checkpoint, params)
         print(f"loaded {meta['meta'].get('loaded_keys')} param groups from ckpt")
     else:
@@ -164,6 +170,9 @@ def main(argv=None):
     use_fused = (args.engine == "fused" or
                  (args.engine == "auto" and controller is not None
                   and not args.use_action_ensemble))
+    if cfg.head.multi_step_action > 1:
+        use_fused = False  # jit engines compile k=1 widths; DeerPolicy
+        # emits the (k, 7) plan for the rollout queue
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the

@@ -91,9 +91,16 @@ def make_model_config(args):
     updates = {"use_state": args.use_state, "sep_resampler": args.sep_resampler,
                "share_exit": args.share_exit,
                "remat_layers": getattr(args, "remat", False)}
+    head_updates = {}
     if args.multi_step_action != 1:
-        updates["head"] = dataclasses.replace(
-            cfg.head, multi_step_action=args.multi_step_action)
+        head_updates["multi_step_action"] = args.multi_step_action
+    if args.use_state:
+        # both state paths: vision token via state_fc (DeerConfig.use_state)
+        # and proprio embedding in the LSTM head (HeadConfig.use_state),
+        # mirroring the reference's single use_state flag
+        head_updates["use_state"] = True
+    if head_updates:
+        updates["head"] = dataclasses.replace(cfg.head, **head_updates)
     return dataclasses.replace(cfg, **updates)
 
 

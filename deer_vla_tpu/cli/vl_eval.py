@@ -116,8 +116,18 @@ def main(argv=None):
         else:
             prompts = [VQADataset.get_vqa_prompt(s["question"]) for s in samples]
         ids, mask = tok(prompts)
-        # strip the trailing <eoc><eos> so generation continues the prompt
-        ids, mask = ids[:, :-2], mask[:, :-2]
+        # strip each row's trailing <eoc><eos> so generation continues the
+        # prompt.  With mixed-length prompts the batch is right-padded, so a
+        # flat [:, :-2] would only strip the longest row; strip per row at
+        # its true length instead.
+        ids = np.array(ids, copy=True)
+        mask = np.array(mask, copy=True)
+        for r, length in enumerate(mask.sum(-1)):
+            le = int(length)
+            if le >= 2:
+                ids[r, le - 2:le] = 0
+                mask[r, le - 2:le] = 0
+        ids, mask = ids[:, :-2], mask[:, :-2]  # now-dead tail columns
         out = greedy_generate(params, cfg, jnp.asarray(vision), ids, mask,
                               max_new_tokens=args.max_new_tokens,
                               eos_id=getattr(tok, "eos_token_id", None))

@@ -282,22 +282,47 @@ class CalvinLoader:
         order = self._order()
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
+        cancel = threading.Event()  # set when the consumer stops early
+
+        def _put(item) -> bool:
+            # bounded put that aborts on consumer cancellation — otherwise an
+            # early `break` out of the iterator (calibration, max_batches
+            # caps) would leave this thread + its executor blocked forever
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 from concurrent.futures import ThreadPoolExecutor
                 with ThreadPoolExecutor(self.workers) as ex:
                     for b in range(self.num_batches):
+                        if cancel.is_set():
+                            break
                         idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
                         samples = list(ex.map(self.ds.__getitem__, idxs))
-                        q.put(self.ds.collate(samples, self.text_fn))
+                        if not _put(self.ds.collate(samples, self.text_fn)):
+                            break
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                yield item
+        finally:
+            cancel.set()
+            # drain so a producer blocked mid-put can observe the event
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass

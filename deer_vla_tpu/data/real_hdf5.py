@@ -171,16 +171,36 @@ class RealDatasetHDF5:
         actions = np.stack([
             relative_ee_action(states[i], states[i + 1], self.action_mode)
             for i in range(self.seq_len)])
+        # gripper action channel must be the {-1 close, +1 open} convention
+        # the BCE loss assumes ((g+1)/2 target) — NOT the raw next-frame
+        # gripper position relative_ee_action copies in.  Derive binary
+        # open/closed per frame: from the teleop command stream when the
+        # export has one (movement-confirmed switching,
+        # real_dataset_hdf5.py:144-200), else by thresholding the position
+        # at its trajectory midrange.
+        grip_pos = states[:, 6]
+        if "gripper_command" in self.h5:
+            cmd = np.asarray(
+                self.h5["gripper_command"][h5_st + st:h5_st + ed + 1],
+                np.float32)
+            binary = binary_gripper_from_pos(grip_pos, cmd)
+        else:
+            lo, hi = float(grip_pos.min()), float(grip_pos.max())
+            binary = ((grip_pos > 0.5 * (lo + hi)).astype(np.float32)
+                      if hi - lo > 1e-6 else np.ones_like(grip_pos))
+        actions[:, 6] = 2.0 * binary[1:] - 1.0
         static = np.asarray(self.h5["rgb"]["static"][h5_st + st:h5_st + ed])
         hand = np.asarray(self.h5["rgb"]["hand"][h5_st + st:h5_st + ed])
         if self.text_aug and text in self.enrich and self._rng.rand() > 0.1:
             cands = self.enrich[text]
             text = cands[self._rng.randint(len(cands))]
+        robot_obs = states[:self.seq_len].copy()
+        robot_obs[:, 6] = 2.0 * binary[:self.seq_len] - 1.0  # head embed_state
         return {
             "rgb_static": static.astype(np.uint8),
             "rgb_gripper": hand.astype(np.uint8),
             "actions": actions,
-            "robot_obs": states[:self.seq_len],
+            "robot_obs": robot_obs,
             "lang": text,
             "timestep": np.arange(st, ed, dtype=np.int32),
         }

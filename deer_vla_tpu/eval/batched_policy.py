@@ -43,6 +43,9 @@ class BatchedDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2"):
+        assert cfg.head.multi_step_action == 1, (
+            "BatchedDeerPolicy compiles k=1 action widths; use DeerPolicy "
+            "for multi_step_action checkpoints")
         self.params = params
         self.cfg = cfg
         self.batch = batch

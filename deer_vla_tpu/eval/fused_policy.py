@@ -116,6 +116,9 @@ class FusedDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None):
+        assert cfg.head.multi_step_action == 1, (
+            "FusedDeerPolicy compiles k=1 action widths; use DeerPolicy for "
+            "multi_step_action checkpoints")
         self.params = params
         self.cfg = cfg
         exit_ids = list(exit_ids or cfg.all_exit_ids())

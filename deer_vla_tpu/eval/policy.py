@@ -152,7 +152,9 @@ class DeerPolicy:
                                     jnp.float32)
 
         ctrl = self.controller
-        prev_action = jnp.zeros((x.shape[0], 6), jnp.float32)
+        # action width is 6k for multi_step_action k (flat head output)
+        adim = self.cfg.head.out_features * self.cfg.head.multi_step_action
+        prev_action = jnp.zeros((x.shape[0], adim), jnp.float32)
 
         reuse = ctrl is not None and ctrl.reuse_stage_exit()
         chosen = None
@@ -195,12 +197,22 @@ class DeerPolicy:
             # (eval_utils.py:457-463 + value_net.reset_actions)
             arm_e, grip_e = ctrl.get_ensemble_action()
             ctrl.action_list.clear()
-            arm = np.asarray(arm_e[0], np.float32)
-            grip_prob = float(np.asarray(grip_e).reshape(-1)[0])
+            arm = np.asarray(arm_e[0], np.float32)          # (6k,)
+            gp = np.asarray(grip_e, np.float32).reshape(-1)  # (k,)
         else:
             arm = np.asarray(out.actions[0, 0], np.float32)
-            grip_prob = float(out.gripper_probs[0, 0, 0])
-        grip = 1.0 if grip_prob > 0.5 else -1.0
+            gp = np.asarray(out.gripper_probs[0, 0], np.float32).reshape(-1)
+        k = self.cfg.head.multi_step_action
+        if k > 1:
+            # multi_step_action: the head predicts a k-step plan; emit (k, 7)
+            # for the rollout planned-actions queue (eval_utils.py:668-675)
+            grip = np.where(gp > 0.5, 1.0, -1.0).astype(np.float32)
+            plan = np.concatenate([arm.reshape(k, 6), grip[:, None]],
+                                  -1).astype(np.float32)
+            if self.multi_execution > 1:  # repeat each planned action m times
+                plan = np.repeat(plan, self.multi_execution, axis=0)
+            return plan
+        grip = 1.0 if float(gp[0]) > 0.5 else -1.0
         action = np.concatenate([arm, [grip]]).astype(np.float32)
         if self.multi_execution > 1:
             # repeat one predicted action k times (ModelWrapper

@@ -222,6 +222,9 @@ class ScanDeerPolicy:
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
                  steps_per_stage: int = 1, drop_unstacked: bool = False):
+        assert cfg.head.multi_step_action == 1, (
+            "ScanDeerPolicy compiles k=1 action widths; use DeerPolicy for "
+            "multi_step_action checkpoints")
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg)

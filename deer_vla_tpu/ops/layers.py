@@ -29,9 +29,10 @@ def trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
 
 def kaiming_uniform(key, shape, dtype=jnp.float32):
     """torch.nn.Linear default init (kaiming_uniform with a=sqrt(5)) for
-    (in, out)-shaped weights."""
+    (in, out)-shaped weights: gain = sqrt(2/(1+5)) = 1/sqrt(3), bound =
+    sqrt(3) * gain / sqrt(fan_in) = 1/sqrt(fan_in)."""
     fan_in = shape[0]
-    bound = 1.0 / math.sqrt(fan_in) * math.sqrt(3.0)
+    bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 

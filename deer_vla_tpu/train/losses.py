@@ -28,7 +28,13 @@ def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def multi_exit_loss(outputs: TrainOutputs, labels: jnp.ndarray,
                     bin_coef: float = 0.01) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """labels: (B, W, 7) — [..., :6] arm, [..., 6] gripper in {-1, 1}.
+    """labels: (B, W, 7), or (B, W, k, 7) for multi_step_action k>1 —
+    [..., :6] arm, [..., 6] gripper in {-1, 1}.
+
+    For k>1 the heads emit flat (B, W, 6k)/(B, W, k) outputs
+    (action_head.py multi_step_action); they are reshaped here to line up
+    with the (B, W, k, 7) labels (train_utils.py:497-503 reshapes the same
+    way on the torch side).
 
     Ordering matches train_utils.py:503:
     [internal exits..., final, extra1, extra2]."""
@@ -38,11 +44,18 @@ def multi_exit_loss(outputs: TrainOutputs, labels: jnp.ndarray,
     all_outputs = list(outputs.exit_outputs) + [
         outputs.final_output, outputs.extra_output, outputs.extra_output2]
 
-    num = jnp.stack([o.actions.astype(jnp.float32) for o in all_outputs])     # (E, B, W, 6)
-    logits = jnp.stack([o.gripper_logits.astype(jnp.float32) for o in all_outputs])  # (E, B, W, 1)
+    num = jnp.stack([o.actions.astype(jnp.float32) for o in all_outputs])     # (E, B, W, 6k)
+    logits = jnp.stack([o.gripper_logits.astype(jnp.float32) for o in all_outputs])  # (E, B, W, k)
 
-    loss_num = huber(num, arm_t[None]).mean(-1)          # (E, B, W)
-    loss_bin = bce_with_logits(logits, grip_t[None]).mean(-1)  # (E, B, W)
+    if labels.ndim == 4:  # multi-step: (B, W, k, 7) labels, flat head outputs
+        k = labels.shape[2]
+        num = num.reshape(*num.shape[:3], k, 6)          # (E, B, W, k, 6)
+        logits = logits[..., None]                       # (E, B, W, k, 1)
+        loss_num = huber(num, arm_t[None]).mean((-1, -2))            # (E, B, W)
+        loss_bin = bce_with_logits(logits, grip_t[None]).mean((-1, -2))
+    else:
+        loss_num = huber(num, arm_t[None]).mean(-1)          # (E, B, W)
+        loss_bin = bce_with_logits(logits, grip_t[None]).mean(-1)  # (E, B, W)
     per_exit = (loss_num + bin_coef * loss_bin).mean(axis=(1, 2))  # (E,)
     total = per_exit.sum()
 

@@ -108,13 +108,18 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
 
 def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                       *, phase: str = "joint", bin_coef: float = 0.01,
-                      vl_weight: float = 1.0, donate: bool = True):
+                      vl_weight: float = 1.0, donate: bool = True,
+                      grad_accum: int = 1):
     """Co-training step (--cotrain, train_calvin_post_strategy.py:296-302):
     one update from the CALVIN imitation loss PLUS the vision-language LM
     loss on a caption/VQA batch, computed in a single program.
 
     vl_batch: {image (B, 1, 1, 3, H, W), input_ids, attention_mask,
                [answer_mask]}.
+
+    grad_accum > 1 microbatches BOTH batches along their batch dims (same
+    lax.scan accumulation as make_train_step); the VL batch size must be
+    divisible by grad_accum too.
     """
     from deer_vla_tpu.train.pretrain import lm_loss
 
@@ -136,9 +141,48 @@ def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
         metrics.update(vl_metrics)
         return calvin_loss + vl_weight * vl, metrics
 
+    def _split_micro(batch: Dict) -> Dict:
+        w = cfg.window_size
+        bs = batch["labels"].shape[0]
+        assert bs % grad_accum == 0, (bs, grad_accum)
+        mb = bs // grad_accum
+
+        def per_leaf(key, x):
+            if key == "labels":
+                return x.reshape(grad_accum, mb, *x.shape[1:])
+            return x.reshape(grad_accum, mb * w, *x.shape[1:])
+
+        return {k: per_leaf(k, v) for k, v in batch.items()}
+
+    def _split_vl(vl_batch: Dict) -> Dict:
+        bs = next(iter(vl_batch.values())).shape[0]
+        assert bs % grad_accum == 0, ("vl batch", bs, grad_accum)
+        mb = bs // grad_accum
+        return {k: v.reshape(grad_accum, mb, *v.shape[1:])
+                for k, v in vl_batch.items()}
+
     def step_fn(state: TrainState, batch, vl_batch, rng):
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, vl_batch, rng)
+        if grad_accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, vl_batch, rng)
+        else:
+            micro, vl_micro = _split_micro(batch), _split_vl(vl_batch)
+
+            def scan_body(acc, xs):
+                mb, vmb, mrng = xs
+                (l, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, vmb, mrng)
+                acc_g, acc_l = acc
+                return (jax.tree_util.tree_map(jnp.add, acc_g, g),
+                        acc_l + l), m
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            rngs = jax.random.split(rng, grad_accum)
+            (grads, loss_sum), ms = jax.lax.scan(
+                scan_body, (zero_g, jnp.zeros(())), (micro, vl_micro, rngs))
+            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            loss = loss_sum / grad_accum
+            metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(metrics)

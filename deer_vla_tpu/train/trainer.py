@@ -92,11 +92,17 @@ def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
     ids = np.repeat(raw["input_ids"][:, None], w, axis=1).reshape(bs * w, s)
     mask = np.repeat(raw["attention_mask"][:, None], w, axis=1).reshape(bs * w, s)
     ids, mask = fixed_length(ids, mask, cfg.text_len, 0)
-    return {
+    batch = {
         "image": img, "gripper": gri,
         "input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
         "labels": jnp.asarray(raw["actions"][:, :w]),
     }
+    if (cfg.use_state or cfg.head.use_state) and "robot_obs" in raw:
+        # proprio state -> (B*W, 1, 1, state_dim) for encode_vision's
+        # state_fc token and the head's embed_state (flamingo.py:120-126)
+        st = np.asarray(raw["robot_obs"])[:, :w].reshape(bs * w, -1)
+        batch["state"] = jnp.asarray(st[:, None, None, :], jnp.float32)
+    return batch
 
 
 def prepare_vl_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig
@@ -156,7 +162,8 @@ class Trainer:
                 step = make_cotrain_step(
                     cfg, opt, phase=phase,
                     bin_coef=0.05 if tcfg.real_data else 0.01,
-                    vl_weight=vl_weight)
+                    vl_weight=vl_weight,
+                    grad_accum=tcfg.gradient_accumulation_steps)
             else:
                 step = make_train_step(
                     cfg, opt, phase=phase,
@@ -175,12 +182,23 @@ class Trainer:
             return 0
         self.params, _, meta = load_checkpoint(ck, self.params)
         self.start_epoch = int(meta.get("meta", {}).get("epoch", -1)) + 1
+        # remember the ckpt so train() can restore the phase optimizer state
+        # (Adam moments + schedule count) once the phase template exists —
+        # the reference restores optimizer.state_dict() the same way
+        # (train_calvin_post_strategy.py:589-629)
+        self._resume_ckpt = ck
+        self._resume_phase = meta.get("meta", {}).get("phase")
         return self.start_epoch
 
     def train(self, num_epochs: Optional[int] = None) -> Dict:
         tcfg = self.tcfg
         num_epochs = num_epochs or tcfg.num_epochs
+        if len(self.loader) == 0:
+            raise ValueError(
+                "empty loader: dataset yields 0 batches at batch_size="
+                f"{tcfg.batch_size} (len(dataset)*data_percent too small?)")
         last_metrics: Dict = {}
+        metrics: Dict = {}
         cur_phase = None
         for epoch in range(self.start_epoch, num_epochs):
             phase = self.phase_of_epoch(epoch)
@@ -188,6 +206,14 @@ class Trainer:
                 opt, step = self._phases[phase]
                 self.state = init_train_state(self.params, opt)
                 self._step_fn = step
+                if (cur_phase is None
+                        and getattr(self, "_resume_ckpt", None)
+                        and self._resume_phase == phase):
+                    _, opt_state, _ = load_checkpoint(
+                        self._resume_ckpt, self.params,
+                        opt_state_template=self.state.opt_state)
+                    if opt_state is not None:
+                        self.state = self.state._replace(opt_state=opt_state)
                 cur_phase = phase
             self.loader.set_epoch(epoch)
             t0 = time.time()
@@ -230,6 +256,12 @@ class Trainer:
         # superset — matches trainable-only ckpts, train_utils.py:631-638)
         mask = trainable_mask(self.params, self.cfg, "joint")
         path = os.path.join(self.tcfg.run_dir, f"deer_{epoch}")
+        # seed lets eval reconstruct the SAME frozen backbone before the
+        # trainable-delta overlay; opt_state makes resume exact (Adam
+        # moments + schedule count survive preemption)
         return save_checkpoint(path, self.params, self.cfg,
-                               meta={"epoch": epoch, "phase": phase},
-                               trainable_mask=mask)
+                               meta={"epoch": epoch, "phase": phase,
+                                     "seed": self.tcfg.seed},
+                               trainable_mask=mask,
+                               opt_state=None if self.state is None
+                               else self.state.opt_state)

@@ -110,3 +110,25 @@ def test_text_aug_enrichment(synth, tmp_path):
     ds = DiskCalvinDataset(cfg, validation=False)
     texts = {ds[i]["lang"] for i in range(10)}
     assert len(texts) >= 1  # enrichment path exercised without crashing
+
+
+def test_loader_early_break_terminates_producer(synth):
+    """Breaking out of iteration mid-epoch (calibration max_batches caps)
+    must unblock and terminate the prefetch thread instead of leaving it
+    parked on q.put forever."""
+    import threading
+    import time
+    cfg = CalvinDataConfig(dataset_dir=synth, window_size=6)
+    ds = DiskCalvinDataset(cfg, validation=False)
+    tok = HashTokenizer(max_length=16)
+    loader = CalvinLoader(ds, tok, batch_size=2, prefetch=1, workers=2)
+    assert len(loader) > 3
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # consumer stops early (generator finalizer -> cancel)
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "producer threads leaked"

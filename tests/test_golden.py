@@ -19,11 +19,14 @@ import numpy as np
 from deer_vla_tpu.core.config import deer_tiny
 from deer_vla_tpu.models.flamingo import forward_fixed_exit, init_deer
 
+# regenerated 2026-08-16: kaiming_uniform bound corrected to 1/sqrt(fan_in)
+# (was sqrt(3)x too wide vs torch.nn.Linear default) — init-distribution
+# change, intentional
 GOLDEN_ACTIONS = np.array([
-    0.17338372766971588, -0.14165695011615753, 0.224528968334198,
-    0.275127112865448, 0.2573080360889435, -0.01997712254524231,
+    0.16388384997844696, -0.13194869458675385, 0.22572089731693268,
+    0.22978034615516663, 0.2525993287563324, -0.0644400417804718,
 ], np.float32)
-GOLDEN_GRIPPER = 0.470296710729599
+GOLDEN_GRIPPER = 0.4743303954601288
 
 
 def test_fixed_exit_golden():

@@ -138,3 +138,18 @@ def test_gelu_matches_torch():
     np.testing.assert_allclose(
         np.asarray(quick_gelu(jnp.asarray(x))),
         (to_t(x) * torch.sigmoid(1.702 * to_t(x))).numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_linear_init_matches_torch_default():
+    """init_linear("torch") must match torch.nn.Linear's default
+    kaiming_uniform_(a=sqrt(5)): uniform(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    import torch
+    from deer_vla_tpu.ops.layers import init_linear
+    d_in, d_out = 64, 32
+    p = init_linear(jax.random.PRNGKey(0), d_in, d_out)
+    w = np.asarray(p["w"])
+    bound = 1.0 / np.sqrt(d_in)
+    assert np.abs(w).max() <= bound + 1e-7
+    assert np.abs(w).max() > 0.8 * bound  # actually fills the range
+    tw = torch.nn.Linear(d_in, d_out).weight.detach().numpy()
+    assert abs(float(w.std()) - float(tw.std())) / float(tw.std()) < 0.15

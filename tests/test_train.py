@@ -100,3 +100,51 @@ def test_exit_only_loss_uses_stop_gradient(setup):
     g_head = np.max(np.abs(np.asarray(grads["extra_exit"]["rnn"]["layers"][0]["wi"])))
     assert g_backbone == 0.0
     assert g_head > 0.0
+
+
+def test_resume_restores_opt_state(setup, tmp_path):
+    """Preemption resume must restore Adam moments + schedule count, not
+    just params (train_calvin_post_strategy.py:589-629 parity)."""
+    import jax.numpy as jnp
+    cfg, tcfg0, loader = setup
+    tcfg = dataclasses.replace(tcfg0, run_dir=str(tmp_path),
+                               num_joint_epochs=2, num_exit_epochs=0)
+    tr = Trainer(cfg, tcfg, loader)
+    tr.train(num_epochs=1)  # 3 optimizer steps, ckpt deer_0 with opt_state
+
+    def counts(opt_state):
+        return {int(x) for x in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(x, "dtype") and x.dtype == jnp.int32 and x.ndim == 0}
+
+    tr2 = Trainer(cfg, tcfg, loader)
+    assert tr2.maybe_resume() == 1
+    tr2.train(num_epochs=2)  # resumed joint epoch: restore branch fires
+    # 3 restored + 3 new steps -> schedule/Adam count reaches 6
+    assert 6 in counts(tr2.state.opt_state)
+
+
+def test_multi_step_action_loss(setup):
+    """multi_step_action k>1: flat (B, W, 6k)/(B, W, k) head outputs line up
+    with (B, W, k, 7) collated labels inside multi_exit_loss."""
+    import jax.numpy as jnp
+    from deer_vla_tpu.models.flamingo import forward_train
+    from deer_vla_tpu.train.losses import multi_exit_loss
+    cfg0, tcfg, loader = setup
+    cfg = dataclasses.replace(
+        cfg0, head=dataclasses.replace(cfg0.head, multi_step_action=2))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    r = np.random.RandomState(0)
+    bs, w, s = 2, cfg.window_size, cfg.text_len
+    ids = np.full((bs * w, s), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    img = jnp.asarray(r.randn(bs * w, 1, 1, 3, 28, 28), jnp.float32)
+    out = forward_train(params, img, jnp.asarray(ids),
+                        jnp.ones((bs * w, s), jnp.int32), cfg,
+                        jax.random.PRNGKey(1), vision_gripper=img, train=False)
+    assert out.final_output.actions.shape == (bs, w, 12)
+    assert out.final_output.gripper_logits.shape == (bs, w, 2)
+    labels = jnp.asarray(np.clip(r.randn(bs, w, 2, 7), -1, 1), jnp.float32)
+    labels = labels.at[..., 6].set(np.sign(np.asarray(labels[..., 6])))
+    loss, m = multi_exit_loss(out, labels)
+    assert np.isfinite(float(loss))
+    assert m["per_exit_loss"].shape[0] == len(cfg.exit_layer_ids()) + 3

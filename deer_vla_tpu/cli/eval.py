@@ -170,9 +170,9 @@ def main(argv=None):
     use_fused = (args.engine == "fused" or
                  (args.engine == "auto" and controller is not None
                   and not args.use_action_ensemble))
-    if cfg.head.multi_step_action > 1:
-        use_fused = False  # jit engines compile k=1 widths; DeerPolicy
-        # emits the (k, 7) plan for the rollout queue
+    if cfg.head.multi_step_action > 1 or cfg.use_state or cfg.head.use_state:
+        use_fused = False  # jit engines compile k=1 stateless widths;
+        # DeerPolicy emits (k, 7) plans and feeds proprio state
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the

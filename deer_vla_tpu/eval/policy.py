@@ -83,8 +83,11 @@ class DeerPolicy:
         cfg = self.cfg
 
         @jax.jit
-        def encode_prefix(params, img, grip, ids, mask):
-            media = encode_vision(params, img, grip, cfg)
+        def encode_prefix(params, img, grip, ids, mask, state):
+            # state (or None) reaches the state_fc vision token when the
+            # model was trained with --use_state (flamingo.py:120-126);
+            # None vs array retraces, which is fine — it's fixed per rollout
+            media = encode_vision(params, img, grip, cfg, state)
             x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
             media_locations = ids == cfg.media_token_id
             return media, x, media_locations
@@ -145,7 +148,8 @@ class DeerPolicy:
         returns the 7-dof action (numpy) with the gripper binarized to ±1
         (eval_utils.py:458-475)."""
         media, x, mloc = self._encode_prefix(self.params, image, gripper,
-                                             input_ids, attention_mask)
+                                             input_ids, attention_mask,
+                                             state)
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers,
                                     x.shape[0], self.cfg.head.hidden_size,

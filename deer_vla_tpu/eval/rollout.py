@@ -136,8 +136,18 @@ class CalvinPolicyAdapter:
         img = img[:, None, None]   # (1, 1, 1, 3, 224, 224)
         grip = grip[:, None, None]
         ids, mask = self._tokenize(goal)
+        state = None
+        cfg = self.policy.cfg
+        if (cfg.use_state or cfg.head.use_state) and "robot_obs" in obs:
+            # proprio for state-trained models: state_fc vision token +
+            # head embed_state (same (1,1,1,state_dim) layout as training)
+            state = jnp.asarray(np.asarray(obs["robot_obs"], np.float32)
+                                )[None, None, None, :]
         t0 = time.perf_counter()
-        action = self.policy.step(img, grip, ids, mask)
+        if state is not None:  # jit engines (k=1, stateless) keep 4-arg step
+            action = self.policy.step(img, grip, ids, mask, state=state)
+        else:
+            action = self.policy.step(img, grip, ids, mask)
         self.llm_time = time.perf_counter() - t0
         return action
 

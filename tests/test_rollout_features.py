@@ -115,3 +115,38 @@ def test_grad_accum_matches_full_batch():
         np.asarray(s2.params["extra_exit"]["rnn"]["layers"][0]["wi"])
         - np.asarray(params["extra_exit"]["rnn"]["layers"][0]["wi"])))
     assert d > 0
+
+
+def test_eval_policy_feeds_state():
+    """State-trained models get proprio at eval: state_fc token + head
+    embed_state change the action; the adapter forwards robot_obs."""
+    import jax.numpy as jnp
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.rollout import CalvinPolicyAdapter, DebugEnv
+
+    base = deer_tiny()
+    tok = HashTokenizer(vocab_size=base.mpt.vocab_size,
+                        max_length=base.text_len)
+    cfg = dataclasses.replace(
+        base, use_state=True, media_token_id=tok.media_token_id,
+        head=dataclasses.replace(base.head, use_state=True))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = DeerPolicy(params, cfg, exit_id=3)
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = np.full((1, cfg.text_len), 3, np.int32)
+    ids[0, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((1, cfg.text_len), jnp.int32)
+    state = jnp.asarray(r.randn(1, 1, 1, cfg.state_dim), jnp.float32)
+    a0 = pol.step(img, img, ids, mask)
+    pol.reset()
+    a1 = pol.step(img, img, ids, mask, state=state)
+    assert np.all(np.isfinite(a0)) and np.all(np.isfinite(a1))
+    assert not np.allclose(a0, a1), "state must influence the action"
+
+    adapter = CalvinPolicyAdapter(pol, tok, text_len=cfg.text_len)
+    env = DebugEnv(img_hw=28, grip_hw=28)
+    act = adapter.step(env.get_obs(), "do something")  # robot_obs forwarded
+    assert act.shape == (7,) and np.all(np.isfinite(act))

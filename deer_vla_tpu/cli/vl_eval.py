@@ -106,6 +106,7 @@ def main(argv=None):
         rices_idx = ric.retrieve(imgs, args.shots)
 
     scores = []
+    cap_preds, cap_refs = [], []  # corpus-level CIDEr-D needs the full set
     for start in range(0, n, args.batch_size):
         idxs = list(range(start, min(start + args.batch_size, n)))
         samples = [ds[i] for i in idxs]
@@ -139,12 +140,17 @@ def main(argv=None):
             if args.task == "caption":
                 refs = [s["caption"]]
                 scores.append(caption_bleu1(text, refs))
+                cap_preds.append(text)
+                cap_refs.append(refs)
             else:
                 scores.append(vqa_accuracy(text, s.get("answers", [])))
 
     result = {"task": args.task, "n": n,
               "metric": "bleu1" if args.task == "caption" else "vqa_acc",
               "score": float(np.mean(scores)) if scores else 0.0}
+    if args.task == "caption":
+        from deer_vla_tpu.eval.vl_eval import cider_d
+        result["cider"] = cider_d(cap_preds, cap_refs)
     if rices_idx is not None:
         result["rices_example"] = rices_idx[0].tolist()
     print(json.dumps(result))

@@ -215,3 +215,72 @@ def caption_bleu1(prediction: str, references: Sequence[str]) -> float:
         bp = 1.0 if len(pred) >= len(r) else np.exp(1 - len(r) / max(len(pred), 1))
         best = max(best, p * bp)
     return float(best)
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D (Vedantam et al. 2015) — corpus-level, dependency-free
+# ---------------------------------------------------------------------------
+
+
+def _ngram_counts(tokens, n):
+    from collections import Counter
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+def cider_d(predictions: Sequence[str], references: Sequence[Sequence[str]],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """Corpus CIDEr-D score in [0, 10] (the COCO caption metric the
+    reference's eval suite reports; pycocoevalcap-equivalent math):
+    tf-idf n-gram vectors (n=1..4), per-n clipped cosine to each reference,
+    gaussian length penalty, averaged over n and refs, x10.
+
+    predictions[i] pairs with references[i] (a list of ref captions).
+    Corpus-level because idf is computed over the reference set.
+    """
+    import math
+    from collections import defaultdict
+
+    toks_p = [normalize_answer(p).split() for p in predictions]
+    toks_r = [[normalize_answer(r).split() for r in refs]
+              for refs in references]
+    n_img = len(toks_p)
+    if n_img == 0:
+        return 0.0
+
+    # document frequency over reference sets
+    df = [defaultdict(int) for _ in range(max_n)]
+    for refs in toks_r:
+        for n in range(max_n):
+            seen = set()
+            for r in refs:
+                seen |= set(_ngram_counts(r, n + 1).keys())
+            for g in seen:
+                df[n][g] += 1
+    log_n = math.log(max(n_img, 1))
+
+    def tfidf(counts, n):
+        vec, norm = {}, 0.0
+        length = sum(counts.values())
+        for g, c in counts.items():
+            idf = log_n - math.log(max(df[n][g], 1))  # unseen -> full idf
+            w = (c / max(length, 1)) * idf if length else 0.0
+            vec[g] = w
+            norm += w * w
+        return vec, math.sqrt(norm)
+
+    total = 0.0
+    for ti, refs in zip(toks_p, toks_r):
+        score_n = np.zeros(max_n)
+        for n in range(max_n):
+            cv, cn = tfidf(_ngram_counts(ti, n + 1), n)
+            for r in refs:
+                rv, rn = tfidf(_ngram_counts(r, n + 1), n)
+                # CIDEr-D clips candidate counts at reference counts
+                num = sum(min(cv.get(g, 0.0), rv[g]) * rv[g] for g in rv)
+                if cn > 0 and rn > 0:
+                    delta = len(ti) - len(r)
+                    penalty = math.exp(-delta * delta / (2 * sigma * sigma))
+                    score_n[n] += penalty * num / (cn * rn)
+            score_n[n] /= max(len(refs), 1)
+        total += float(score_n.mean())
+    return 10.0 * total / n_img

@@ -116,3 +116,24 @@ def test_classification_by_lm_score(tiny):
     idx, scores = classify_by_lm_score(p, cfg, img, ["dog", "cat", "banana"], tok)
     assert idx == 1
     assert scores[1] < scores[0] and scores[1] < scores[2]
+
+
+def test_cider_d_properties():
+    """CIDEr-D sanity: exact match scores max-ish, disjoint scores 0,
+    partial overlap in between; rare n-grams weigh more than common ones."""
+    from deer_vla_tpu.eval.vl_eval import cider_d
+    refs = [["a red block on the table"],
+            ["a man riding a horse"],
+            ["two cats sleeping on a couch"],
+            ["a plate of pasta with sauce"]]
+    exact = [r[0] for r in refs]
+    s_exact = cider_d(exact, refs)
+    assert s_exact > 5.0  # identical candidates score high
+    disjoint = ["zzz qqq xxx www vvv"] * 4
+    assert cider_d(disjoint, refs) == 0.0
+    partial = ["a red block", "a man riding", "two cats", "a plate"]
+    s_partial = cider_d(partial, refs)
+    assert 0.0 < s_partial < s_exact
+    # empty corpus / empty prediction don't crash
+    assert cider_d([], []) == 0.0
+    assert cider_d([""], [["a b c"]]) == 0.0

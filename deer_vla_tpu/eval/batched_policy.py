@@ -42,7 +42,7 @@ class BatchedDeerPolicy:
     def __init__(self, params: dict, cfg: DeerConfig, batch: int,
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
-                 threshold_type: str = "L2"):
+                 threshold_type: str = "L2", steps_per_stage: int = 1):
         assert cfg.head.multi_step_action == 1, (
             "BatchedDeerPolicy compiles k=1 action widths; use DeerPolicy "
             "for multi_step_action checkpoints")
@@ -52,10 +52,18 @@ class BatchedDeerPolicy:
         self.exit_ids = list(exit_ids or cfg.all_exit_ids())
         if thresholds is None:
             thresholds = [0.0] * (len(self.exit_ids) - 1) + [1e8]
-        self.thresholds = thresholds
+        self.thresholds = list(thresholds)
         self.threshold_type = threshold_type
+        # stage reuse (value_net.py set_timestep/steps_per_stage): a stream
+        # keeps its chosen exit for steps_per_stage timesteps; thresholds
+        # are runtime (B,) arrays so reuse needs no recompilation
+        self.steps_per_stage = steps_per_stage
         self._build()
         self.reset()
+
+    def set_thresholds(self, thresholds: List[float]):
+        """Runtime swap (BO sweeps) — thresholds are program inputs."""
+        self.thresholds = list(thresholds)
 
     def _build(self):
         cfg = self.cfg
@@ -68,9 +76,9 @@ class BatchedDeerPolicy:
 
         self._encode_prefix = encode_prefix
 
-        def segment(start, stop, thr, first_exit, params, x, mask, media,
+        def segment(start, stop, first_exit, params, x, mask, media,
                     mloc, carry, prev_action, done, best_out, best_carry,
-                    exit_layers):
+                    exit_layers, thr):
             x_prev, x_out = decoder_segment_forward(
                 params["decoder"], x, mask, media, cfg, start, stop, mloc)
             head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
@@ -105,11 +113,7 @@ class BatchedDeerPolicy:
         self._segments = []
         prev = 0
         for k, e in enumerate(self.exit_ids):
-            thr = float(self.thresholds[k])
-            # last bucket: force exit for all remaining streams
-            thr_eff = 1e30 if k == len(self.exit_ids) - 1 else thr
-            fn = jax.jit(functools.partial(segment, prev, e + 1, thr_eff,
-                                           k == 0))
+            fn = jax.jit(functools.partial(segment, prev, e + 1, k == 0))
             self._segments.append((e, fn))
             prev = e + 1
 
@@ -120,10 +124,14 @@ class BatchedDeerPolicy:
                            self.cfg.head.hidden_size, jnp.float32)
         if stream_mask is None or not hasattr(self, "carry"):
             self.carry = fresh
+            self._t = np.zeros(b, np.int64)
+            self._stage_exit = np.full(b, -1, np.int64)
         else:
             m = jnp.asarray(stream_mask)
             self.carry = tuple(jnp.where(m[None, :, None], f, c)
                                for f, c in zip(fresh, self.carry))
+            self._t = np.where(stream_mask, 0, self._t)
+            self._stage_exit = np.where(stream_mask, -1, self._stage_exit)
 
     def step(self, image: jnp.ndarray, gripper: jnp.ndarray,
              input_ids: jnp.ndarray, attention_mask: jnp.ndarray
@@ -142,17 +150,32 @@ class BatchedDeerPolicy:
         exit_layers = jnp.full((b,), -1, jnp.int32)
         # within-timestep reference chain (value_net.py:120-133)
         prev_action = jnp.zeros((b, 6), jnp.float32)
-        for e, fn in self._segments:
+        # per-stream stage reuse: during a held stage the delta test is
+        # bypassed — threshold +inf at the recorded exit's bucket, -inf
+        # before it (value_net.py reuse semantics, per stream)
+        k_stage = self.steps_per_stage
+        reuse = ((self._t % k_stage != 0) & (self._stage_exit >= 0)
+                 if k_stage > 1 else np.zeros(b, bool))
+        for j, (e, fn) in enumerate(self._segments):
+            base = 1e30 if j == len(self._segments) - 1 else \
+                float(self.thresholds[j])
+            thr_np = np.where(reuse,
+                              np.where(e >= self._stage_exit, 1e30, -1e30),
+                              base).astype(np.float32)
             (x, done, best_out, best_carry, all_done, exit_layers,
              action) = fn(self.params, x, attention_mask, media, mloc,
                           self.carry, prev_action, done, best_out,
-                          best_carry, exit_layers)
+                          best_carry, exit_layers, jnp.asarray(thr_np))
             # within-timestep: next bucket compares vs this bucket's action
             # (value_net.py:127 action_list semantics)
             prev_action = action
             if bool(all_done):  # ONE bool host read per bucket
                 break
         self.carry = best_carry
+        if k_stage > 1:
+            el_host = np.asarray(exit_layers, np.int64)
+            self._stage_exit = np.where(reuse, self._stage_exit, el_host)
+        self._t += 1
         arm = np.asarray(best_out[0][:, 0])
         grip = np.where(np.asarray(best_out[1][:, 0, 0]) > 0.5, 1.0, -1.0)
         return np.concatenate([arm, grip[:, None]], -1).astype(np.float32), \

@@ -70,3 +70,43 @@ def test_batched_early_exit_and_masked_commit(setup):
     c_after = np.asarray(bp.carry[0])
     assert np.all(c_after[:, 0] == 0)
     np.testing.assert_array_equal(c_after[:, 1:], c_before[:, 1:])
+
+
+def test_batched_steps_per_stage_reuse(setup):
+    """steps_per_stage=2: the fresh-step decision is held on the next step
+    per stream, ignoring thresholds; runtime set_thresholds needs no
+    rebuild; per-stream resets desynchronize the stage clocks
+    (value_net.py stage-reuse parity for the batched engine)."""
+    cfg, params = setup
+    b = 2
+    last = cfg.n_layers - 1
+    first = cfg.all_exit_ids()[0]
+    # t=0 fresh: impossible thresholds -> everyone runs to the final exit
+    bp = BatchedDeerPolicy(params, cfg, batch=b,
+                           thresholds=[-1.0] * (cfg.num_exits - 1) + [1e8],
+                           steps_per_stage=2)
+    img, grip, ids, mask = make_obs(cfg, b, seed=2)
+    _, e0 = bp.step(img, grip, ids, mask)
+    assert np.all(e0 == last)
+    # t=1 reuse: even with exit-everywhere thresholds the stage holds
+    bp.set_thresholds([1e8] * cfg.num_exits)
+    _, e1 = bp.step(img, grip, ids, mask)
+    assert np.all(e1 == last), "stage must be reused on odd steps"
+    # t=2 fresh again: the new thresholds take effect -> first exit
+    _, e2 = bp.step(img, grip, ids, mask)
+    assert np.all(e2 == first)
+    # t=3 reuse of the new stage, even with never-exit thresholds
+    bp.set_thresholds([-1.0] * (cfg.num_exits - 1) + [1e8])
+    _, e3 = bp.step(img, grip, ids, mask)
+    assert np.all(e3 == first)
+
+    # per-stream stage clocks: reset stream 0 right after a fresh step so
+    # the two streams land on different phases
+    bp.reset()
+    bp.set_thresholds([-1.0] * (cfg.num_exits - 1) + [1e8])
+    bp.step(img, grip, ids, mask)                       # both fresh -> last
+    bp.reset(stream_mask=np.array([True, False]))       # s0 clock -> 0
+    bp.set_thresholds([1e8] * cfg.num_exits)
+    _, e5 = bp.step(img, grip, ids, mask)
+    assert e5[0] == first, "reset stream decides fresh with new thresholds"
+    assert e5[1] == last, "unreset stream still holds its recorded stage"

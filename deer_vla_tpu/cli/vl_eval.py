@@ -133,10 +133,15 @@ def main(argv=None):
                               max_new_tokens=args.max_new_tokens,
                               eos_id=getattr(tok, "eos_token_id", None))
         for row, s in zip(out, samples):
-            text = " ".join(str(t) for t in row)  # hash-tok ids; HF tok decodes
+            toks = [int(t) for t in row]
+            eos = getattr(tok, "eos_token_id", None)
+            if eos is not None and eos in toks:
+                # greedy_generate pads the tail with eos; drop it so raw-id
+                # joins don't grow phantom tokens that pollute the metrics
+                toks = toks[:toks.index(eos)]
+            text = " ".join(str(t) for t in toks)  # hash-tok ids; HF decodes
             if hasattr(tok, "tok"):
-                text = tok.tok.decode([int(t) for t in row],
-                                      skip_special_tokens=True)
+                text = tok.tok.decode(toks, skip_special_tokens=True)
             if args.task == "caption":
                 refs = [s["caption"]]
                 scores.append(caption_bleu1(text, refs))

@@ -236,8 +236,14 @@ class DeerConfig:
 
         flamingo_mpt.py:239: range(exit_interval-1, early_exit_layer, interval)
         where early_exit_layer == n_layers-1 after truncation.
+
+        Layer 0 can never be an exit (the exit criterion needs a pseudo
+        action from the layer below, value_net.py:121-126 asserts
+        0 not in exit_list), so exit_interval=1 (every-layer ablation)
+        starts at layer 1.
         """
-        return tuple(range(self.exit_interval - 1, self.n_layers - 1, self.exit_interval))
+        start = max(self.exit_interval - 1, 1)
+        return tuple(range(start, self.n_layers - 1, self.exit_interval))
 
     def all_exit_ids(self) -> Tuple[int, ...]:
         """Internal exits + final layer (flamingo_mpt.py:268-270)."""

@@ -117,13 +117,11 @@ def classify_by_lm_score(params: dict, cfg: DeerConfig, vision_x,
     scorer = make_lm_scorer(cfg)
     texts = [f"{prompt} {c}" for c in class_texts]
     ids, mask = text_fn(texts)
-    p_ids, p_mask = text_fn([prompt] * len(texts))
+    _, p_mask = text_fn([prompt] * len(texts))
     ids, mask = fixed_length(ids, mask, tl, getattr(text_fn, "pad_token_id", 0))
     p_len = p_mask.sum(1) - 2  # exclude the tokenizer's trailing <eoc><eos>
     pos = np.arange(ids.shape[1])[None]
-    target_mask = ((pos >= p_len[:, None]) & (fixed_length(
-        mask, mask, tl, 0)[0] > 0)).astype(np.int32)
-    mask = fixed_length(mask, mask, tl, 0)[0]
+    target_mask = ((pos >= p_len[:, None]) & (mask > 0)).astype(np.int32)
     n = len(texts)
     vis = jnp.repeat(vision_x, n, axis=0)
     scores = np.asarray(scorer(params, vis, jnp.asarray(ids),
@@ -196,10 +194,20 @@ def normalize_answer(s: str) -> str:
 
 
 def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
-    """Official VQA accuracy: min(#matching human answers / 3, 1)."""
+    """Official VQA accuracy: the average over all leave-one-out subsets of
+    the human answers of min(#matching answers in subset / 3, 1) — the
+    vqaEval.py formula (for k answers: mean over k subsets of size k-1).
+    Falls back to min(matches/3, 1) when fewer than 2 answers exist."""
     pred = normalize_answer(prediction)
     matches = sum(normalize_answer(a) == pred for a in answers)
-    return min(matches / 3.0, 1.0)
+    k = len(answers)
+    if k < 2:
+        return min(matches / 3.0, 1.0)
+    # leaving out a matching answer -> m-1 matches remain; else m remain
+    acc_without_match = min((matches - 1) / 3.0, 1.0) if matches else 0.0
+    acc_with_match = min(matches / 3.0, 1.0)
+    return (matches * acc_without_match
+            + (k - matches) * acc_with_match) / k
 
 
 def caption_bleu1(prediction: str, references: Sequence[str]) -> float:
@@ -259,11 +267,14 @@ def cider_d(predictions: Sequence[str], references: Sequence[Sequence[str]],
     log_n = math.log(max(n_img, 1))
 
     def tfidf(counts, n):
+        # pycocoevalcap uses RAW counts * idf (no length normalization):
+        # the scale matters inside the min() clipping below, where a
+        # normalized candidate vector would be clipped against a
+        # differently-scaled reference vector
         vec, norm = {}, 0.0
-        length = sum(counts.values())
         for g, c in counts.items():
             idf = log_n - math.log(max(df[n][g], 1))  # unseen -> full idf
-            w = (c / max(length, 1)) * idf if length else 0.0
+            w = c * idf
             vec[g] = w
             norm += w * w
         return vec, math.sqrt(norm)

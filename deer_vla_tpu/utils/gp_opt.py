@@ -63,6 +63,11 @@ def gp_minimize_lite(objective: Callable[[Sequence[float]], float],
     for _ in range(min(n_rand, evals_left)):
         evaluate(ask_random())
 
+    if not X and evals_left > 0:
+        # no warm start and n_initial=0: the GP needs at least one
+        # observation — seed with the bounds center
+        evaluate(lo + 0.5 * span)
+
     while evals_left > 0:
         Xa = np.stack(X)
         ya = np.asarray(y)

@@ -32,6 +32,8 @@ namespace {
 struct Member {
   uint64_t data_offset;  // absolute offset of the npy payload's start
   uint64_t comp_size;
+  uint64_t uncomp_size;  // from the central directory (probe needs it
+                         // without inflating the whole member)
   uint16_t method;
 };
 
@@ -67,6 +69,7 @@ int find_member(FILE* f, const std::string& key, Member* out) {
     if (rd32(&cd[p]) != 0x02014b50) return -4;
     uint16_t method = rd16(&cd[p + 10]);
     uint32_t csize = rd32(&cd[p + 20]);
+    uint32_t usize = rd32(&cd[p + 24]);
     uint16_t nlen = rd16(&cd[p + 28]);
     uint16_t xlen = rd16(&cd[p + 30]);
     uint16_t clen = rd16(&cd[p + 32]);
@@ -82,6 +85,7 @@ int find_member(FILE* f, const std::string& key, Member* out) {
       uint16_t lxlen = rd16(&lh[28]);
       out->data_offset = (uint64_t)lho + 30 + lnlen + lxlen;
       out->comp_size = csize;
+      out->uncomp_size = usize;
       out->method = method;
       return 0;
     }
@@ -140,8 +144,11 @@ long parse_npy(FILE* f, uint64_t off, long* shape, int* ndim, char* dtype) {
   return (long)(body + hlen);
 }
 
-// Inflate a DEFLATE-compressed member fully into memory.
-int inflate_member(FILE* f, const Member& m, std::vector<unsigned char>* out) {
+// Inflate a DEFLATE-compressed member into memory.  max_out == 0 inflates
+// the full member; max_out > 0 stops after that many output bytes (probe
+// only needs the npy header, not the payload).
+int inflate_member(FILE* f, const Member& m, std::vector<unsigned char>* out,
+                   size_t max_out = 0) {
   std::vector<unsigned char> comp(m.comp_size);
   if (fseek(f, m.data_offset, SEEK_SET) != 0) return -1;
   if (fread(comp.data(), 1, m.comp_size, f) != m.comp_size) return -1;
@@ -150,11 +157,15 @@ int inflate_member(FILE* f, const Member& m, std::vector<unsigned char>* out) {
   if (inflateInit2(&zs, -MAX_WBITS) != Z_OK) return -4;  // raw deflate
   zs.next_in = comp.data();
   zs.avail_in = (uInt)comp.size();
-  out->resize(std::max<size_t>(comp.size() * 4, 1 << 16));
+  out->resize(max_out ? max_out
+                      : std::max<size_t>(comp.size() * 4, 1 << 16));
   int ret;
   size_t written = 0;
   do {
-    if (written == out->size()) out->resize(out->size() * 2);
+    if (written == out->size()) {
+      if (max_out) break;  // header cap reached — enough for the probe
+      out->resize(out->size() * 2);
+    }
     zs.next_out = out->data() + written;
     zs.avail_out = (uInt)(out->size() - written);
     ret = inflate(&zs, Z_NO_FLUSH);
@@ -211,6 +222,20 @@ int read_one(const char* path, const char* key, void* out, long out_cap,
   if (rc != 0) { fclose(f); return rc; }
   if (m.method == 8) {  // DEFLATE (savez_compressed): inflate then parse
     std::vector<unsigned char> raw;
+    if (!out) {
+      // probe: inflate only enough for the npy header (v1 headers are
+      // <= 64KB+10); payload size comes from the central directory's
+      // uncompressed size — avoids decompressing the member twice per
+      // probe+read pair
+      rc = inflate_member(f, m, &raw, (1 << 16) + 64);
+      fclose(f);
+      if (rc != 0) return rc;
+      long payload = parse_npy_mem(raw.data(), raw.size(), shape, ndim,
+                                   dtype);
+      if (payload < 0) return (int)payload;
+      if (nbytes) *nbytes = (long)(m.uncomp_size - (uint64_t)payload);
+      return 0;
+    }
     rc = inflate_member(f, m, &raw);
     fclose(f);
     if (rc != 0) return rc;
@@ -218,10 +243,8 @@ int read_one(const char* path, const char* key, void* out, long out_cap,
     if (payload < 0) return (int)payload;
     long data_bytes = (long)(raw.size() - payload);
     if (nbytes) *nbytes = data_bytes;
-    if (out) {
-      if (data_bytes > out_cap) return -5;
-      memcpy(out, raw.data() + payload, data_bytes);
-    }
+    if (data_bytes > out_cap) return -5;
+    memcpy(out, raw.data() + payload, data_bytes);
     return 0;
   }
   if (m.method != 0) { fclose(f); return -3; }

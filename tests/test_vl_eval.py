@@ -79,10 +79,17 @@ def test_rices_retrieval(tiny):
 
 
 def test_vqa_metrics():
+    """Official vqaEval.py leave-one-out semantics: mean over the k subsets
+    of size k-1 of min(matches_in_subset/3, 1)."""
     from deer_vla_tpu.eval.vl_eval import caption_bleu1, vqa_accuracy
-    assert vqa_accuracy("The red block", ["red block"] * 3) == 1.0
+    assert vqa_accuracy("The red block", ["red block"] * 10) == 1.0
     assert vqa_accuracy("blue", ["red"] * 10) == 0.0
-    assert vqa_accuracy("red", ["red", "blue", "green"]) == pytest.approx(1 / 3)
+    # 3 of 10 matching: (7*min(3/3,1) + 3*min(2/3,1)) / 10 = 0.9
+    assert vqa_accuracy("red", ["red"] * 3 + ["blue"] * 7) == pytest.approx(0.9)
+    # 1 of 10 matching: (9*(1/3) + 1*0) / 10 = 0.3
+    assert vqa_accuracy("red", ["red"] + ["blue"] * 9) == pytest.approx(0.3)
+    # single-answer fallback keeps the simple clip
+    assert vqa_accuracy("red", ["red"]) == pytest.approx(1 / 3)
     assert caption_bleu1("a red block on the table",
                          ["red block on a table"]) > 0.5
     assert caption_bleu1("", ["anything"]) == 0.0

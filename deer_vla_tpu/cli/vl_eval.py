@@ -16,7 +16,12 @@ from deer_vla_tpu.utils.errors import record
 
 def build_parser():
     p = argparse.ArgumentParser(description="DeeR-VLA TPU VL benchmark eval")
-    p.add_argument("--task", choices=["caption", "vqa"], default="caption")
+    p.add_argument("--task", choices=["caption", "vqa", "classify"],
+                   default="caption")
+    p.add_argument("--labels", default="",
+                   help="classify task: json {classes: [...], samples: "
+                        "[{file_name, label}]} (ImageNet/Flickr-style "
+                        "zero-shot classification by LM score)")
     p.add_argument("--model", default="tiny")
     p.add_argument("--evaluate_from_checkpoint", default="")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
@@ -63,6 +68,44 @@ def _synthetic_fixture(args, cfg, tmpdir):
     return img_dir, ann_p, q_p, a_p
 
 
+def _run_classify(args, cfg, params, tok, img_dir, size):
+    """Zero-shot classification by LM score (classification_utils
+    equivalent): rank 'A photo of a <class>' continuations per image by
+    summed NLL, report top-1 accuracy."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from deer_vla_tpu.data.preprocess import clip_preprocess
+    from deer_vla_tpu.data.vl_dataset import _load_image
+    from deer_vla_tpu.eval.vl_eval import classify_by_lm_score
+
+    if args.debug:
+        # synthetic fixture images are named {i}.jpg with class i % 5
+        classes = [f"object {k}" for k in range(5)]
+        samples = [{"file_name": f"{i}.jpg", "label": i % 5}
+                   for i in range(max(8, args.num_samples))]
+    else:
+        if not args.labels:
+            raise SystemExit("--task classify needs --labels <spec.json> "
+                             "(or --debug for the synthetic fixture)")
+        spec = json.load(open(args.labels))
+        classes, samples = spec["classes"], spec["samples"]
+
+    n = min(args.num_samples, len(samples))
+    correct = 0
+    for s in samples[:n]:
+        img = _load_image(os.path.join(img_dir, s["file_name"]), size)
+        vis = np.asarray(clip_preprocess(jnp.asarray(img[None]), size))
+        pred, _ = classify_by_lm_score(params, cfg,
+                                       jnp.asarray(vis)[:, None, None],
+                                       classes, tok)
+        correct += int(pred == int(s["label"]))
+    result = {"task": "classify", "n": n, "metric": "top1_acc",
+              "score": correct / max(n, 1), "n_classes": len(classes)}
+    print(json.dumps(result))
+    return result
+
+
 @record
 def main(argv=None):
     args = build_parser().parse_args(argv)
@@ -89,6 +132,8 @@ def main(argv=None):
                                     args.questions, args.annotations)
 
     size = cfg.vit.image_size
+    if args.task == "classify":
+        return _run_classify(args, cfg, params, tok, img_dir, size)
     if args.task == "caption":
         ds = CaptionDataset(img_dir, ann_p, image_size=size)
     else:

@@ -144,3 +144,13 @@ def test_cider_d_properties():
     # empty corpus / empty prediction don't crash
     assert cider_d([], []) == 0.0
     assert cider_d([""], [["a b c"]]) == 0.0
+
+
+def test_classify_cli_debug(tmp_path):
+    """--task classify end to end on the synthetic fixture: valid top-1
+    accuracy over 5 classes."""
+    from deer_vla_tpu.cli.vl_eval import main
+    res = main(["--task", "classify", "--debug", "--model", "tiny",
+                "--num_samples", "4", "--precision", "fp32"])
+    assert res["metric"] == "top1_acc" and res["n_classes"] == 5
+    assert 0.0 <= res["score"] <= 1.0

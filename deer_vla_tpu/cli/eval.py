@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: batched rollout — N env streams in lockstep "
                         "through one batched policy program "
                         "(eval/batched_rollout.py; ~lanes-x eval speedup)")
+    p.add_argument("--action_cache_tau", type=float, default=0.0,
+                   help=">0: training-free action caching — replay the "
+                        "previous action while the frame delta stays below "
+                        "tau (eval/caching.py; approximate for LSTM carry)")
+    p.add_argument("--action_cache_refresh", type=int, default=5)
+    p.add_argument("--vision_cache_tau", type=float, default=0.0,
+                   help=">0: visual-token caching — reuse ViT+perceiver "
+                        "latents across near-identical frames (exact head "
+                        "semantics; bucketed engine)")
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -170,9 +179,13 @@ def main(argv=None):
     use_fused = (args.engine == "fused" or
                  (args.engine == "auto" and controller is not None
                   and not args.use_action_ensemble))
-    if cfg.head.multi_step_action > 1 or cfg.use_state or cfg.head.use_state:
-        use_fused = False  # jit engines compile k=1 stateless widths;
-        # DeerPolicy emits (k, 7) plans and feeds proprio state
+    if (cfg.use_state or cfg.head.use_state or args.multi_execution > 1
+            or args.vision_cache_tau > 0):
+        use_fused = False  # the jit engines are stateless (no proprio
+        # thread) and don't repeat actions; DeerPolicy covers both, and
+        # vision caching needs its split encode program.
+        # multi_step_action k>1 IS supported by the jit engines ((k, 7)
+        # plans into the rollout queue).
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
@@ -188,6 +201,13 @@ def main(argv=None):
                             threshold_type=args.threshold_type,
                             use_action_ensemble=args.use_action_ensemble,
                             multi_execution=args.multi_execution)
+        if args.vision_cache_tau > 0:
+            from deer_vla_tpu.eval.caching import VisionCacheDeerPolicy
+            policy = VisionCacheDeerPolicy(policy, tau=args.vision_cache_tau)
+    if args.action_cache_tau > 0:
+        from deer_vla_tpu.eval.caching import ActionCachePolicy
+        policy = ActionCachePolicy(policy, tau=args.action_cache_tau,
+                                   refresh_every=args.action_cache_refresh)
     adapter = CalvinPolicyAdapter(policy, tok, text_len=cfg.text_len)
 
     if args.debug or not args.calvin_conf_path:
@@ -241,6 +261,13 @@ def main(argv=None):
     from deer_vla_tpu.eval.flops import paper_convention_gflops
     report["avg_llm_gflops_paper_conv"] = float(sum(
         paper_convention_gflops(cfg, i) * p for i, p in enumerate(hist) if p > 0))
+    if args.action_cache_tau > 0:
+        report["action_cache_hit_rate"] = policy.hits / max(1, policy.steps)
+        print(f"action cache: {policy.hits}/{policy.steps} hits")
+    if args.vision_cache_tau > 0:
+        vc = policy.policy if args.action_cache_tau > 0 else policy
+        report["vision_cache_hit_rate"] = vc.encode_hits / max(1, vc.steps)
+        print(f"vision-token cache: {vc.encode_hits}/{vc.steps} encode hits")
     print(format_report(report))
     # -- BO/eval_ckpts parse contract: last three lines ---------------------
     th_list = [thresholds[e] for e in sorted(thresholds)] if thresholds else []

@@ -56,6 +56,32 @@ class HashTokenizer:
             mask[i, :len(s)] = 1
         return input_ids, mask
 
+    def encode_raw(self, texts: Sequence[str], max_length: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokenize text that already contains inline ``<image>`` /
+        ``<|endofchunk|>`` markers (interleaved MMC4-style sequences,
+        open_flamingo/train/data.py:216-233).  Fixed max_length padding."""
+        import re
+        parts = re.compile(r"(<image>|<\|endofchunk\|>)")
+        seqs: List[List[int]] = []
+        for t in texts:
+            ids: List[int] = []
+            for piece in parts.split(t.strip()):
+                if piece == "<image>":
+                    ids.append(self.media_token_id)
+                elif piece == "<|endofchunk|>":
+                    ids.append(self.eoc_token_id)
+                else:
+                    ids += [self._word_id(w) for w in piece.split()]
+            ids.append(self.eos_token_id)
+            seqs.append(ids[:max_length])
+        input_ids = np.full((len(seqs), max_length), self.pad_token_id, np.int32)
+        mask = np.zeros((len(seqs), max_length), np.int32)
+        for i, s in enumerate(seqs):
+            input_ids[i, :len(s)] = s
+            mask[i, :len(s)] = 1
+        return input_ids, mask
+
 
 class HFTokenizer:
     """transformers-backed tokenizer with the Flamingo specials appended
@@ -82,6 +108,16 @@ class HFTokenizer:
         enc = self.tok(sample, max_length=self.max_length, padding="longest",
                        truncation="only_first", return_tensors="np")
         return enc["input_ids"].astype(np.int32), enc["attention_mask"].astype(np.int32)
+
+    def encode_raw(self, texts: Sequence[str], max_length: int
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+        """Tokenize text with inline special markers, fixed-length padding
+        (MMC4 interleaved format, open_flamingo/train/data.py:216-233)."""
+        enc = self.tok(list(texts), max_length=max_length,
+                       padding="max_length", truncation=True,
+                       return_tensors="np")
+        return enc["input_ids"].astype(np.int32), \
+            enc["attention_mask"].astype(np.int32)
 
 
 def fixed_length(ids: np.ndarray, mask: np.ndarray, length: int,

@@ -43,9 +43,6 @@ class BatchedDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", steps_per_stage: int = 1):
-        assert cfg.head.multi_step_action == 1, (
-            "BatchedDeerPolicy compiles k=1 action widths; use DeerPolicy "
-            "for multi_step_action checkpoints")
         self.params = params
         self.cfg = cfg
         self.batch = batch
@@ -143,13 +140,15 @@ class BatchedDeerPolicy:
         media, x, mloc = self._encode_prefix(self.params, image, gripper,
                                              input_ids, attention_mask)
         b = self.batch
+        adim = self.cfg.head.out_features * self.cfg.head.multi_step_action
+        gdim = self.cfg.head.multi_step_action
         done = jnp.zeros((b,), bool)
-        best_out = (jnp.zeros((b, 1, 6), jnp.float32),
-                    jnp.zeros((b, 1, 1), jnp.float32))
+        best_out = (jnp.zeros((b, 1, adim), jnp.float32),
+                    jnp.zeros((b, 1, gdim), jnp.float32))
         best_carry = self.carry
         exit_layers = jnp.full((b,), -1, jnp.int32)
         # within-timestep reference chain (value_net.py:120-133)
-        prev_action = jnp.zeros((b, 6), jnp.float32)
+        prev_action = jnp.zeros((b, adim), jnp.float32)
         # per-stream stage reuse: during a held stage the delta test is
         # bypassed — threshold +inf at the recorded exit's bucket, -inf
         # before it (value_net.py reuse semantics, per stream)
@@ -176,7 +175,14 @@ class BatchedDeerPolicy:
             el_host = np.asarray(exit_layers, np.int64)
             self._stage_exit = np.where(reuse, self._stage_exit, el_host)
         self._t += 1
+        k = self.cfg.head.multi_step_action
         arm = np.asarray(best_out[0][:, 0])
-        grip = np.where(np.asarray(best_out[1][:, 0, 0]) > 0.5, 1.0, -1.0)
-        return np.concatenate([arm, grip[:, None]], -1).astype(np.float32), \
-            np.asarray(exit_layers).astype(np.int64)
+        gp = np.asarray(best_out[1][:, 0])  # (B, k)
+        grip = np.where(gp > 0.5, 1.0, -1.0)
+        if k > 1:
+            # (B, k, 7) plans for multi_step_action checkpoints
+            acts = np.concatenate([arm.reshape(b, k, 6), grip[:, :, None]],
+                                  -1).astype(np.float32)
+        else:
+            acts = np.concatenate([arm, grip], -1).astype(np.float32)
+        return acts, np.asarray(exit_layers).astype(np.int64)

@@ -134,28 +134,41 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         actions, exit_layers = policy.step_batch(
             img_d, grip_d, jnp.asarray(np.stack(idss)),
             jnp.asarray(np.stack(masks)))
+        # multi_step_action k>1: step_batch returns (B, k, 7) plans; every
+        # active stream executes its k planned actions before the next
+        # dispatch (plans stay phase-aligned across streams).  A stream that
+        # finishes its subtask mid-plan drops the plan remainder and idles
+        # until the cursor wraps (the reference queues plans per stream,
+        # eval_utils.py:668-675; lockstep batching makes the drop the
+        # semantically safe choice after a policy reset).
+        plans = actions if actions.ndim == 3 else actions[:, None, :]
+        valid = [st.active for st in streams]
 
-        for st in streams:
-            if not st.active:
-                continue
-            st.exit_layers.append(int(exit_layers[st.idx]))
-            obs, _, _, info = envs[st.idx].step(actions[st.idx])
-            st.step += 1
-            subtask = st.chain[st.subtask_i]
-            done = bool(task_oracle.get_task_info_for_set(
-                st.start_info, info, {subtask}))
-            if done:
-                st.successes += 1
-                s_exits.extend(st.exit_layers)
-                s_steps.append(st.step)
-                st.subtask_i += 1
-                if st.subtask_i >= len(st.chain):
+        for j in range(plans.shape[1]):
+            for st in streams:
+                if not st.active or not valid[st.idx]:
+                    continue
+                if j == 0:
+                    st.exit_layers.append(int(exit_layers[st.idx]))
+                obs, _, _, info = envs[st.idx].step(plans[st.idx, j])
+                st.step += 1
+                subtask = st.chain[st.subtask_i]
+                done = bool(task_oracle.get_task_info_for_set(
+                    st.start_info, info, {subtask}))
+                if done:
+                    st.successes += 1
+                    s_exits.extend(st.exit_layers)
+                    s_steps.append(st.step)
+                    st.subtask_i += 1
+                    if st.subtask_i >= len(st.chain):
+                        _finish_sequence(st)
+                    else:
+                        _begin_subtask(st)
+                    valid[st.idx] = False
+                elif st.step >= ep_len:
+                    f_exits.extend(st.exit_layers)
                     _finish_sequence(st)
-                else:
-                    _begin_subtask(st)
-            elif st.step >= ep_len:
-                f_exits.extend(st.exit_layers)
-                _finish_sequence(st)
+                    valid[st.idx] = False
 
     ordered = [results[i] for i in sorted(results)]
     nl = n_layers or policy.cfg.n_layers

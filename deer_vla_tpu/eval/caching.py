@@ -1,0 +1,199 @@
+"""Training-free inference acceleration: action caching + visual-token
+caching (optional modes composing with dynamic early exit).
+
+Implements the two cache ideas from the retrieved VLA-acceleration papers
+(PAPERS.md):
+  * action caching ("Training-Free Acceleration for VLA Models with Action
+    Caching and Refinement"): consecutive CALVIN frames are often nearly
+    identical; when the frame delta is below a threshold, replay the cached
+    action (optionally refreshed every ``refresh_every`` steps) and skip the
+    policy entirely.  NOTE: for LSTM-carry heads this is an approximation —
+    the carry does not advance on cache hits (the papers target carry-free
+    VLAs); keep taus tight or prefer vision caching for exact head state.
+  * visual-token caching ("Adaptive Visual Token Caching"): reuse the
+    ViT+perceiver media latents (the dominant shallow-exit cost) when the
+    frame changed little, but ALWAYS run the decoder + head — head carry
+    and exit decisions stay exact, only the vision latents are stale.
+
+Both gates run as one tiny jitted program (downsampled pixel-space mean-L2
+between consecutive frames) so the host sees a single scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def frame_delta(a: jnp.ndarray, b: jnp.ndarray, stride: int = 4) -> jnp.ndarray:
+    """Mean-L2 between two (..., 3, H, W) or (..., H, W, 3) frames on a
+    ``stride``-subsampled grid, normalized to [0, ~1] for uint8-scale inputs."""
+    a = a.astype(jnp.float32).reshape(-1, *a.shape[-2:])
+    b = b.astype(jnp.float32).reshape(-1, *b.shape[-2:])
+    da = a[..., ::stride, ::stride] - b[..., ::stride, ::stride]
+    return jnp.sqrt(jnp.mean(jnp.square(da)))
+
+
+class ActionCachePolicy:
+    """Wrap any policy (DeerPolicy / FusedDeerPolicy / ScanDeerPolicy):
+    replay the previous action while the observation is static.
+
+    Cache hits are counted in ``hits`` / total in ``steps``;
+    ``last_exit_layer`` reports -1 on hits so exit histograms / FLOPs
+    accounting see a zero-layer action.
+    """
+
+    def __init__(self, policy, tau: float = 0.03, refresh_every: int = 5):
+        self.policy = policy
+        self.cfg = policy.cfg
+        self.tau = tau
+        self.refresh_every = max(1, refresh_every)
+        self.hits = 0
+        self.steps = 0
+        self.reset()
+
+    def reset(self):
+        self.policy.reset()
+        self._prev_frame = None
+        self._cached_action = None
+        self._since_miss = 0
+        self.last_exit_layer = getattr(self.policy, "last_exit_layer", -1)
+
+    def set_timestep(self, t: int):
+        self.policy.set_timestep(t)
+
+    def step(self, image, gripper, input_ids, attention_mask, state=None):
+        self.steps += 1
+        hit = False
+        if (self._cached_action is not None
+                and self._since_miss < self.refresh_every):
+            d = float(frame_delta(image, self._prev_frame))
+            hit = d <= self.tau
+        if hit:
+            self.hits += 1
+            self._since_miss += 1
+            self.last_exit_layer = -1  # zero LLM layers ran
+            return self._cached_action
+        self._prev_frame = image
+        self._since_miss = 1
+        action = self.policy.step(image, gripper, input_ids, attention_mask,
+                                  state)
+        self._cached_action = action
+        self.last_exit_layer = self.policy.last_exit_layer
+        return action
+
+
+class VisionCacheDeerPolicy:
+    """DeerPolicy variant with visual-token caching: when the frame delta is
+    below tau, reuse the previous step's media latents and goal-token
+    embedding (skipping the dual ViT + perceiver encode) and run only the
+    decoder buckets + head.  Head carries, exit decisions and actions follow
+    the exact dynamic-exit protocol — only the vision conditioning is stale.
+
+    Implemented as composition around eval/policy.DeerPolicy's split
+    programs (encode_prefix is already a separate jit program there).
+    """
+
+    def __init__(self, inner, tau: float = 0.05):
+        from deer_vla_tpu.eval.policy import DeerPolicy
+        assert isinstance(inner, DeerPolicy), \
+            "vision caching needs the bucketed DeerPolicy (split encode)"
+        self.inner = inner
+        self.cfg = inner.cfg
+        self.tau = tau
+        self.encode_hits = 0
+        self.steps = 0
+        self.reset()
+
+    def reset(self):
+        self.inner.reset()
+        self._prev_frame = None
+        self._cached = None  # (media, x0, mloc)
+
+    def set_timestep(self, t: int):
+        self.inner.set_timestep(t)
+
+    @property
+    def last_exit_layer(self):
+        return self.inner.last_exit_layer
+
+    @property
+    def carry(self):
+        return self.inner.carry
+
+    def step(self, image, gripper, input_ids, attention_mask, state=None):
+        self.steps += 1
+        hit = False
+        if self._cached is not None:
+            hit = float(frame_delta(image, self._prev_frame)) <= self.tau
+        if not hit:
+            self._cached = self.inner._encode_prefix(
+                self.inner.params, image, gripper, input_ids,
+                attention_mask, state)
+            self._prev_frame = image
+        self.encode_hits += int(hit)
+        media, x0, mloc = self._cached
+        return self._step_from_encoded(media, x0, mloc, attention_mask, state)
+
+    def _step_from_encoded(self, media, x0, mloc, attention_mask, state):
+        """The bucket-sequencing tail of DeerPolicy.step, starting from
+        (media, x, media_locations)."""
+        inner = self.inner
+        from deer_vla_tpu.ops.lstm import zero_carry
+        if inner.carry is None:
+            inner.carry = zero_carry(inner.cfg.head.lstm_num_layers,
+                                     x0.shape[0], inner.cfg.head.hidden_size,
+                                     jnp.float32)
+        ctrl = inner.controller
+        adim = inner.cfg.head.out_features * inner.cfg.head.multi_step_action
+        prev_action = jnp.zeros((x0.shape[0], adim), jnp.float32)
+        reuse = ctrl is not None and ctrl.reuse_stage_exit()
+        chosen = None
+        x = x0
+        for k, (start, e, fn, fn_first) in enumerate(inner._segments):
+            run_fn = fn_first if (k == 0 and ctrl is not None) else fn
+            x, out, cand_carry, delta = run_fn(
+                inner.params, x, attention_mask, media, mloc, inner.carry,
+                prev_action, state)
+            prev_action = out.actions[:, 0]
+            if ctrl is None:
+                chosen = (e, out, cand_carry)
+                break
+            if reuse:
+                if e >= min(ctrl.cur_exit_id, ctrl.effective_max):
+                    chosen = (e, out, cand_carry)
+                    break
+                continue
+            ctrl.record_action((np.asarray(out.actions[:, 0]),
+                                np.asarray(out.gripper_probs[:, 0])))
+            if ctrl.should_exit(e, float(delta)):
+                chosen = (e, out, cand_carry)
+                break
+        assert chosen is not None
+        exit_layer, out, cand_carry = chosen
+        inner.carry = cand_carry
+        inner.last_exit_layer = exit_layer
+        if ctrl is not None and reuse:
+            ctrl.cur_exit_id = exit_layer
+            ctrl.record_action((np.asarray(out.actions[:, 0]),
+                                np.asarray(out.gripper_probs[:, 0])))
+        k = inner.cfg.head.multi_step_action
+        arm = np.asarray(out.actions[0, 0], np.float32)
+        gp = np.asarray(out.gripper_probs[0, 0], np.float32).reshape(-1)
+        if k > 1:
+            grip = np.where(gp > 0.5, 1.0, -1.0).astype(np.float32)
+            plan = np.concatenate([arm.reshape(k, 6), grip[:, None]],
+                                  -1).astype(np.float32)
+            if inner.multi_execution > 1:
+                plan = np.repeat(plan, inner.multi_execution, axis=0)
+            return plan
+        grip = 1.0 if float(gp[0]) > 0.5 else -1.0
+        action = np.concatenate([arm, [grip]]).astype(np.float32)
+        if inner.multi_execution > 1:
+            return np.tile(action, (inner.multi_execution, 1))
+        return action

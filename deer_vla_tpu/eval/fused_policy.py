@@ -50,15 +50,19 @@ def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
         mloc = ids == cfg.media_token_id
         head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
         b = x.shape[0]
+        # multi_step_action k>1: arm width 6k, gripper width k (flat head
+        # output); the exit delta spans the full plan, as in DeerPolicy
+        adim = cfg.head.out_features * cfg.head.multi_step_action
+        gdim = cfg.head.multi_step_action
 
         done = jnp.zeros((), bool)
-        best_arm = jnp.zeros((b, 6), jnp.float32)
-        best_grip = jnp.zeros((b,), jnp.float32)
+        best_arm = jnp.zeros((b, adim), jnp.float32)
+        best_grip = jnp.zeros((b, gdim), jnp.float32)
         best_carry = carry
         exit_layer = jnp.zeros((), jnp.int32)
         # within-timestep reference chain (value_net.py:120-133): set by the
         # first bucket's pseudo action, then each bucket's own action
-        ref_action = jnp.zeros((b, 6), jnp.float32)
+        ref_action = jnp.zeros((b, adim), jnp.float32)
 
         for k, (start, stop) in enumerate(segments):
             is_last = k == len(segments) - 1
@@ -81,13 +85,13 @@ def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
                 else:
                     ref = ref_action
                 delta = get_delta(action, ref, threshold_type).mean()
-                grip = out.gripper_probs[:, 0, 0].astype(jnp.float32)
+                grip = out.gripper_probs[:, 0].astype(jnp.float32)
                 return x_out, action, grip, cand, delta
 
             def skip(ops, k=k):
                 x, ref_action = ops
-                return (x, jnp.zeros((b, 6), jnp.float32),
-                        jnp.zeros((b,), jnp.float32), carry,
+                return (x, jnp.zeros((b, adim), jnp.float32),
+                        jnp.zeros((b, gdim), jnp.float32), carry,
                         jnp.asarray(jnp.inf, jnp.float32))
 
             x, action, grip, cand, delta = jax.lax.cond(
@@ -116,9 +120,6 @@ class FusedDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None):
-        assert cfg.head.multi_step_action == 1, (
-            "FusedDeerPolicy compiles k=1 action widths; use DeerPolicy for "
-            "multi_step_action checkpoints")
         self.params = params
         self.cfg = cfg
         exit_ids = list(exit_ids or cfg.all_exit_ids())
@@ -152,6 +153,13 @@ class FusedDeerPolicy:
             self.params, image, gripper, input_ids, attention_mask,
             self.carry, self.thresholds)
         self.last_exit_layer = int(exit_layer)
+        k = self.cfg.head.multi_step_action
         a = np.asarray(arm[0])
-        g = 1.0 if float(grip[0]) > 0.5 else -1.0
+        gp = np.asarray(grip[0]).reshape(-1)
+        if k > 1:
+            # (k, 7) plan for the rollout queue, as DeerPolicy emits
+            g = np.where(gp > 0.5, 1.0, -1.0).astype(np.float32)
+            return np.concatenate([a.reshape(k, 6), g[:, None]],
+                                  -1).astype(np.float32)
+        g = 1.0 if float(gp[0]) > 0.5 else -1.0
         return np.concatenate([a, [g]]).astype(np.float32)

@@ -27,7 +27,7 @@ from deer_vla_tpu.models.action_head import head_step
 from deer_vla_tpu.models.flamingo import encode_vision
 from deer_vla_tpu.models.gated_xattn import gated_xattn_forward
 from deer_vla_tpu.models.mpt import embed_tokens, make_attn_bias, \
-    mpt_block_forward
+    mpt_block_forward, mpt_block_forward_stacked
 from deer_vla_tpu.ops.lstm import zero_carry
 
 
@@ -61,7 +61,8 @@ def stack_decoder_layers(params: dict, cfg: DeerConfig) -> dict:
 
 def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
                     threshold_type: str = "L2",
-                    max_layer: Optional[int] = None):
+                    max_layer: Optional[int] = None,
+                    indexed_mm: bool = False):
     """jitted step(params, stacked, img, grip, ids, mask, carry, prev_action,
     has_prev, thresholds_full) where thresholds_full is (n_layers,) with
     +inf at the forced-exit layer and the per-exit thresholds at exit layers
@@ -103,12 +104,18 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
         b = x.shape[0]
         is_exit_arr = jnp.asarray(is_exit)
+        # multi_step_action k>1: arm width 6k, gripper width k (flat head
+        # output, action_head.py:443-444); the exit delta spans the full plan
+        adim = cfg.head.out_features * cfg.head.multi_step_action
+        gdim = cfg.head.multi_step_action
 
         def eval_head(x_in):
             out, cand = head_step(head, x_in.astype(jnp.float32), carry,
                                   cfg.head, None)
             return out.actions[:, 0].astype(jnp.float32), \
-                out.gripper_probs[:, 0, 0].astype(jnp.float32), cand
+                out.gripper_probs[:, 0].astype(jnp.float32), cand
+
+        use_imm = indexed_mm and cfg.mpt.arch == "mpt"
 
         def run_layer(i, x):
             """Returns (layer input == hidden_states[i-1], layer output).
@@ -116,7 +123,6 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             reference uses feats[i-1], the PREVIOUS FlamingoLayer's output
             (value_net.py:125), i.e. before this layer's x-attn."""
             x_in = x
-            blk = jax.tree_util.tree_map(lambda s: s[i], stacked["blocks"])
             xat = jax.tree_util.tree_map(lambda s: s[stacked["xattn_idx"][i]],
                                          stacked["xattn"])
 
@@ -127,6 +133,16 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
                     only_attend_immediate_media=cfg.only_attend_immediate_media)
 
             x = jax.lax.cond(stacked["has_xattn"][i], apply_x, lambda x: x, x)
+            if use_imm:
+                # big weights stream HBM->MXU (indexed_matmul) instead of a
+                # dynamic-slice of the whole layer per iteration.  Measured
+                # on v5e (3B and 9B dims): parity with the XLA slice path
+                # (XLA fuses the slice into the dots, no materialization),
+                # so this stays opt-in — revisit if a profile shows slice
+                # copies on other shapes/toolchains.
+                return x_in, mpt_block_forward_stacked(stacked["blocks"], i,
+                                                       x, attn_bias, cfg.mpt)
+            blk = jax.tree_util.tree_map(lambda s: s[i], stacked["blocks"])
             return x_in, mpt_block_forward(blk, x, attn_bias, cfg.mpt)
 
         def do_check(i, is_first, x, x_prev, done, ref):
@@ -150,7 +166,7 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         def commit(state_vals, arm, grip, cand, take, i):
             best_arm, best_grip, best_carry, exit_layer = state_vals
             best_arm = jnp.where(take[:, None], arm, best_arm)
-            best_grip = jnp.where(take, grip, best_grip)
+            best_grip = jnp.where(take[:, None], grip, best_grip)
             best_carry = tuple(jnp.where(take[None, :, None], c, bc)
                                for c, bc in zip(cand, best_carry))
             exit_layer = jnp.where(take, i, exit_layer)
@@ -186,8 +202,8 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
                     return do_check(i, i == exits[0], x, x_prev, done, ref)
 
                 def skip(_):
-                    return (jnp.zeros((b, 6), jnp.float32),
-                            jnp.zeros((b,), jnp.float32), carry,
+                    return (jnp.zeros((b, adim), jnp.float32),
+                            jnp.zeros((b, gdim), jnp.float32), carry,
                             jnp.zeros((b,), bool), ref)
 
                 arm, grip, cand, take, new_ref = jax.lax.cond(
@@ -203,8 +219,9 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         # ref starts as zeros: it is only consumed after the first exit's
         # check replaces it (within-timestep chain)
         init = (jnp.int32(0), x, jnp.zeros((b,), bool),
-                jnp.zeros((b, 6), jnp.float32),
-                jnp.zeros((b, 6), jnp.float32), jnp.zeros((b,), jnp.float32),
+                jnp.zeros((b, adim), jnp.float32),
+                jnp.zeros((b, adim), jnp.float32),
+                jnp.zeros((b, gdim), jnp.float32),
                 carry, jnp.full((b,), -1, jnp.int32))
         (_, _, done, _, best_arm, best_grip, best_carry,
          exit_layer) = jax.lax.while_loop(cond_fn, body, init)
@@ -221,10 +238,8 @@ class ScanDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
-                 steps_per_stage: int = 1, drop_unstacked: bool = False):
-        assert cfg.head.multi_step_action == 1, (
-            "ScanDeerPolicy compiles k=1 action widths; use DeerPolicy for "
-            "multi_step_action checkpoints")
+                 steps_per_stage: int = 1, drop_unstacked: bool = False,
+                 indexed_mm: bool = False):
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg)
@@ -240,7 +255,8 @@ class ScanDeerPolicy:
             self.params["decoder"] = dec
         exit_ids = list(exit_ids or cfg.all_exit_ids())
         self._step, self.exits = build_scan_step(cfg, exit_ids,
-                                                 threshold_type, max_layer)
+                                                 threshold_type, max_layer,
+                                                 indexed_mm=indexed_mm)
         self.steps_per_stage = steps_per_stage
         self.cur_step = 0
         self.set_thresholds(thresholds if thresholds is not None
@@ -281,6 +297,9 @@ class ScanDeerPolicy:
 
     def step(self, image, gripper, input_ids, attention_mask,
              state=None) -> np.ndarray:
+        """One env step.  Returns a 7-dof action, or a (k, 7) plan for
+        multi_step_action k>1 (same contract as DeerPolicy.step — the
+        rollout loop queues the plan, eval_utils.py:668-675)."""
         b = image.shape[0]
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
@@ -289,13 +308,20 @@ class ScanDeerPolicy:
             self.params, self.stacked, image, gripper, input_ids,
             attention_mask, self.carry, self._stage_thresholds())
         self.last_exit_layer = int(exit_layer[0])
+        k = self.cfg.head.multi_step_action
         a = np.asarray(arm[0])
-        g = 1.0 if float(grip[0]) > 0.5 else -1.0
+        gp = np.asarray(grip[0]).reshape(-1)
+        if k > 1:
+            g = np.where(gp > 0.5, 1.0, -1.0).astype(np.float32)
+            return np.concatenate([a.reshape(k, 6), g[:, None]],
+                                  -1).astype(np.float32)
+        g = 1.0 if float(gp[0]) > 0.5 else -1.0
         return np.concatenate([a, [g]]).astype(np.float32)
 
     def step_batch(self, image, gripper, input_ids, attention_mask):
-        """B parallel streams, one dispatch: returns (actions (B, 7),
-        exit_layers (B,)) with per-stream dynamic exits."""
+        """B parallel streams, one dispatch: returns (actions (B, 7) — or
+        (B, k, 7) plans for multi_step_action k>1 — and exit_layers (B,))
+        with per-stream dynamic exits."""
         b = image.shape[0]
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
@@ -303,10 +329,15 @@ class ScanDeerPolicy:
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
             attention_mask, self.carry, self.thresholds)
+        k = self.cfg.head.multi_step_action
         a = np.asarray(arm)
         g = np.where(np.asarray(grip) > 0.5, 1.0, -1.0)
-        return (np.concatenate([a, g[:, None]], -1).astype(np.float32),
-                np.asarray(exit_layer).astype(np.int64))
+        if k > 1:
+            acts = np.concatenate([a.reshape(b, k, 6), g[:, :, None]],
+                                  -1).astype(np.float32)
+        else:
+            acts = np.concatenate([a, g], -1).astype(np.float32)
+        return acts, np.asarray(exit_layer).astype(np.int64)
 
     def reset_streams(self, stream_mask) -> None:
         """Per-stream episode reset for step_batch."""

@@ -110,6 +110,51 @@ def mpt_block_forward(p: dict, x: jnp.ndarray, attn_bias: jnp.ndarray,
     return x + h
 
 
+def _sliced(tree, i):
+    """Per-layer view of a stacked (L, ...) pytree — for SMALL leaves
+    (layernorm scales, biases); big weights go through indexed_matmul."""
+    return jax.tree_util.tree_map(
+        lambda s: jax.lax.dynamic_index_in_dim(s, i, 0, keepdims=False), tree)
+
+
+def mpt_block_forward_stacked(stacked: dict, i, x: jnp.ndarray,
+                              attn_bias: jnp.ndarray, cfg: MPTConfig
+                              ) -> jnp.ndarray:
+    """mpt_block_forward over STACKED (L, ...) weights selected by a traced
+    layer index — the while-loop engine's per-iteration body.
+
+    The four big matmuls stream W[i] directly HBM->MXU via
+    ops/pallas/indexed_matmul (no dynamic-slice materialization, halving the
+    weight HBM traffic of the bandwidth-bound streaming step); layernorm
+    scales/biases are tiny and sliced normally.
+    """
+    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul
+
+    def imm(p: dict, h):
+        y = indexed_matmul(h, p["w"], i)
+        if "b" in p and p["b"] is not None:
+            y = y + jax.lax.dynamic_index_in_dim(
+                p["b"], i, 0, keepdims=False).astype(y.dtype)
+        return y
+
+    h = layernorm(_sliced(stacked["ln_1"], i), x)
+    qkv = imm(stacked["wqkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if "q_ln" in stacked:
+        q = layernorm(_sliced(stacked["q_ln"], i), q)
+        k = layernorm(_sliced(stacked["k_ln"], i), k)
+    q = split_heads(q, cfg.n_heads)
+    k = split_heads(k, cfg.n_heads)
+    v = split_heads(v, cfg.n_heads)
+    attn = merge_heads(dot_attention(q, k, v, bias=attn_bias,
+                                     scale=cfg.head_dim ** -0.5))
+    x = x + imm(stacked["out_proj"], attn)
+    h = layernorm(_sliced(stacked["ln_2"], i), x)
+    h = imm(stacked["mlp_down"],
+            jax.nn.gelu(imm(stacked["mlp_up"], h), approximate=False))
+    return x + h
+
+
 def embed_tokens(params: dict, input_ids: jnp.ndarray, compute_dtype) -> jnp.ndarray:
     return jnp.take(params["wte"]["w"].astype(compute_dtype), input_ids, axis=0)
 

@@ -57,3 +57,48 @@ def test_flash_attention_rejects_oversize():
     q = jnp.zeros((1, 1, 4096, 64))
     with pytest.raises(ValueError):
         fa.flash_attention(q, q, q)
+
+
+@pytest.mark.parametrize("m,kdim,n,blk", [
+    (32, 256, 384, (128, 128)),   # multi k/n tiles
+    (7, 256, 128, (256, 128)),    # M padding (sublane alignment)
+    (16, 512, 256, (512, 256)),   # single k tile
+])
+def test_indexed_matmul_parity(m, kdim, n, blk):
+    from jax.experimental.pallas import tpu as pltpu
+    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul
+    r = np.random.RandomState(0)
+    L = 3
+    x = jnp.asarray(r.randn(m, kdim), jnp.float32)
+    w = jnp.asarray(r.randn(L, kdim, n), jnp.float32)
+    for idx in range(L):
+        ref = np.asarray(x) @ np.asarray(w[idx])
+        with pltpu.force_tpu_interpret_mode():
+            out = indexed_matmul(x, w, idx, block_k=blk[0], block_n=blk[1],
+                                 backend="pallas")
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-4)
+        out_xla = indexed_matmul(x, w, jnp.int32(idx), backend="xla")
+        np.testing.assert_allclose(np.asarray(out_xla), ref, rtol=2e-5,
+                                   atol=2e-4)
+
+
+def test_indexed_matmul_traced_idx_under_while():
+    """The while-loop engine passes a traced layer index; the kernel's
+    scalar-prefetch path must accept it (interpret mode on CPU)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.randn(16, 128), jnp.float32)
+    w = jnp.asarray(r.randn(4, 128, 128), jnp.float32)
+
+    def body(state):
+        i, acc = state
+        with pltpu.force_tpu_interpret_mode():
+            y = indexed_matmul(x, w, i, backend="pallas")
+        return i + 1, acc + y.sum()
+
+    _, total = jax.lax.while_loop(lambda s: s[0] < 4, body,
+                                  (jnp.int32(0), jnp.float32(0)))
+    ref = sum(float((np.asarray(x) @ np.asarray(w[i])).sum())
+              for i in range(4))
+    np.testing.assert_allclose(float(total), ref, rtol=1e-4)

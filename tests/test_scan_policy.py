@@ -76,6 +76,83 @@ def test_scan_step_batch(setup):
     assert np.isfinite(acts2).all()
 
 
+@pytest.fixture(scope="module")
+def setup_k2():
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(
+        cfg, media_token_id=tok.media_token_id,
+        head=dataclasses.replace(deer_tiny().head, multi_step_action=2))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("th", [[1e8, 1e8], [0.05, 1e8]])
+def test_multi_step_engines_match_host(setup_k2, th):
+    """multi_step_action k=2: scan + fused engines emit (k, 7) plans that
+    match the host-bucketed DeerPolicy, including exit layers."""
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.models.value_net import ExitController
+
+    cfg, params = setup_k2
+    exits = list(cfg.all_exit_ids())
+    ctrl = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)
+    ctrl.set_thresholds({e: t for e, t in zip(exits, th)})
+    host = DeerPolicy(params, cfg, controller=ctrl)
+    s = ScanDeerPolicy(params, cfg, thresholds=list(th))
+    f = FusedDeerPolicy(params, cfg, thresholds=list(th))
+    for t in range(3):
+        img, grip, ids, mask = obs(cfg, seed=t)
+        host.set_timestep(t)
+        a_h = host.step(img, grip, ids, mask)
+        a_s = s.step(img, grip, ids, mask)
+        a_f = f.step(img, grip, ids, mask)
+        assert a_h.shape == (2, 7) and a_s.shape == (2, 7)
+        assert s.last_exit_layer == host.last_exit_layer
+        assert f.last_exit_layer == host.last_exit_layer
+        np.testing.assert_allclose(a_s, a_h, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(a_f, a_h, rtol=2e-4, atol=2e-4)
+
+
+def test_multi_step_step_batch_and_rollout(setup_k2):
+    """step_batch returns (B, k, 7) plans; the batched rollout harness
+    executes each plan over k env steps (one policy dispatch per k)."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
+    from deer_vla_tpu.eval.rollout import DebugEnv, DebugTaskOracle
+
+    cfg, params = setup_k2
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    img, grip, ids, mask = obs(cfg)
+    B = 2
+    imgB = jnp.tile(img, (B, 1, 1, 1, 1, 1))
+    idsB = jnp.tile(ids, (B, 1))
+    maskB = jnp.tile(mask, (B, 1))
+    acts, exits = pol.step_batch(imgB, imgB, idsB, maskB)
+    assert acts.shape == (B, 2, 7) and exits.shape == (B,)
+
+    dispatches = {"n": 0}
+    orig = pol.step_batch
+
+    def counting(*a, **kw):
+        dispatches["n"] += 1
+        return orig(*a, **kw)
+
+    pol.step_batch = counting
+    pol.reset()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    envs = [DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+            for _ in range(B)]
+    seqs = [(None, ["t"]) for _ in range(B)]
+    report = evaluate_policy_batched(
+        pol, envs, seqs, {"t": "do t"}, DebugTaskOracle(threshold=1e9), tok,
+        text_len=cfg.text_len, ep_len=6, n_layers=cfg.n_layers)
+    # 6 env steps per chain at k=2 -> 3 dispatches; lockstep across lanes
+    assert dispatches["n"] == 3
+    assert report["avg_seq_len"] == 0.0
+
+
 def test_scan_max_layer_cap(setup):
     """DeeR-S style truncation: max_layer caps the reachable exits."""
     cfg, params = setup

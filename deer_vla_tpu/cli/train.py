@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vl_batch_size", type=int, default=None)
     p.add_argument("--remat", action="store_true",
                    help="rematerialize decoder layers (activation memory)")
+    p.add_argument("--remat_policy", default="full", choices=["full", "dots"],
+                   help="remat granularity: full recompute vs save-matmuls")
     p.add_argument("--coordinator", default="",
                    help="host:port for multi-host jax.distributed")
     p.add_argument("--num_processes", type=int, default=1)
@@ -90,7 +92,8 @@ def make_model_config(args):
                       window_size=args.window_size, dtypes=dtypes)
     updates = {"use_state": args.use_state, "sep_resampler": args.sep_resampler,
                "share_exit": args.share_exit,
-               "remat_layers": getattr(args, "remat", False)}
+               "remat_layers": getattr(args, "remat", False),
+               "remat_policy": getattr(args, "remat_policy", "full")}
     head_updates = {}
     if args.multi_step_action != 1:
         head_updates["multi_step_action"] = args.multi_step_action

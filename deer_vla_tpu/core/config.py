@@ -215,6 +215,11 @@ class DeerConfig:
     # memory ~ O(1) in depth; the reference's gradient-checkpointing flag,
     # flamingo_lm.py:21-25)
     remat_layers: bool = False
+    # remat granularity when remat_layers: 'full' recomputes everything in
+    # the layer; 'dots' saves matmul outputs (jax.checkpoint_policies
+    # dots_with_no_batch_dims_saveable) — recomputes only the cheap
+    # elementwise ops, trading some activation memory for backward FLOPs
+    remat_policy: str = "full"
 
     dtypes: DTypePolicy = field(default_factory=lambda: BF16)
 

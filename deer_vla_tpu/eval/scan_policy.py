@@ -132,7 +132,13 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
                     dim_head=cfg.xattn_dim_head,
                     only_attend_immediate_media=cfg.only_attend_immediate_media)
 
-            x = jax.lax.cond(stacked["has_xattn"][i], apply_x, lambda x: x, x)
+            if cfg.cross_attn_every_n_layers == 1:
+                # x-attn on EVERY layer (the 3B config): skip the per-
+                # iteration lax.cond, it would always take the true branch
+                x = apply_x(x)
+            else:
+                x = jax.lax.cond(stacked["has_xattn"][i], apply_x,
+                                 lambda x: x, x)
             if use_imm:
                 # big weights stream HBM->MXU (indexed_matmul) instead of a
                 # dynamic-slice of the whole layer per iteration.  Measured

@@ -193,13 +193,102 @@ def normalize_answer(s: str) -> str:
     return " ".join(w for w in s.split() if w not in _ARTICLES)
 
 
+# Official VQAEval normalization tables (vqa_metric.py:245-320): contraction
+# repairs, number words -> digits, article removal, punctuation rules
+# (periods stripped unless decimal; commas stripped inside numbers;
+# apostrophes kept inside words).
+_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve":
+    "could've", "couldnt": "couldn't", "couldn'tve": "couldn't've",
+    "couldnt've": "couldn't've", "didnt": "didn't", "doesnt": "doesn't",
+    "dont": "don't", "hadnt": "hadn't", "hadnt've": "hadn't've",
+    "hadn'tve": "hadn't've", "hasnt": "hasn't", "havent": "haven't",
+    "hed": "he'd", "hed've": "he'd've", "he'dve": "he'd've", "hes": "he's",
+    "howd": "how'd", "howll": "how'll", "hows": "how's", "Id've": "I'd've",
+    "I'dve": "I'd've", "Im": "I'm", "Ive": "I've", "isnt": "isn't",
+    "itd": "it'd", "itd've": "it'd've", "it'dve": "it'd've",
+    "itll": "it'll", "let's": "let's", "maam": "ma'am",
+    "mightnt": "mightn't", "mightnt've": "mightn't've",
+    "mightn'tve": "mightn't've", "mightve": "might've",
+    "mustnt": "mustn't", "mustve": "must've", "neednt": "needn't",
+    "notve": "not've", "oclock": "o'clock", "oughtnt": "oughtn't",
+    "ow's'at": "'ow's'at", "'ows'at": "'ow's'at", "'ow'sat": "'ow's'at",
+    "shant": "shan't", "shed've": "she'd've", "she'dve": "she'd've",
+    "she's": "she's", "shouldve": "should've", "shouldnt": "shouldn't",
+    "shouldnt've": "shouldn't've", "shouldn'tve": "shouldn't've",
+    "somebody'd": "somebodyd", "somebodyd've": "somebody'd've",
+    "somebody'dve": "somebody'd've", "somebodyll": "somebody'll",
+    "somebodys": "somebody's", "someoned": "someone'd",
+    "someoned've": "someone'd've", "someone'dve": "someone'd've",
+    "someonell": "someone'll", "someones": "someone's",
+    "somethingd": "something'd", "somethingd've": "something'd've",
+    "something'dve": "something'd've", "somethingll": "something'll",
+    "thats": "that's", "thered": "there'd", "thered've": "there'd've",
+    "there'dve": "there'd've", "therere": "there're", "theres": "there's",
+    "theyd": "they'd", "theyd've": "they'd've", "they'dve": "they'd've",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "twas": "'twas", "wasnt": "wasn't", "wed've": "we'd've",
+    "we'dve": "we'd've", "weve": "we've", "werent": "weren't",
+    "whatll": "what'll", "whatre": "what're", "whats": "what's",
+    "whatve": "what've", "whens": "when's", "whered": "where'd",
+    "wheres": "where's", "whereve": "where've", "whod": "who'd",
+    "whod've": "who'd've", "who'dve": "who'd've", "wholl": "who'll",
+    "whos": "who's", "whove": "who've", "whyll": "why'll",
+    "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't",
+    "wouldnt've": "wouldn't've", "wouldn'tve": "wouldn't've",
+    "yall": "y'all", "yall'll": "y'all'll", "y'allll": "y'all'll",
+    "yall'd've": "y'all'd've", "y'alld've": "y'all'd've",
+    "y'all'dve": "y'all'd've", "youd": "you'd", "youd've": "you'd've",
+    "you'dve": "you'd've", "youll": "you'll", "youre": "you're",
+    "youve": "you've",
+}
+_MANUAL_MAP = {"none": "0", "zero": "0", "one": "1", "two": "2",
+               "three": "3", "four": "4", "five": "5", "six": "6",
+               "seven": "7", "eight": "8", "nine": "9", "ten": "10"}
+_PUNCT = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\",
+          "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+_COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+
+
+def _process_punctuation(t: str) -> str:
+    out = t
+    for p in _PUNCT:
+        if (p + " " in t or " " + p in t) or (_COMMA_STRIP.search(t) is not None):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    return _PERIOD_STRIP.sub("", out)
+
+
+def _process_digit_article(t: str) -> str:
+    out = []
+    for w in t.lower().split():
+        w = _MANUAL_MAP.get(w, w)
+        if w not in _ARTICLES:
+            out.append(w)
+    for i, w in enumerate(out):
+        if w in _CONTRACTIONS:
+            out[i] = _CONTRACTIONS[w]
+    return " ".join(out)
+
+
+def vqa_normalize(s: str) -> str:
+    """The official VQAEval answer normalization (vqa_metric.py:245-320 —
+    processPunctuation + processDigitArticle, with the same newline/tab
+    pre-cleanup)."""
+    s = s.replace("\n", " ").replace("\t", " ").strip()
+    return _process_digit_article(_process_punctuation(s))
+
+
 def vqa_accuracy(prediction: str, answers: Sequence[str]) -> float:
     """Official VQA accuracy: the average over all leave-one-out subsets of
     the human answers of min(#matching answers in subset / 3, 1) — the
     vqaEval.py formula (for k answers: mean over k subsets of size k-1).
     Falls back to min(matches/3, 1) when fewer than 2 answers exist."""
-    pred = normalize_answer(prediction)
-    matches = sum(normalize_answer(a) == pred for a in answers)
+    pred = vqa_normalize(prediction)
+    matches = sum(vqa_normalize(a) == pred for a in answers)
     k = len(answers)
     if k < 2:
         return min(matches / 3.0, 1.0)

@@ -208,7 +208,11 @@ def decoder_forward(params: dict, input_ids: jnp.ndarray,
     outs = []
     layer_fn = _layer
     if cfg.remat_layers:
-        layer_fn = jax.checkpoint(_layer, static_argnums=(1, 6))
+        policy = None
+        if cfg.remat_policy == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        layer_fn = jax.checkpoint(_layer, static_argnums=(1, 6),
+                                  policy=policy)
     for i in range(cfg.n_layers):
         x = layer_fn(params, i, x, media, media_locations, attn_bias, cfg, None)
         outs.append(x)

@@ -58,6 +58,9 @@ class TrainConfig:
     save_every_epoch: bool = True
     logging_steps: int = 100
     seed: int = 42
+    # liveness file for scripts/launch_elastic.py (empty = disabled); the
+    # default lands under run_dir at Trainer init
+    heartbeat_path: str = ""
     # cast frozen leaves to bf16 (no fp32 master needed without updates) —
     # what lets the 3B joint phase fit one 16GB chip
     bf16_frozen: bool = True
@@ -133,6 +136,10 @@ class Trainer:
         self.vl_loader = vl_loader   # co-training (--cotrain)
         self.vl_weight = vl_weight
         self.log_fn = log_fn or (lambda d: None)
+        from deer_vla_tpu.utils.heartbeat import Heartbeat
+        self.heartbeat = Heartbeat(
+            tcfg.heartbeat_path
+            or os.path.join(tcfg.run_dir, "heartbeat.json"))
         self.rng = jax.random.PRNGKey(tcfg.seed)
         if params is None:
             self.rng, k = jax.random.split(self.rng)
@@ -233,6 +240,7 @@ class Trainer:
                 else:
                     self.state, metrics = self._step_fn(self.state, batch,
                                                         step_rng)
+                self.heartbeat.beat(epoch=epoch, step=it, phase=phase)
                 if (it + 1) % tcfg.logging_steps == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()
                                     if np.ndim(v) == 0}

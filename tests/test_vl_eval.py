@@ -95,6 +95,22 @@ def test_vqa_metrics():
     assert caption_bleu1("", ["anything"]) == 0.0
 
 
+def test_vqa_official_normalization():
+    """The VQAEval normalization tables (vqa_metric.py:245-320): number
+    words, contraction repair, article drop, punctuation/comma rules."""
+    from deer_vla_tpu.eval.vl_eval import vqa_accuracy, vqa_normalize
+    assert vqa_normalize("Two") == "2"
+    assert vqa_normalize("the dog") == "dog"
+    assert vqa_normalize("dont") == "don't"
+    assert vqa_normalize("1,000") == "1000"
+    assert vqa_normalize("yes.") == "yes"
+    assert vqa_normalize("3.5") == "3.5"  # decimal point survives
+    assert vqa_normalize("red, white") == "red white"
+    # normalization makes these count as matches
+    assert vqa_accuracy("two", ["2"] * 10) == 1.0
+    assert vqa_accuracy("dont know", ["don't know"] * 10) == 1.0
+
+
 def test_classification_by_lm_score(tiny):
     """After memorizing 'A photo of a cat' for one image, LM scoring must
     rank 'cat' lowest-NLL among candidates (the upstream ImageNet-style

@@ -88,13 +88,13 @@ def main():
         for _ in range(warmup):
             arm, gp, carry, el = policy._step(params, policy.stacked, img,
                                               grip, ids, mask, carry, th)
-        jax.block_until_ready(arm)
+        jax.block_until_ready((arm, gp, carry, el))
         assert int(el[0]) == exits[k], (int(el[0]), exits[k])
         t0 = time.perf_counter()
         for _ in range(iters):
             arm, gp, carry, el = policy._step(params, policy.stacked, img,
                                               grip, ids, mask, carry, th)
-        jax.block_until_ready(arm)
+        jax.block_until_ready((arm, gp, carry, el))
         return (time.perf_counter() - t0) / iters
 
     # synchronous single-step (includes one device->host action readback)
@@ -122,7 +122,9 @@ def main():
 
     # batched serving throughput: 32 parallel streams through the SAME
     # while-loop program (one dispatch per step, per-stream dynamic exits);
-    # measured at full depth
+    # measured at full depth, device-pipelined like time_depth (the
+    # per-step host readback is pure tunnel transport, reported separately
+    # via sync_step_ms)
     batched_aps = 0.0
     if BENCH_MODEL != "mpt_9b":  # 9B keeps HBM headroom for stacked weights
         B = 32
@@ -133,12 +135,20 @@ def main():
         idsB[:, 0] = cfg.media_token_id
         idsB = jnp.asarray(idsB)
         maskB = jnp.ones((B, s), jnp.int32)
+        thB = full_thresholds(len(exits) - 1)
+        carryB = zero_carry(cfg.head.lstm_num_layers, B,
+                            cfg.head.hidden_size, jnp.float32)
         for _ in range(3):
-            bp.step_batch(imgB, imgB, idsB, maskB)
+            armB, gpB, carryB, elB = bp._step(params, bp.stacked, imgB, imgB,
+                                              idsB, maskB, carryB, thB)
+        jax.block_until_ready((armB, gpB, carryB, elB))
+        assert int(elB[0]) == exits[-1]
         t0 = time.perf_counter()
         iters_b = 20
         for _ in range(iters_b):
-            bp.step_batch(imgB, imgB, idsB, maskB)
+            armB, gpB, carryB, elB = bp._step(params, bp.stacked, imgB, imgB,
+                                              idsB, maskB, carryB, thB)
+        jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
 
     short = "3b" if BENCH_MODEL == "mpt_dolly_3b" else BENCH_MODEL

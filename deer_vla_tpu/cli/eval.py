@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--calib_batches", type=int, default=8)
     p.add_argument("--batch_size_calvin", type=int, default=6)
     p.add_argument("--validation_set", action="store_true", default=True)
+    p.add_argument("--tcp_rel", action="store_true",
+                   help="policy was trained on tcp-frame actions; convert "
+                        "back to world frame with the live robot_obs")
     p.add_argument("--amp", type=int, default=0)  # accepted for parity; bf16 covers it
     p.add_argument("--debug", action="store_true", help="DebugEnv fake backend")
     p.add_argument("--num_sequences_override", type=int, default=None)
@@ -208,7 +211,8 @@ def main(argv=None):
         from deer_vla_tpu.eval.caching import ActionCachePolicy
         policy = ActionCachePolicy(policy, tau=args.action_cache_tau,
                                    refresh_every=args.action_cache_refresh)
-    adapter = CalvinPolicyAdapter(policy, tok, text_len=cfg.text_len)
+    adapter = CalvinPolicyAdapter(policy, tok, text_len=cfg.text_len,
+                                  tcp_rel=args.tcp_rel)
 
     if args.debug or not args.calvin_conf_path:
         env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)

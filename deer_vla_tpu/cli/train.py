@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exit_decay", action="store_true")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--real_data", action="store_true")
+    p.add_argument("--tcp_rel", action="store_true",
+                   help="train on tool-center-point-frame relative actions "
+                        "(labels converted with robot_obs)")
     p.add_argument("--seed", type=int, default=42)
     # run
     p.add_argument("--run_name", default="runs/deer")
@@ -63,6 +66,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="random-tensor data, no dataset required")
     # vision-language co-training (--cotrain, train_calvin_post_strategy.py:296-302)
     p.add_argument("--cotrain", action="store_true")
+    p.add_argument("--cotrain_laion_shards", default="",
+                   help="glob of LAION webdataset tars as the co-training "
+                        "VL source (alternative to --coco_ann)")
     p.add_argument("--coco_image_dir", default="")
     p.add_argument("--coco_ann", default="")
     p.add_argument("--vqa_image_dir", default="")
@@ -168,6 +174,7 @@ def main(argv=None):
         world_size=jax.process_count(),
         rgb_pad=args.rgb_pad, gripper_pad=args.gripper_pad,
         traj_cons=args.traj_cons, real_data=args.real_data,
+        tcp_rel=args.tcp_rel,
         logging_steps=args.logging_steps, seed=args.seed)
 
     def log_fn(d):
@@ -178,15 +185,28 @@ def main(argv=None):
         from deer_vla_tpu.data.vl_dataset import (CaptionDataset, VLLoader,
                                                   VQADataset)
         vbs = args.vl_batch_size or args.batch_size_calvin
-        if args.coco_ann:
+        if args.cotrain_laion_shards:
+            import glob as _glob
+            from deer_vla_tpu.data.webdataset import WebLoader, WebVLLoader
+            shards = sorted(_glob.glob(args.cotrain_laion_shards))
+            if not shards:
+                raise SystemExit("--cotrain_laion_shards matched no files")
+            vl_loader = WebVLLoader(WebLoader(
+                shards, tok, kind="laion", batch_size=vbs,
+                image_size=cfg.vit.image_size, rank=jax.process_index(),
+                world_size=jax.process_count(), seed=args.seed))
+            vl_ds = None
+        elif args.coco_ann:
             vl_ds = CaptionDataset(args.coco_image_dir, args.coco_ann,
                                    image_size=cfg.vit.image_size)
         elif args.vqa_questions:
             vl_ds = VQADataset(args.vqa_image_dir, args.vqa_questions,
                                args.vqa_ann, image_size=cfg.vit.image_size)
         else:
-            raise SystemExit("--cotrain needs --coco_ann or --vqa_questions")
-        vl_loader = VLLoader(vl_ds, tok, vbs, seed=args.seed)
+            raise SystemExit("--cotrain needs --coco_ann, --vqa_questions "
+                             "or --cotrain_laion_shards")
+        if vl_ds is not None:
+            vl_loader = VLLoader(vl_ds, tok, vbs, seed=args.seed)
 
     trainer = Trainer(cfg, tcfg, loader, log_fn=log_fn, vl_loader=vl_loader,
                       vl_weight=args.vl_weight)

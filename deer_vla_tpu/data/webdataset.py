@@ -287,6 +287,28 @@ class WebLoader:
             yield b
 
 
+class WebVLLoader:
+    """Adapt a 'laion'-kind WebLoader to the co-training vl_loader interface
+    (cli/train.py --cotrain): single-image uint8 batches {image (B, H, W, 3),
+    input_ids, attention_mask} that prepare_vl_batch understands.  Lets the
+    CALVIN+VL co-training objective (train_calvin_post_strategy.py:296-302)
+    draw its VL batches from webdataset caption shards instead of a local
+    COCO directory."""
+
+    def __init__(self, web: WebLoader):
+        assert web.kind == "laion", "co-training adapter is single-image"
+        self.web = web
+
+    def set_epoch(self, e: int) -> None:
+        self.web.set_epoch(e)
+
+    def __iter__(self):
+        for b in self.web:
+            yield {"image": b["image"][:, 0],
+                   "input_ids": b["input_ids"],
+                   "attention_mask": b["attention_mask"]}
+
+
 def prepare_interleaved_batch(batch: Dict, size: int = 224, dtype=None):
     """uint8 (B, T, H, W, 3) -> (B, T, 1, 3, size, size) normalized — the
     vision_x layout lm_loss/encode_vision expect.  jit-fusable."""

@@ -98,11 +98,13 @@ class CalvinPolicyAdapter:
     and text caching around a DeerPolicy.  Observation frames go to device
     raw-uint8; resize/normalize runs on device inside the jitted prefix."""
 
-    def __init__(self, policy: DeerPolicy, text_fn: Callable, text_len: int = 32):
+    def __init__(self, policy: DeerPolicy, text_fn: Callable,
+                 text_len: int = 32, tcp_rel: bool = False):
         import functools
         self.policy = policy
         self.text_fn = text_fn
         self.text_len = text_len
+        self.tcp_rel = tcp_rel
         self._goal_cache: Tuple[Optional[str], Optional[tuple]] = (None, None)
         self.llm_time = 0.0
         size = policy.cfg.vit.image_size
@@ -149,6 +151,21 @@ class CalvinPolicyAdapter:
         else:
             action = self.policy.step(img, grip, ids, mask)
         self.llm_time = time.perf_counter() - t0
+        if self.tcp_rel and "robot_obs" in obs:
+            # tcp-frame-trained policy: convert the predicted action(s) back
+            # to the world frame with the CURRENT tcp pose.  The reference
+            # declares this path but leaves it NotImplementedError
+            # (eval_utils.py:482-487); here it works, including (k, 7) plans.
+            if not hasattr(self, "_tcp2world"):
+                from deer_vla_tpu.utils.tcp import tcp_to_world_frame
+                self._tcp2world = jax.jit(tcp_to_world_frame)
+            ro = np.asarray(obs["robot_obs"], np.float32)
+            a = np.asarray(action, np.float32)
+            ro_b = np.ascontiguousarray(np.broadcast_to(
+                ro, a.shape[:-1] + (ro.shape[-1],)))
+            action = np.asarray(self._tcp2world(jnp.asarray(a),
+                                                jnp.asarray(ro_b)),
+                                np.float32)
         return action
 
 

@@ -61,6 +61,10 @@ class TrainConfig:
     # liveness file for scripts/launch_elastic.py (empty = disabled); the
     # default lands under run_dir at Trainer init
     heartbeat_path: str = ""
+    # --tcp_rel: train on tool-center-point-frame relative actions
+    # (labels converted world->tcp with robot_obs, train_utils.py:462-465);
+    # eval must pass the matching --tcp_rel so actions convert back
+    tcp_rel: bool = False
     # cast frozen leaves to bf16 (no fp32 master needed without updates) —
     # what lets the 3B joint phase fit one 16GB chip
     bf16_frozen: bool = True
@@ -95,10 +99,21 @@ def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
     ids = np.repeat(raw["input_ids"][:, None], w, axis=1).reshape(bs * w, s)
     mask = np.repeat(raw["attention_mask"][:, None], w, axis=1).reshape(bs * w, s)
     ids, mask = fixed_length(ids, mask, cfg.text_len, 0)
+    labels = jnp.asarray(raw["actions"][:, :w])
+    if tcfg.tcp_rel and "robot_obs" in raw:
+        # world-frame rel labels -> tcp-frame (train_utils.py:462-465);
+        # for (B, W, k, 7) multi-step labels the frame state broadcasts
+        # over k (the reference repeats state_tensor the same way)
+        from deer_vla_tpu.utils.tcp import world_to_tcp_frame
+        ro = jnp.asarray(np.asarray(raw["robot_obs"])[:, :w], jnp.float32)
+        if labels.ndim == 4:
+            ro = jnp.broadcast_to(ro[:, :, None],
+                                  labels.shape[:3] + (ro.shape[-1],))
+        labels = world_to_tcp_frame(labels, ro)
     batch = {
         "image": img, "gripper": gri,
         "input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask),
-        "labels": jnp.asarray(raw["actions"][:, :w]),
+        "labels": labels,
     }
     if (cfg.use_state or cfg.head.use_state) and "robot_obs" in raw:
         # proprio state -> (B*W, 1, 1, state_dim) for encode_vision's

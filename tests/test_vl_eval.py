@@ -111,6 +111,24 @@ def test_vqa_official_normalization():
     assert vqa_accuracy("dont know", ["don't know"] * 10) == 1.0
 
 
+def test_okvqa_stemming_protocol():
+    """OK-VQA protocol: generation cut at markers, -ing lemmatized, plurals
+    singularized, and BOTH sides stemmed before the accuracy compare."""
+    from deer_vla_tpu.eval.vl_eval import (okvqa_accuracy, okvqa_stem,
+                                           postprocess_vqa_generation)
+    assert postprocess_vqa_generation("ride Question: what") == "ride"
+    assert postprocess_vqa_generation("red, white and blue") == "red"
+    assert okvqa_stem("riding") == "ride"
+    assert okvqa_stem("running") == "run"
+    assert okvqa_stem("firefighting") == "firefight"
+    assert okvqa_stem("gloves") == "glove"
+    assert okvqa_stem("cities") == "city"
+    assert okvqa_stem("glass") == "glass"
+    assert okvqa_accuracy("riding Question: next", ["rides"] * 10) == 1.0
+    assert okvqa_accuracy("dog", ["dogs"] * 10) == 1.0
+    assert okvqa_accuracy("cat", ["dog"] * 10) == 0.0
+
+
 def test_classification_by_lm_score(tiny):
     """After memorizing 'A photo of a cat' for one image, LM scoring must
     rank 'cat' lowest-NLL among candidates (the upstream ImageNet-style

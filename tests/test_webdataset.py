@@ -97,6 +97,27 @@ def test_interleaved_tokenization_roundtrip():
     assert ids.shape == (1, 64) and mask[0].sum() < 64
 
 
+def test_webvl_cotrain_adapter(shards):
+    """WebVLLoader adapts laion shards to the --cotrain vl_loader contract:
+    single-image uint8 batches that prepare_vl_batch converts for lm_loss."""
+    import jax.numpy as jnp
+    from deer_vla_tpu.core.config import deer_tiny
+    from deer_vla_tpu.data.webdataset import WebVLLoader
+    from deer_vla_tpu.train.trainer import prepare_vl_batch
+
+    laion, _ = shards
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=32)
+    vl = WebVLLoader(WebLoader(laion, tok, kind="laion", batch_size=3,
+                               image_size=cfg.vit.image_size))
+    raw = next(iter(vl))
+    assert raw["image"].shape == (3, cfg.vit.image_size, cfg.vit.image_size, 3)
+    dev = prepare_vl_batch(raw, cfg)
+    assert dev["image"].shape[0] == 3 and dev["image"].ndim == 6
+    assert dev["input_ids"].shape == (3, cfg.text_len)
+    vl.set_epoch(1)  # interface passthrough
+
+
 def test_mmc4_pretrain_step_integration(shards):
     """An MMC4 batch flows through prepare_interleaved_batch + the LM
     pretraining step on the tiny config."""

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">1: batched rollout — N env streams in lockstep "
                         "through one batched policy program "
                         "(eval/batched_rollout.py; ~lanes-x eval speedup)")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help=">1: split lanes into this many groups and overlap "
+                        "one group's env stepping with the others' device "
+                        "programs (async dispatch)")
     p.add_argument("--action_cache_tau", type=float, default=0.0,
                    help=">0: training-free action caching — replay the "
                         "previous action while the frame delta stays below "
@@ -249,7 +253,8 @@ def main(argv=None):
                             for _ in range(args.lanes - 1)]
         report = evaluate_policy_batched(
             bpolicy, envs, sequences[:n_seq], annotations, oracle, tok,
-            text_len=cfg.text_len, ep_len=ep_len, n_layers=cfg.n_layers)
+            text_len=cfg.text_len, ep_len=ep_len, n_layers=cfg.n_layers,
+            pipeline=args.pipeline)
     else:
         report = evaluate_policy(
             adapter, env, sequences[:n_seq], annotations, oracle,

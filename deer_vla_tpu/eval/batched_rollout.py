@@ -8,6 +8,15 @@ dynamic exits, one dispatch per step); finished streams immediately pull the
 next pending chain (dynamic dispatch), so the chip stays busy until the
 queue drains.
 
+``pipeline`` > 1 additionally splits the lanes into that many groups and
+overlaps HOST work (env.step, obs gather, tokenization) of one group with
+the DEVICE program of the others: group g's actions are fetched
+(finish_batch) while group g+1's program runs, using the async half of
+ScanDeerPolicy.dispatch_batch.  On a device whose dispatch/readback latency
+rivals compute (tunneled TPUs; or CPU-heavy simulators) this hides most of
+the host time; semantics per stream are IDENTICAL to pipeline=1 because
+lane groups touch disjoint envs and carries.
+
 Envs remain host-side objects (one per stream — the CALVIN simulator is a
 CPU program); only the policy is batched.  Semantics per stream are
 identical to the sequential harness: per-subtask policy reset, first-failure
@@ -16,6 +25,7 @@ chain termination, 360-step cap.
 
 from __future__ import annotations
 
+import copy
 from typing import Callable, Dict, List, Optional
 
 import jax.numpy as jnp
@@ -29,8 +39,10 @@ from deer_vla_tpu.eval.rollout import EP_LEN, resolve_annotation
 class _Stream:
     """Host bookkeeping for one rollout lane."""
 
-    def __init__(self, idx: int):
-        self.idx = idx
+    def __init__(self, idx: int, group: int, local: int):
+        self.idx = idx        # global lane index (env index)
+        self.group = group    # pipeline group
+        self.local = local    # index within the group's policy batch
         self.seq_i: Optional[int] = None   # global sequence index
         self.chain: List[str] = []
         self.subtask_i = 0
@@ -45,13 +57,17 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                             annotations, task_oracle, text_fn,
                             *, text_len: int = 32, ep_len: int = EP_LEN,
                             preprocess: Optional[Callable] = None,
-                            n_layers: Optional[int] = None) -> Dict:
+                            n_layers: Optional[int] = None,
+                            pipeline: int = 1) -> Dict:
     """Run all ``sequences`` over ``len(envs)`` parallel streams.
 
-    policy: ScanDeerPolicy (step_batch/reset_streams).
+    policy: ScanDeerPolicy (step_batch/reset_streams; dispatch_batch/
+            finish_batch for pipeline>1).
     envs:   B independent env instances (DebugEnv or CALVIN wrappers).
     preprocess: uint8 HWC frame -> (3, H, W) device-ready array; defaults to
                 clip_preprocess at the policy's image size.
+    pipeline: number of lane groups whose host work overlaps the other
+              groups' device programs (1 = fully sequential harness).
     """
     import jax
     from deer_vla_tpu.data.preprocess import clip_preprocess
@@ -63,7 +79,18 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
     else:
         prep = preprocess
 
-    streams = [_Stream(i) for i in range(b)]
+    n_groups = max(1, min(pipeline, b))
+    lanes = [list(range(g, b, n_groups)) for g in range(n_groups)]
+    # group policies share the compiled step/params/thresholds (shallow
+    # copy) but hold independent carries sized to their lane count
+    gpol = [policy] + [copy.copy(policy) for _ in range(n_groups - 1)]
+    for p in gpol:
+        p.reset()
+
+    streams: List[_Stream] = [None] * b  # type: ignore[list-item]
+    for g, ls in enumerate(lanes):
+        for local, idx in enumerate(ls):
+            streams[idx] = _Stream(idx, g, local)
     pending = list(range(len(sequences)))
     results: Dict[int, int] = {}
     s_exits: List[int] = []
@@ -90,7 +117,8 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         stream.step = 0
         stream.exit_layers = []
         stream.start_info = envs[stream.idx].get_info()
-        policy.reset_streams(np.arange(b) == stream.idx)
+        gb = len(lanes[stream.group])
+        gpol[stream.group].reset_streams(np.arange(gb) == stream.local)
 
     def _finish_sequence(stream: _Stream):
         results[stream.seq_i] = stream.successes
@@ -111,46 +139,59 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
             tok_cache[lang] = (ids[0], mask[0])
         return tok_cache[lang]
 
-    while any(st.active for st in streams):
+    def group_active(g: int) -> bool:
+        return any(streams[i].active for i in lanes[g])
+
+    def dispatch(g: int):
         imgs, grips, idss, masks = [], [], [], []
-        for st in streams:
+        for i in lanes[g]:
+            st = streams[i]
             if st.active:
                 obs = envs[st.idx].get_obs()
                 imgs.append(obs["rgb_obs"]["rgb_static"])
                 grips.append(obs["rgb_obs"]["rgb_gripper"])
             else:  # parked lane: feed zeros
-                hw_s = envs[st.idx].get_obs()["rgb_obs"]["rgb_static"].shape
-                imgs.append(np.zeros(hw_s, np.uint8))
-                grips.append(np.zeros(
-                    envs[st.idx].get_obs()["rgb_obs"]["rgb_gripper"].shape,
-                    np.uint8))
+                o = envs[st.idx].get_obs()
+                imgs.append(np.zeros(o["rgb_obs"]["rgb_static"].shape,
+                                     np.uint8))
+                grips.append(np.zeros(o["rgb_obs"]["rgb_gripper"].shape,
+                                      np.uint8))
             ids, mask = tokens_for(st) if st.active else (
                 np.zeros(text_len, np.int32), np.zeros(text_len, np.int32))
             idss.append(ids)
             masks.append(mask)
-
         img_d = prep(jnp.asarray(np.stack(imgs)))[:, None, None]
         grip_d = prep(jnp.asarray(np.stack(grips)))[:, None, None]
-        actions, exit_layers = policy.step_batch(
-            img_d, grip_d, jnp.asarray(np.stack(idss)),
-            jnp.asarray(np.stack(masks)))
-        # multi_step_action k>1: step_batch returns (B, k, 7) plans; every
-        # active stream executes its k planned actions before the next
-        # dispatch (plans stay phase-aligned across streams).  A stream that
-        # finishes its subtask mid-plan drops the plan remainder and idles
-        # until the cursor wraps (the reference queues plans per stream,
-        # eval_utils.py:668-675; lockstep batching makes the drop the
-        # semantically safe choice after a policy reset).
-        plans = actions if actions.ndim == 3 else actions[:, None, :]
-        valid = [st.active for st in streams]
+        args = (img_d, grip_d, jnp.asarray(np.stack(idss)),
+                jnp.asarray(np.stack(masks)))
+        if n_groups > 1 and hasattr(gpol[g], "dispatch_batch"):
+            return ("async", gpol[g].dispatch_batch(*args))
+        return ("sync", gpol[g].step_batch(*args))
 
+    def finish(g: int, handle):
+        kind, payload = handle
+        if kind == "async":
+            return gpol[g].finish_batch(payload)
+        return payload
+
+    def apply(g: int, actions: np.ndarray, exit_layers: np.ndarray):
+        """Execute one policy output for group g: k env steps per stream for
+        (Bg, k, 7) plans; success/timeout bookkeeping identical to the
+        sequential harness.  A stream that finishes its subtask mid-plan
+        drops the plan remainder and idles until the next dispatch (the
+        reference queues plans per stream, eval_utils.py:668-675; lockstep
+        batching makes the drop the semantically safe choice after a policy
+        reset)."""
+        plans = actions if actions.ndim == 3 else actions[:, None, :]
+        valid = {i: streams[i].active for i in lanes[g]}
         for j in range(plans.shape[1]):
-            for st in streams:
-                if not st.active or not valid[st.idx]:
+            for local, i in enumerate(lanes[g]):
+                st = streams[i]
+                if not st.active or not valid[i]:
                     continue
                 if j == 0:
-                    st.exit_layers.append(int(exit_layers[st.idx]))
-                obs, _, _, info = envs[st.idx].step(plans[st.idx, j])
+                    st.exit_layers.append(int(exit_layers[local]))
+                obs, _, _, info = envs[st.idx].step(plans[local, j])
                 st.step += 1
                 subtask = st.chain[st.subtask_i]
                 done = bool(task_oracle.get_task_info_for_set(
@@ -164,11 +205,27 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                         _finish_sequence(st)
                     else:
                         _begin_subtask(st)
-                    valid[st.idx] = False
+                    valid[i] = False
                 elif st.step >= ep_len:
                     f_exits.extend(st.exit_layers)
                     _finish_sequence(st)
-                    valid[st.idx] = False
+                    valid[i] = False
+
+    # pipelined drive loop: finishing group g's actions and stepping its
+    # envs happens while the other groups' programs run on device
+    handles: List = [None] * n_groups
+    for g in range(n_groups):
+        if group_active(g):
+            handles[g] = dispatch(g)
+    while any(h is not None for h in handles):
+        for g in range(n_groups):
+            if handles[g] is None:
+                continue
+            acts, exits = finish(g, handles[g])
+            handles[g] = None
+            apply(g, acts, exits)
+            if group_active(g):
+                handles[g] = dispatch(g)
 
     ordered = [results[i] for i in sorted(results)]
     nl = n_layers or policy.cfg.n_layers

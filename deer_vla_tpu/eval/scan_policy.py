@@ -324,10 +324,13 @@ class ScanDeerPolicy:
         g = 1.0 if float(gp[0]) > 0.5 else -1.0
         return np.concatenate([a, [g]]).astype(np.float32)
 
-    def step_batch(self, image, gripper, input_ids, attention_mask):
-        """B parallel streams, one dispatch: returns (actions (B, 7) — or
-        (B, k, 7) plans for multi_step_action k>1 — and exit_layers (B,))
-        with per-stream dynamic exits."""
+    def dispatch_batch(self, image, gripper, input_ids, attention_mask):
+        """Asynchronous step_batch: launches the program, commits the carry
+        (device-side, no host sync) and returns opaque device handles.  JAX
+        dispatch is async, so the host returns immediately and can do other
+        work (e.g. step ANOTHER lane group's envs) while this group
+        computes; convert with finish_batch.  Used by the pipelined batched
+        rollout (eval/batched_rollout.py pipeline>1)."""
         b = image.shape[0]
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
@@ -335,6 +338,13 @@ class ScanDeerPolicy:
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
             attention_mask, self.carry, self.thresholds)
+        return arm, grip, exit_layer
+
+    def finish_batch(self, handles):
+        """Blocking half of dispatch_batch: device handles -> (actions
+        (B, 7) or (B, k, 7) plans, exit_layers (B,))."""
+        arm, grip, exit_layer = handles
+        b = arm.shape[0]
         k = self.cfg.head.multi_step_action
         a = np.asarray(arm)
         g = np.where(np.asarray(grip) > 0.5, 1.0, -1.0)
@@ -344,6 +354,13 @@ class ScanDeerPolicy:
         else:
             acts = np.concatenate([a, g], -1).astype(np.float32)
         return acts, np.asarray(exit_layer).astype(np.int64)
+
+    def step_batch(self, image, gripper, input_ids, attention_mask):
+        """B parallel streams, one dispatch: returns (actions (B, 7) — or
+        (B, k, 7) plans for multi_step_action k>1 — and exit_layers (B,))
+        with per-stream dynamic exits."""
+        return self.finish_batch(self.dispatch_batch(
+            image, gripper, input_ids, attention_mask))
 
     def reset_streams(self, stream_mask) -> None:
         """Per-stream episode reset for step_batch."""

@@ -47,6 +47,35 @@ def test_batched_rollout_matches_sequential():
                                ref["success_exit_hist"], atol=1e-9)
 
 
+def test_pipelined_matches_unpipelined():
+    """pipeline=2 overlaps host/device work across lane groups but must
+    reproduce pipeline=1 results exactly (disjoint envs + carries)."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    th = [0.05, 1e8]
+    seqs = make_debug_sequences(6)
+    oracle = DebugTaskOracle(threshold=0.05)
+
+    def run(pipeline):
+        pol = ScanDeerPolicy(params, cfg, thresholds=th)
+        envs = [DebugEnv(img_hw=cfg.vit.image_size,
+                         grip_hw=cfg.vit.image_size) for _ in range(4)]
+        return evaluate_policy_batched(
+            pol, envs, seqs, {}, oracle, tok, text_len=cfg.text_len,
+            ep_len=12, pipeline=pipeline)
+
+    a = run(1)
+    b = run(2)
+    assert a["avg_seq_len"] == b["avg_seq_len"]
+    assert a["task_info"] == b["task_info"]
+    np.testing.assert_allclose(a["success_exit_hist"],
+                               b["success_exit_hist"], atol=1e-9)
+    np.testing.assert_allclose(a["fail_exit_hist"], b["fail_exit_hist"],
+                               atol=1e-9)
+
+
 def test_batched_rollout_more_lanes_than_sequences():
     cfg = deer_tiny()
     tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)

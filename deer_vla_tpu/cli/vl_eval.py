@@ -1,6 +1,9 @@
 """Vision-language benchmark CLI — upstream open_flamingo/eval/evaluate.py
-equivalent: caption (COCO-style) and VQA evaluation with greedy decoding and
-optional RICES in-context example retrieval.
+equivalent: caption (COCO json / Flickr30k karpathy json), VQA (VQAv2,
+TextVQA, VizWiz, OK-VQA — dataset-specific image naming per
+eval_datasets.py:85-97, shared official VQAEval accuracy) and zero-shot
+classification, with greedy decoding, optional RICES in-context example
+retrieval, and test-server predictions-json output.
 
 Example (synthetic smoke):
   python -m deer_vla_tpu.cli.vl_eval --task caption --debug --model tiny
@@ -16,9 +19,18 @@ from deer_vla_tpu.utils.errors import record
 
 def build_parser():
     p = argparse.ArgumentParser(description="DeeR-VLA TPU VL benchmark eval")
-    p.add_argument("--task", choices=["caption", "vqa", "okvqa", "classify"],
+    p.add_argument("--task",
+                   choices=["caption", "flickr", "vqa", "textvqa", "vizwiz",
+                            "okvqa", "classify"],
                    default="caption",
-                   help="okvqa = VQA with the OK-VQA stemmed-answer protocol")
+                   help="caption=COCO-style json; flickr=karpathy-split json "
+                        "scored by CIDEr-D; vqa/textvqa/vizwiz share the "
+                        "official VQAEval accuracy (dataset-specific image "
+                        "naming); okvqa adds the stemmed-answer protocol")
+    p.add_argument("--save_predictions", default="",
+                   help="write predictions json (VQA result format "
+                        "[{answer, question_id}] / caption format "
+                        "[{image_id, caption}]) for test-server submission")
     p.add_argument("--labels", default="",
                    help="classify task: json {classes: [...], samples: "
                         "[{file_name, label}]} (ImageNet/Flickr-style "
@@ -49,21 +61,30 @@ def _synthetic_fixture(args, cfg, tmpdir):
     from PIL import Image
     img_dir = os.path.join(tmpdir, "imgs")
     os.makedirs(img_dir, exist_ok=True)
-    images, anns, questions, answers = [], [], [], []
+    images, anns, karp, questions, answers = [], [], [], [], []
     r = np.random.RandomState(args.seed)
+    # vizwiz addresses images by full filename, textvqa by {image_id}.jpg
+    # (eval_datasets.py:93-96) — the fixture serves both conventions
+    img_id = (lambda i, fn: fn) if args.task == "vizwiz" else (lambda i, fn: i)
     for i in range(max(8, args.num_samples)):
-        fn = f"{i}.jpg"  # textvqa naming (debug fixture)
+        fn = f"{i}.jpg"
         Image.fromarray(r.randint(0, 256, (32, 32, 3), np.uint8)).save(
             os.path.join(img_dir, fn))
         images.append({"id": i, "file_name": fn})
         anns.append({"image_id": i, "caption": f"a synthetic object {i % 5}"})
+        karp.append({"filename": fn, "split": "test",
+                     "sentences": [{"raw": f"a synthetic object {i % 5}"},
+                                   {"raw": f"the object {i % 5} photo"}]})
         questions.append({"question": f"what is object {i % 5}?",
-                          "question_id": i, "image_id": i})
+                          "question_id": i, "image_id": img_id(i, fn)})
         answers.append({"answers": [{"answer": f"object {i % 5}"}] * 3})
     ann_p = os.path.join(tmpdir, "ann.json")
     q_p = os.path.join(tmpdir, "q.json")
     a_p = os.path.join(tmpdir, "a.json")
-    json.dump({"images": images, "annotations": anns}, open(ann_p, "w"))
+    if args.task == "flickr":
+        json.dump({"images": karp}, open(ann_p, "w"))
+    else:
+        json.dump({"images": images, "annotations": anns}, open(ann_p, "w"))
     json.dump({"questions": questions}, open(q_p, "w"))
     json.dump({"annotations": answers}, open(a_p, "w"))
     return img_dir, ann_p, q_p, a_p
@@ -135,13 +156,21 @@ def main(argv=None):
                                     args.questions, args.annotations)
 
     size = cfg.vit.image_size
+    is_caption = args.task in ("caption", "flickr")
     if args.task == "classify":
         return _run_classify(args, cfg, params, tok, img_dir, size)
-    if args.task == "caption":
+    if args.task == "flickr":
+        from deer_vla_tpu.data.vl_dataset import KarpathyCaptionDataset
+        ds = KarpathyCaptionDataset(img_dir, ann_p, dataset_name="flickr",
+                                    is_train=False, image_size=size)
+    elif args.task == "caption":
         ds = CaptionDataset(img_dir, ann_p, image_size=size)
     else:
-        ds = VQADataset(img_dir, q_p, a_p,
-                        dataset_name="textvqa" if args.debug else "vqav2",
+        ds_name = {"vqa": "vqav2", "okvqa": "ok_vqa",
+                   "textvqa": "textvqa", "vizwiz": "vizwiz"}[args.task]
+        if args.debug and ds_name in ("vqav2", "ok_vqa"):
+            ds_name = "textvqa"  # fixture images are plain {i}.jpg
+        ds = VQADataset(img_dir, q_p, a_p, dataset_name=ds_name,
                         image_size=size)
     n = min(args.num_samples, len(ds))
 
@@ -155,12 +184,13 @@ def main(argv=None):
 
     scores = []
     cap_preds, cap_refs = [], []  # corpus-level CIDEr-D needs the full set
+    predictions = []  # VQA/caption result-format rows (--save_predictions)
     for start in range(0, n, args.batch_size):
         idxs = list(range(start, min(start + args.batch_size, n)))
         samples = [ds[i] for i in idxs]
         imgs = np.stack([s["image"] for s in samples])
         vision = np.asarray(clip_preprocess(jnp.asarray(imgs), size))[:, None, None]
-        if args.task == "caption":
+        if is_caption:
             prompts = [CaptionDataset.get_caption_prompt() for _ in samples]
         else:
             prompts = [VQADataset.get_vqa_prompt(s["question"]) for s in samples]
@@ -190,26 +220,45 @@ def main(argv=None):
             text = " ".join(str(t) for t in toks)  # hash-tok ids; HF decodes
             if hasattr(tok, "tok"):
                 text = tok.tok.decode(toks, skip_special_tokens=True)
-            if args.task == "caption":
-                refs = [s["caption"]]
+            if is_caption:
+                refs = s.get("captions", [s["caption"]])
                 scores.append(caption_bleu1(text, refs))
                 cap_preds.append(text)
                 cap_refs.append(refs)
-            elif args.task == "okvqa":
-                scores.append(okvqa_accuracy(text, s.get("answers", [])))
+                predictions.append({"image_id": s["image_id"],
+                                    "caption": text})
             else:
-                scores.append(vqa_accuracy(postprocess_vqa_generation(text),
-                                           s.get("answers", [])))
+                if args.task == "okvqa":
+                    scores.append(okvqa_accuracy(text, s.get("answers", [])))
+                else:
+                    scores.append(vqa_accuracy(
+                        postprocess_vqa_generation(text),
+                        s.get("answers", [])))
+                predictions.append(
+                    {"answer": postprocess_vqa_generation(text),
+                     "question_id": s["question_id"]})
 
-    metric = {"caption": "bleu1", "vqa": "vqa_acc",
+    metric = {"caption": "bleu1", "flickr": "cider", "vqa": "vqa_acc",
+              "textvqa": "textvqa_acc", "vizwiz": "vizwiz_acc",
               "okvqa": "okvqa_acc"}[args.task]
-    result = {"task": args.task, "n": n, "metric": metric,
-              "score": float(np.mean(scores)) if scores else 0.0}
-    if args.task == "caption":
+    result = {"task": args.task, "n": n, "metric": metric}
+    if is_caption:
         from deer_vla_tpu.eval.vl_eval import cider_d
         result["cider"] = cider_d(cap_preds, cap_refs)
+        result["bleu1"] = float(np.mean(scores)) if scores else 0.0
+        # upstream reports CIDEr x100 as the flickr/coco headline
+        # (evaluate.py:886-895); `caption` keeps bleu1 as `score` for
+        # back-compat with existing consumers
+        result["score"] = (result["cider"] if args.task == "flickr"
+                           else result["bleu1"])
+    else:
+        result["score"] = float(np.mean(scores)) if scores else 0.0
     if rices_idx is not None:
         result["rices_example"] = rices_idx[0].tolist()
+    if args.save_predictions:
+        with open(args.save_predictions, "w") as f:
+            json.dump(predictions, f)
+        result["predictions_path"] = args.save_predictions
     print(json.dumps(result))
     return result
 

@@ -62,6 +62,49 @@ class CaptionDataset:
         return {"image": images, "input_ids": ids, "attention_mask": mask}
 
 
+class KarpathyCaptionDataset:
+    """Karpathy-split caption json (Flickr30k / COCO): one ``images`` list
+    with per-image ``sentences[].raw``, ``split`` and ``filename``.
+
+    Upstream-equivalent reader (open_flamingo eval_datasets.py:11-64): the
+    caption is ``sentences[0].raw``; image_id is ``cocoid`` for COCO and the
+    filename stem for Flickr; ``split`` filters train/test entries."""
+
+    def __init__(self, image_dir: str, annotations_path: str,
+                 dataset_name: str = "flickr", is_train: bool = False,
+                 image_size: int = 224):
+        self.image_dir = image_dir
+        self.dataset_name = dataset_name
+        self.image_size = image_size
+        want = "train" if is_train else "test"
+        self.annotations = [a for a in json.load(open(annotations_path))["images"]
+                            if a.get("split", want) == want]
+
+    def __len__(self):
+        return len(self.annotations)
+
+    get_caption_prompt = staticmethod(CaptionDataset.get_caption_prompt)
+
+    def __getitem__(self, idx: int) -> Dict:
+        a = self.annotations[idx]
+        if self.dataset_name == "coco":
+            image_id = a["cocoid"]
+        else:
+            image_id = os.path.splitext(a["filename"])[0]
+        return {"image": _load_image(
+                    os.path.join(self.image_dir, a["filename"]),
+                    self.image_size),
+                "caption": a["sentences"][0]["raw"],
+                "captions": [s["raw"] for s in a["sentences"]],
+                "image_id": image_id}
+
+    def collate(self, samples: Sequence[Dict], text_fn: Callable) -> Dict:
+        images = np.stack([s["image"] for s in samples])
+        ids, mask = text_fn([self.get_caption_prompt(s["caption"])
+                             for s in samples])
+        return {"image": images, "input_ids": ids, "attention_mask": mask}
+
+
 class VLLoader:
     """Minimal shuffled batch iterator over a Caption/VQA dataset."""
 

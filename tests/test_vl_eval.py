@@ -188,3 +188,69 @@ def test_classify_cli_debug(tmp_path):
                 "--num_samples", "4", "--precision", "fp32"])
     assert res["metric"] == "top1_acc" and res["n_classes"] == 5
     assert 0.0 <= res["score"] <= 1.0
+
+def test_karpathy_caption_dataset(tmp_path):
+    """Karpathy-split reader: split filtering, first-sentence caption, flickr
+    image_id = filename stem, coco image_id = cocoid."""
+    import json
+    import numpy as np
+    from PIL import Image
+    from deer_vla_tpu.data.vl_dataset import KarpathyCaptionDataset
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    entries = []
+    for i, split in enumerate(["test", "train", "test"]):
+        fn = f"im{i}.jpg"
+        Image.fromarray(np.full((8, 8, 3), i * 40, np.uint8)).save(
+            img_dir / fn)
+        entries.append({"filename": fn, "split": split, "cocoid": 100 + i,
+                        "sentences": [{"raw": f"first {i}"},
+                                      {"raw": f"second {i}"}]})
+    p = tmp_path / "karpathy.json"
+    p.write_text(json.dumps({"images": entries}))
+
+    ds = KarpathyCaptionDataset(str(img_dir), str(p), dataset_name="flickr",
+                                is_train=False, image_size=16)
+    assert len(ds) == 2  # train entry filtered out
+    s = ds[0]
+    assert s["caption"] == "first 0" and s["captions"] == ["first 0",
+                                                           "second 0"]
+    assert s["image_id"] == "im0" and s["image"].shape == (16, 16, 3)
+
+    ds_tr = KarpathyCaptionDataset(str(img_dir), str(p), dataset_name="coco",
+                                   is_train=True, image_size=16)
+    assert len(ds_tr) == 1 and ds_tr[0]["image_id"] == 101
+
+
+def test_flickr_cli_debug(tmp_path):
+    """--task flickr end to end: karpathy fixture, CIDEr headline score,
+    caption-format predictions json."""
+    import json
+    from deer_vla_tpu.cli.vl_eval import main
+    pred_p = tmp_path / "preds.json"
+    res = main(["--task", "flickr", "--debug", "--model", "tiny",
+                "--num_samples", "4", "--precision", "fp32",
+                "--save_predictions", str(pred_p)])
+    assert res["metric"] == "cider" and res["score"] == res["cider"]
+    assert "bleu1" in res
+    preds = json.loads(pred_p.read_text())
+    assert len(preds) == 4
+    assert set(preds[0]) == {"image_id", "caption"}
+    assert preds[0]["image_id"] == "0"  # filename stem
+
+
+def test_textvqa_vizwiz_cli_debug(tmp_path):
+    """textvqa + vizwiz tasks run the shared VQAEval protocol end to end;
+    vizwiz fixture addresses images by full filename."""
+    import json
+    from deer_vla_tpu.cli.vl_eval import main
+    for task in ("textvqa", "vizwiz"):
+        pred_p = tmp_path / f"{task}.json"
+        res = main(["--task", task, "--debug", "--model", "tiny",
+                    "--num_samples", "4", "--precision", "fp32",
+                    "--save_predictions", str(pred_p)])
+        assert res["metric"] == f"{task}_acc"
+        assert 0.0 <= res["score"] <= 1.0
+        preds = json.loads(pred_p.read_text())
+        assert len(preds) == 4
+        assert set(preds[0]) == {"answer", "question_id"}

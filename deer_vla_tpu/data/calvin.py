@@ -169,15 +169,10 @@ class DiskCalvinDataset:
         path, native/npz_reader.cpp) with transparent numpy fallback."""
         from deer_vla_tpu.data import native_loader
         if native_loader.available():
-            out = {}
-            ok = True
-            for k in self.EPISODE_KEYS:
-                arr = native_loader.read_window(paths, k)
-                if arr is None:
-                    ok = False
-                    break
-                out[k] = arr
-            if ok:
+            # mmap multi-key path: one map + zip-directory parse per frame
+            # serves all four keys
+            out = native_loader.read_window_keys(paths, self.EPISODE_KEYS)
+            if out is not None:
                 return out
         frames = [np.load(p) for p in paths]
         return {k: np.stack([f[k] for f in frames]) for k in self.EPISODE_KEYS}

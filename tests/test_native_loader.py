@@ -74,3 +74,41 @@ def test_dataset_uses_native_and_matches(tmp_path):
     f0 = np.load(ds._episode_path(int(ds.episode_lookup[0])))
     np.testing.assert_array_equal(s["rgb_static"][0], f0["rgb_static"])
     np.testing.assert_allclose(s["actions"][0], f0["rel_actions"])
+
+def test_read_window_keys_matches_numpy(files):
+    """v2 mmap multi-key path: all keys in one map/parse per file match
+    per-key numpy loads."""
+    keys = ("rgb_static", "rel_actions", "robot_obs")
+    got = native_loader.read_window_keys(files, keys, n_threads=4)
+    assert got is not None and set(got) == set(keys)
+    for k in keys:
+        ref = np.stack([np.load(p)[k] for p in files])
+        assert got[k].dtype == ref.dtype and got[k].shape == ref.shape
+        np.testing.assert_array_equal(got[k], ref)
+
+
+def test_read_window_keys_compressed(tmp_path):
+    """DEFLATE members inflate through the mmap path too."""
+    r = np.random.RandomState(3)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.npz"
+        np.savez_compressed(p, a=r.randn(5, 4).astype(np.float32),
+                            b=r.randint(0, 9, (6,), np.int64))
+        paths.append(str(p))
+    got = native_loader.read_window_keys(paths, ("a", "b"))
+    for k in ("a", "b"):
+        ref = np.stack([np.load(p)[k] for p in paths])
+        np.testing.assert_array_equal(got[k], ref)
+
+
+def test_read_window_keys_missing(files):
+    assert native_loader.read_window_keys(files, ("rgb_static", "nope")) is None
+    assert native_loader.read_window_keys(["/no/file.npz"], ("a",)) is None
+    assert native_loader.read_window_keys([], ()) is None
+
+
+def test_probe_keys(files):
+    infos = native_loader.probe_keys(files[0], ["rgb_static", "robot_obs"])
+    assert infos[0][0] == (24, 24, 3) and infos[0][1] == np.uint8
+    assert infos[1][0] == (15,) and infos[1][1] == np.float64

@@ -47,6 +47,10 @@ def build_parser():
     p.add_argument("--max_new_tokens", type=int, default=10)
     p.add_argument("--rices", action="store_true",
                    help="report RICES retrieval indices for shot selection")
+    p.add_argument("--cached_features", default="",
+                   help="npz feature index from deer-cache-features; skips "
+                        "the RICES embedding sweep (upstream "
+                        "cached_demonstration_features equivalent)")
     p.add_argument("--shots", type=int, default=2)
     p.add_argument("--max_layer", type=int, default=-1)
     p.add_argument("--debug", action="store_true",
@@ -179,7 +183,10 @@ def main(argv=None):
         imgs = np.stack([np.asarray(clip_preprocess(
             jnp.asarray(ds[i]["image"][None]), size))[0] for i in range(n)])
         ric = RICES(params, cfg)
-        ric.build_index(imgs)
+        if args.cached_features:
+            ric.load(args.cached_features)
+        else:
+            ric.build_index(imgs)
         rices_idx = ric.retrieve(imgs, args.shots)
 
     scores = []

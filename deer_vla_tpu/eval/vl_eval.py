@@ -162,11 +162,23 @@ class RICES:
     def retrieve(self, query_images: np.ndarray, k: int) -> np.ndarray:
         """(B, 3, H, W) -> (B, k) train indices, most similar LAST (the
         upstream reverses so the closest example is nearest the query)."""
-        assert self.features is not None, "call build_index first"
+        assert self.features is not None, "call build_index or load first"
         q = np.asarray(self._embed(self.params, jnp.asarray(query_images)))
         sim = q @ self.features.T
         top = np.argsort(-sim, axis=1)[:, :k]
         return top[:, ::-1]
+
+    def save(self, path: str) -> None:
+        """Persist the feature index (scripts/cache_rices_features.py's
+        torch.save equivalent, npz format)."""
+        assert self.features is not None, "call build_index first"
+        np.savez(path, features=self.features)
+
+    def load(self, path: str) -> np.ndarray:
+        """Load a cached feature index built by `save` / the
+        deer-cache-features CLI; skips the per-eval ViT sweep."""
+        self.features = np.load(path)["features"]
+        return self.features
 
 
 def _pooled(params, x, cfg):

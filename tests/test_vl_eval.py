@@ -254,3 +254,22 @@ def test_textvqa_vizwiz_cli_debug(tmp_path):
         preds = json.loads(pred_p.read_text())
         assert len(preds) == 4
         assert set(preds[0]) == {"answer", "question_id"}
+
+def test_cache_features_roundtrip(tmp_path):
+    """deer-cache-features builds + saves a feature index; vl_eval consumes
+    it via --cached_features with identical retrieval to a fresh build."""
+    import json
+    from deer_vla_tpu.cli.cache_features import main as cache_main
+    from deer_vla_tpu.cli.vl_eval import main as eval_main
+    feat_p = tmp_path / "feats.npz"
+    res = cache_main(["--task", "caption", "--debug", "--model", "tiny",
+                      "--num_samples", "6", "--precision", "fp32",
+                      "--output", str(feat_p)])
+    assert res["n"] == 6 and feat_p.exists()
+
+    common = ["--task", "caption", "--debug", "--model", "tiny",
+              "--num_samples", "6", "--precision", "fp32", "--rices"]
+    fresh = eval_main(common)
+    cached = eval_main(common + ["--cached_features", str(feat_p)])
+    # identical model + fixture seed: cached index reproduces retrieval
+    assert cached["rices_example"] == fresh["rices_example"]

@@ -39,59 +39,31 @@ def build_parser():
     return p
 
 
-def build_dataset(args, size):
-    """Same dataset routing as cli/vl_eval.py main."""
-    from deer_vla_tpu.data.vl_dataset import (CaptionDataset,
-                                              KarpathyCaptionDataset,
-                                              VQADataset)
-    img_dir, ann_p, q_p, a_p = (args.image_dir, args.annotations,
-                                args.questions, args.annotations)
-    if args.task == "flickr":
-        return KarpathyCaptionDataset(img_dir, ann_p, dataset_name="flickr",
-                                      is_train=False, image_size=size)
-    if args.task == "caption":
-        return CaptionDataset(img_dir, ann_p, image_size=size)
-    ds_name = {"vqa": "vqav2", "okvqa": "ok_vqa",
-               "textvqa": "textvqa", "vizwiz": "vizwiz"}[args.task]
-    if args.debug and ds_name in ("vqav2", "ok_vqa"):
-        ds_name = "textvqa"
-    return VQADataset(img_dir, q_p, a_p, dataset_name=ds_name,
-                      image_size=size)
-
-
 @record
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import dataclasses
-    import numpy as np
-    import jax.numpy as jnp
     from deer_vla_tpu.cli.eval import load_model
     from deer_vla_tpu.cli.train import make_tokenizer
-    from deer_vla_tpu.data.preprocess import clip_preprocess
+    from deer_vla_tpu.cli.vl_eval import (build_dataset, preprocess_images,
+                                          resolve_paths)
     from deer_vla_tpu.eval.vl_eval import RICES
 
     cfg, params = load_model(args)
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
 
-    if args.debug:
-        import tempfile
-        from deer_vla_tpu.cli.vl_eval import _synthetic_fixture
-        tmp = tempfile.mkdtemp()
-        args.image_dir, args.annotations, args.questions, _ = \
-            _synthetic_fixture(args, cfg, tmp)
-
     size = cfg.vit.image_size
-    ds = build_dataset(args, size)
+    ds = build_dataset(args, size, *resolve_paths(args, cfg))
     n = min(args.num_samples, len(ds))
-    imgs = np.stack([np.asarray(clip_preprocess(
-        jnp.asarray(ds[i]["image"][None]), size))[0] for i in range(n)])
+    imgs = preprocess_images(ds, n, size, args.batch_size)
 
     ric = RICES(params, cfg, batch_size=args.batch_size)
     feats = ric.build_index(imgs)
-    ric.save(args.output)
+    out = args.output if args.output.endswith(".npz") else args.output + ".npz"
+    ric.save(out)
     result = {"task": args.task, "n": int(feats.shape[0]),
-              "dim": int(feats.shape[1]), "output": args.output}
+              "dim": int(feats.shape[1]), "output": out}
     print(json.dumps(result))
     return result
 

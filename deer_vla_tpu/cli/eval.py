@@ -67,7 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", type=int, default=1,
                    help=">1: split lanes into this many groups and overlap "
                         "one group's env stepping with the others' device "
-                        "programs (async dispatch)")
+                        "programs (async dispatch); rounded down to a "
+                        "divisor of --lanes so all groups share one "
+                        "compiled batch shape")
     p.add_argument("--action_cache_tau", type=float, default=0.0,
                    help=">0: training-free action caching — replay the "
                         "previous action while the frame delta stays below "

@@ -94,6 +94,49 @@ def _synthetic_fixture(args, cfg, tmpdir):
     return img_dir, ann_p, q_p, a_p
 
 
+def resolve_paths(args, cfg):
+    """(img_dir, ann_p, q_p, a_p) — synthetic fixture under --debug, else
+    the CLI path args (VQA answers ride --annotations)."""
+    if args.debug:
+        import tempfile
+        return _synthetic_fixture(args, cfg, tempfile.mkdtemp())
+    return (args.image_dir, args.annotations, args.questions,
+            args.annotations)
+
+
+def build_dataset(args, size, img_dir, ann_p, q_p, a_p):
+    """Task -> dataset routing shared by vl_eval and cache_features."""
+    from deer_vla_tpu.data.vl_dataset import (CaptionDataset,
+                                              KarpathyCaptionDataset,
+                                              VQADataset)
+    if args.task == "flickr":
+        return KarpathyCaptionDataset(img_dir, ann_p, dataset_name="flickr",
+                                      is_train=False, image_size=size)
+    if args.task == "caption":
+        return CaptionDataset(img_dir, ann_p, image_size=size)
+    ds_name = {"vqa": "vqav2", "okvqa": "ok_vqa",
+               "textvqa": "textvqa", "vizwiz": "vizwiz"}[args.task]
+    if args.debug and ds_name in ("vqav2", "ok_vqa"):
+        ds_name = "textvqa"  # fixture images are plain {i}.jpg
+    return VQADataset(img_dir, q_p, a_p, dataset_name=ds_name,
+                      image_size=size)
+
+
+def preprocess_images(ds, n, size, batch_size=32):
+    """Stack ds[0..n)'s images through ONE jitted batched clip_preprocess
+    (eager per-image dispatch is a per-op tunnel round trip on axon)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from deer_vla_tpu.data.preprocess import clip_preprocess
+    prep = jax.jit(lambda x: clip_preprocess(x, size))
+    outs = []
+    for s in range(0, n, batch_size):
+        raw = np.stack([ds[i]["image"] for i in range(s, min(s + batch_size, n))])
+        outs.append(np.asarray(prep(jnp.asarray(raw))))
+    return np.concatenate(outs, 0)
+
+
 def _run_classify(args, cfg, params, tok, img_dir, size):
     """Zero-shot classification by LM score (classification_utils
     equivalent): rank 'A photo of a <class>' continuations per image by
@@ -151,37 +194,18 @@ def main(argv=None):
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
 
-    if args.debug:
-        import tempfile
-        tmp = tempfile.mkdtemp()
-        img_dir, ann_p, q_p, a_p = _synthetic_fixture(args, cfg, tmp)
-    else:
-        img_dir, ann_p, q_p, a_p = (args.image_dir, args.annotations,
-                                    args.questions, args.annotations)
+    img_dir, ann_p, q_p, a_p = resolve_paths(args, cfg)
 
     size = cfg.vit.image_size
     is_caption = args.task in ("caption", "flickr")
     if args.task == "classify":
         return _run_classify(args, cfg, params, tok, img_dir, size)
-    if args.task == "flickr":
-        from deer_vla_tpu.data.vl_dataset import KarpathyCaptionDataset
-        ds = KarpathyCaptionDataset(img_dir, ann_p, dataset_name="flickr",
-                                    is_train=False, image_size=size)
-    elif args.task == "caption":
-        ds = CaptionDataset(img_dir, ann_p, image_size=size)
-    else:
-        ds_name = {"vqa": "vqav2", "okvqa": "ok_vqa",
-                   "textvqa": "textvqa", "vizwiz": "vizwiz"}[args.task]
-        if args.debug and ds_name in ("vqav2", "ok_vqa"):
-            ds_name = "textvqa"  # fixture images are plain {i}.jpg
-        ds = VQADataset(img_dir, q_p, a_p, dataset_name=ds_name,
-                        image_size=size)
+    ds = build_dataset(args, size, img_dir, ann_p, q_p, a_p)
     n = min(args.num_samples, len(ds))
 
     rices_idx = None
     if args.rices:
-        imgs = np.stack([np.asarray(clip_preprocess(
-            jnp.asarray(ds[i]["image"][None]), size))[0] for i in range(n)])
+        imgs = preprocess_images(ds, n, size, args.batch_size)
         ric = RICES(params, cfg)
         if args.cached_features:
             ric.load(args.cached_features)

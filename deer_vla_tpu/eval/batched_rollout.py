@@ -80,6 +80,11 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         prep = preprocess
 
     n_groups = max(1, min(pipeline, b))
+    # equal group sizes keep every group on ONE compiled batch shape (the
+    # while-loop engine compiles ~90 s at 3B over the tunnel); round the
+    # requested pipeline down to the nearest divisor of the lane count
+    while b % n_groups:
+        n_groups -= 1
     lanes = [list(range(g, b, n_groups)) for g in range(n_groups)]
     # group policies share the compiled step/params/thresholds (shallow
     # copy) but hold independent carries sized to their lane count

@@ -170,9 +170,11 @@ class RICES:
 
     def save(self, path: str) -> None:
         """Persist the feature index (scripts/cache_rices_features.py's
-        torch.save equivalent, npz format)."""
+        torch.save equivalent, npz format).  Writes to `path` exactly (an
+        open file handle stops np.savez from appending '.npz')."""
         assert self.features is not None, "call build_index first"
-        np.savez(path, features=self.features)
+        with open(path, "wb") as f:
+            np.savez(f, features=self.features)
 
     def load(self, path: str) -> np.ndarray:
         """Load a cached feature index built by `save` / the

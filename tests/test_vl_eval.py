@@ -273,3 +273,16 @@ def test_cache_features_roundtrip(tmp_path):
     cached = eval_main(common + ["--cached_features", str(feat_p)])
     # identical model + fixture seed: cached index reproduces retrieval
     assert cached["rices_example"] == fresh["rices_example"]
+
+def test_cache_features_vqa_task(tmp_path):
+    """Regression: VQA-style tasks route the fixture's answers json through
+    the shared build_dataset (a dropped answers path crashed with
+    KeyError 'answers'); missing .npz suffix is normalized."""
+    from deer_vla_tpu.cli.cache_features import main as cache_main
+    out = tmp_path / "tv_feats"  # no .npz suffix on purpose
+    res = cache_main(["--task", "textvqa", "--debug", "--model", "tiny",
+                      "--num_samples", "4", "--precision", "fp32",
+                      "--output", str(out)])
+    import os
+    assert res["output"].endswith(".npz") and os.path.exists(res["output"])
+    assert res["n"] == 4

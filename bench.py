@@ -86,14 +86,14 @@ def main():
         carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
                            jnp.float32)
         for _ in range(warmup):
-            arm, gp, carry, el = policy._step(params, policy.stacked, img,
-                                              grip, ids, mask, carry, th)
+            arm, gp, carry, el = policy._step(policy.params, policy.stacked,
+                                              img, grip, ids, mask, carry, th)
         jax.block_until_ready((arm, gp, carry, el))
         assert int(el[0]) == exits[k], (int(el[0]), exits[k])
         t0 = time.perf_counter()
         for _ in range(iters):
-            arm, gp, carry, el = policy._step(params, policy.stacked, img,
-                                              grip, ids, mask, carry, th)
+            arm, gp, carry, el = policy._step(policy.params, policy.stacked,
+                                              img, grip, ids, mask, carry, th)
         jax.block_until_ready((arm, gp, carry, el))
         return (time.perf_counter() - t0) / iters
 
@@ -139,15 +139,15 @@ def main():
         carryB = zero_carry(cfg.head.lstm_num_layers, B,
                             cfg.head.hidden_size, jnp.float32)
         for _ in range(3):
-            armB, gpB, carryB, elB = bp._step(params, bp.stacked, imgB, imgB,
-                                              idsB, maskB, carryB, thB)
+            armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked, imgB,
+                                              imgB, idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         assert int(elB[0]) == exits[-1]
         t0 = time.perf_counter()
         iters_b = 20
         for _ in range(iters_b):
-            armB, gpB, carryB, elB = bp._step(params, bp.stacked, imgB, imgB,
-                                              idsB, maskB, carryB, thB)
+            armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked, imgB,
+                                              imgB, idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
 

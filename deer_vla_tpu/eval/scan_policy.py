@@ -31,13 +31,20 @@ from deer_vla_tpu.models.mpt import embed_tokens, make_attn_bias, \
 from deer_vla_tpu.ops.lstm import zero_carry
 
 
-def stack_decoder_layers(params: dict, cfg: DeerConfig) -> dict:
+def stack_decoder_layers(params: dict, cfg: DeerConfig,
+                         include_encoders: bool = False) -> dict:
     """blocks: list of per-layer dicts -> one pytree with leading L dim;
     xattn likewise (padded index map for every_n > 1).
 
     The stacked copy is cast to the COMPUTE dtype: each while-loop iteration
     dynamic-slices one layer's weights (a real HBM copy), so a bf16 stack
-    halves that traffic — and the matmuls consume bf16 anyway."""
+    halves that traffic — and the matmuls consume bf16 anyway.
+
+    include_encoders additionally stacks the ViT blocks and perceiver
+    layers ("vit"/"perceiver"[/"perceiver_gripper"] keys, consumed by
+    encode_vision's stacked path): per-program dispatch cost on this runtime
+    grows ~1 us per argument leaf (scripts/bench_dispatch_args.py), and the
+    encoders are ~400 of the full tree's ~800 leaves."""
     cdt = cfg.dtypes.cdt
 
     def stack(*xs):
@@ -54,9 +61,35 @@ def stack_decoder_layers(params: dict, cfg: DeerConfig) -> dict:
         xidx[i] = min(j, len(xattn_list) - 1)
         if has_xattn[i]:
             j += 1
-    return {"blocks": blocks, "xattn": xattn,
-            "has_xattn": jnp.asarray(has_xattn),
-            "xattn_idx": jnp.asarray(xidx)}
+    out = {"blocks": blocks, "xattn": xattn,
+           "has_xattn": jnp.asarray(has_xattn),
+           "xattn_idx": jnp.asarray(xidx)}
+    if include_encoders:
+        from deer_vla_tpu.models.perceiver import stack_perceiver_layers
+        from deer_vla_tpu.models.vit import stack_vit_blocks
+        out["vit"] = stack_vit_blocks(params["vit"], cdt)
+        for pk in ("perceiver", "perceiver_gripper"):
+            if pk in params:
+                out[pk] = stack_perceiver_layers(params[pk], cdt)
+    return out
+
+
+def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
+    """Serving argument tree with ONLY the leaves the while-loop step reads:
+    ViT/perceiver non-layer leaves (layer weights ride the stacked tree),
+    the token embedding, and the one exit head.  ~800 -> ~60 leaves; at
+    ~1 us/leaf marshaling that removes most of the per-dispatch floor."""
+    vit = {k: v for k, v in params["vit"].items() if k != "blocks"}
+    vit["blocks"] = []
+    out = {"vit": vit, "decoder": {"wte": params["decoder"]["wte"]}}
+    for pk in ("perceiver", "perceiver_gripper"):
+        if pk in params:
+            p = {k: v for k, v in params[pk].items() if k != "layers"}
+            p["layers"] = []
+            out[pk] = p
+    head_key = "lm_head" if cfg.share_exit else "extra_exit"
+    out[head_key] = params[head_key]
+    return out
 
 
 def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
@@ -97,7 +130,7 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         layer below it (the `i - interval < 0` branch is layer-indexed, so it
         triggers every timestep), and each later exit compares against the
         previous exit's action this timestep (action_list[-1])."""
-        media = encode_vision(params, img, grip, cfg)
+        media = encode_vision(params, img, grip, cfg, stacked=stacked)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
         attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
@@ -245,11 +278,19 @@ class ScanDeerPolicy:
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
                  steps_per_stage: int = 1, drop_unstacked: bool = False,
-                 indexed_mm: bool = False):
+                 indexed_mm: bool = False, pack: bool = True):
         self.params = params
         self.cfg = cfg
-        self.stacked = stack_decoder_layers(params, cfg)
-        if drop_unstacked:
+        self.stacked = stack_decoder_layers(params, cfg,
+                                            include_encoders=pack)
+        if pack:
+            # serving default: encoder layers ride the stacked tree and the
+            # params argument shrinks to the ~60 leaves the step reads —
+            # per-dispatch marshaling is ~1 us/leaf on this runtime, so the
+            # full 794-leaf tree costs ~0.6 ms/action of pure host overhead
+            # (scripts/bench_dispatch_args.py / bench_loop_overhead.py)
+            self.params = prune_serving_params(params, cfg)
+        elif drop_unstacked:
             # serving mode: the while-loop consumes only the stacked bf16
             # copy — free the per-layer fp32 originals (halves decoder HBM;
             # required to fit the truncated 9B on one 16GB chip).  The dict

@@ -89,3 +89,35 @@ def perceiver_forward(params: dict, x: jnp.ndarray, cfg: PerceiverConfig) -> jnp
         latents = ff_forward(layer["ff"], latents) + latents
     latents = layernorm(params["norm"], latents)
     return latents.reshape(b, t, cfg.num_latents, d)
+
+
+def stack_perceiver_layers(params: dict, dtype=None) -> dict:
+    """layers list -> one pytree with leading depth dim (serving path; see
+    vit.stack_vit_blocks for the dispatch-leaf-count rationale)."""
+
+    def stack(*xs):
+        s = jnp.stack(xs)
+        if dtype is not None and jnp.issubdtype(s.dtype, jnp.floating):
+            s = s.astype(dtype)
+        return s
+
+    return jax.tree_util.tree_map(stack, *params["layers"])
+
+
+def perceiver_forward_stacked(params: dict, stacked_layers: dict,
+                              x: jnp.ndarray, cfg: PerceiverConfig) -> jnp.ndarray:
+    """perceiver_forward with the depth loop as a lax.scan over stacked
+    weights; identical math (params supplies latents + final norm)."""
+    b, t, f, v, d = x.shape
+    x = x.reshape(b * t, f * v, d)
+    latents = jnp.broadcast_to(
+        params["latents"].astype(x.dtype), (b * t, cfg.num_latents, d))
+
+    def body(lat, layer):
+        lat = _perceiver_attn(layer, x, lat, cfg) + lat
+        lat = ff_forward(layer["ff"], lat) + lat
+        return lat, None
+
+    latents, _ = jax.lax.scan(body, latents, stacked_layers)
+    latents = layernorm(params["norm"], latents)
+    return latents.reshape(b, t, cfg.num_latents, d)

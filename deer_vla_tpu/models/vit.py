@@ -77,6 +77,15 @@ def _block(p: dict, x: jnp.ndarray, heads: int, act) -> jnp.ndarray:
     return x + h
 
 
+def _prologue(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    b = x.shape[0]
+    h = jnp.dot(_patchify(x, cfg.patch_size), params["patch_embed"]["w"].astype(x.dtype))
+    cls = jnp.broadcast_to(params["class_embedding"].astype(x.dtype), (b, 1, cfg.width))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["positional_embedding"].astype(x.dtype)
+    return layernorm(params["ln_pre"], h)
+
+
 def vit_forward(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: (B, 3, H, W) preprocessed images.
 
@@ -84,14 +93,41 @@ def vit_forward(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> Tuple[jnp.ndarr
     per-patch features after ln_post — exactly open_clip's
     ``output_tokens=True`` second output that DeeR consumes.
     """
-    b = x.shape[0]
-    h = jnp.dot(_patchify(x, cfg.patch_size), params["patch_embed"]["w"].astype(x.dtype))
-    cls = jnp.broadcast_to(params["class_embedding"].astype(x.dtype), (b, 1, cfg.width))
-    h = jnp.concatenate([cls, h], axis=1)
-    h = h + params["positional_embedding"].astype(x.dtype)
-    h = layernorm(params["ln_pre"], h)
+    h = _prologue(params, x, cfg)
     act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
     for blk in params["blocks"]:
         h = _block(blk, h, cfg.heads, act)
+    h = layernorm(params["ln_post"], h)
+    return h[:, 0], h[:, 1:]
+
+
+def stack_vit_blocks(params: dict, dtype=None) -> dict:
+    """blocks list -> one pytree with leading L dim (serving path).
+
+    Collapses 24 x ~14 argument leaves to ~14: per-program dispatch cost on
+    this runtime grows ~1 us/leaf (scripts/bench_dispatch_args.py), so the
+    streaming policy packs encoder weights.  Casting to the compute dtype is
+    numerically identical — ``linear`` casts weights to x.dtype at use."""
+
+    def stack(*xs):
+        s = jnp.stack(xs)
+        if dtype is not None and jnp.issubdtype(s.dtype, jnp.floating):
+            s = s.astype(dtype)
+        return s
+
+    return jax.tree_util.tree_map(stack, *params["blocks"])
+
+
+def vit_forward_stacked(params: dict, stacked_blocks: dict, x: jnp.ndarray,
+                        cfg: ViTConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vit_forward with the layer loop as a lax.scan over stacked weights;
+    same math in the same order (params supplies the non-block leaves)."""
+    h = _prologue(params, x, cfg)
+    act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
+
+    def body(h, blk):
+        return _block(blk, h, cfg.heads, act), None
+
+    h, _ = jax.lax.scan(body, h, stacked_blocks)
     h = layernorm(params["ln_post"], h)
     return h[:, 0], h[:, 1:]

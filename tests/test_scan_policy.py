@@ -161,3 +161,23 @@ def test_scan_max_layer_cap(setup):
     img, grip, ids, mask = obs(cfg)
     s.step(img, grip, ids, mask)
     assert s.last_exit_layer == 1  # forced exit at the capped layer
+
+def test_packed_matches_unpacked(setup):
+    """pack=True (stacked ViT/perceiver + pruned ~60-leaf arg tree) is
+    numerically identical to pack=False: linear() casts weights to the
+    compute dtype at use, so pre-casting the stacks changes nothing, and
+    lax.scan runs the same per-layer math in the same order."""
+    cfg, params = setup
+    th = [0.05, 1e8]
+    packed = ScanDeerPolicy(params, cfg, thresholds=th, pack=True)
+    full = ScanDeerPolicy(params, cfg, thresholds=th, pack=False)
+    # the packed argument tree is an order of magnitude smaller
+    n_packed = len(jax.tree_util.tree_leaves(packed.params))
+    n_full = len(jax.tree_util.tree_leaves(full.params))
+    assert n_packed < n_full / 3, (n_packed, n_full)
+    for t in range(3):
+        img, grip, ids, mask = obs(cfg, seed=t)
+        a_p = packed.step(img, grip, ids, mask)
+        a_f = full.step(img, grip, ids, mask)
+        assert packed.last_exit_layer == full.last_exit_layer
+        np.testing.assert_allclose(a_p, a_f, rtol=1e-6, atol=1e-6)

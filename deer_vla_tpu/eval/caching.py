@@ -133,8 +133,8 @@ class VisionCacheDeerPolicy:
             hit = float(frame_delta(image, self._prev_frame)) <= self.tau
         if not hit:
             self._cached = self.inner._encode_prefix(
-                self.inner.params, image, gripper, input_ids,
-                attention_mask, state)
+                self.inner.enc_params, self.inner.enc_stacked, image,
+                gripper, input_ids, attention_mask, state)
             self._prev_frame = image
         self.encode_hits += int(hit)
         media, x0, mloc = self._cached
@@ -158,8 +158,8 @@ class VisionCacheDeerPolicy:
         for k, (start, e, fn, fn_first) in enumerate(inner._segments):
             run_fn = fn_first if (k == 0 and ctrl is not None) else fn
             x, out, cand_carry, delta = run_fn(
-                inner.params, x, attention_mask, media, mloc, inner.carry,
-                prev_action, state)
+                inner._seg_params[k], x, attention_mask, media, mloc,
+                inner.carry, prev_action, state)
             prev_action = out.actions[:, 0]
             if ctrl is None:
                 chosen = (e, out, cand_carry)

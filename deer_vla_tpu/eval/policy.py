@@ -81,18 +81,66 @@ class DeerPolicy:
 
     def _build_programs(self):
         cfg = self.cfg
+        params = self.params
+
+        # packed argument trees: per-dispatch host marshaling on this
+        # runtime costs ~1 us per pytree leaf (scripts/bench_dispatch_args
+        # .py), and this engine dispatches encode + up to n_exits segment
+        # programs per action — each program receives ONLY the leaves it
+        # reads (stacked encoders for the prefix; the bucket's layer range
+        # and its head for each segment)
+        cdt = cfg.dtypes.cdt
+        from deer_vla_tpu.models.perceiver import stack_perceiver_layers
+        from deer_vla_tpu.models.vit import stack_vit_blocks
+        enc_stacked = {"vit": stack_vit_blocks(params["vit"], cdt)}
+        vit_rest = {k: v for k, v in params["vit"].items() if k != "blocks"}
+        vit_rest["blocks"] = []
+        enc_params = {"vit": vit_rest,
+                      "decoder": {"wte": params["decoder"]["wte"]}}
+        for pk in ("perceiver", "perceiver_gripper"):
+            if pk in params:
+                enc_stacked[pk] = stack_perceiver_layers(params[pk], cdt)
+                p = {k: v for k, v in params[pk].items() if k != "layers"}
+                p["layers"] = []
+                enc_params[pk] = p
+        if "state_fc" in params:
+            enc_params["state_fc"] = params["state_fc"]
+        self.enc_params = enc_params
+        self.enc_stacked = enc_stacked
 
         @jax.jit
-        def encode_prefix(params, img, grip, ids, mask, state):
+        def encode_prefix(params, stacked, img, grip, ids, mask, state):
             # state (or None) reaches the state_fc vision token when the
             # model was trained with --use_state (flamingo.py:120-126);
             # None vs array retraces, which is fine — it's fixed per rollout
-            media = encode_vision(params, img, grip, cfg, state)
+            media = encode_vision(params, img, grip, cfg, state,
+                                  stacked=stacked)
             x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
             media_locations = ids == cfg.media_token_id
             return media, x, media_locations
 
         self._encode_prefix = encode_prefix
+
+        from deer_vla_tpu.models.flamingo import resolve_head
+
+        def seg_params(start, stop):
+            """Leaves segment [start, stop) reads: its layer slice (None
+            padding below `start` keeps _layer's absolute indices, zero
+            leaves) and the exit head resolve_head picks for stop-1."""
+            dec = params["decoder"]
+            sp = {"decoder": {
+                "blocks": [None] * start + list(dec["blocks"][start:stop]),
+                "xattn": [None] * start + list(dec["xattn"][start:stop])}}
+            e = stop - 1
+            if cfg.share_exit:
+                sp["lm_head"] = params["lm_head"]
+            elif not cfg.layerwise_exit_eval:
+                sp["extra_exit"] = params["extra_exit"]
+            elif e == cfg.n_layers - 1:
+                sp["lm_head"] = params["lm_head"]
+            else:
+                sp["lm_exits"] = {str(e): params["lm_exits"][str(e)]}
+            return sp
 
         def segment(start, stop, first_exit, params, x, mask, media,
                     media_locations, carry, prev_action, state):
@@ -117,12 +165,14 @@ class DeerPolicy:
             return x_out, out, cand_carry, delta.mean()
 
         self._segments = []
+        self._seg_params = []
         prev = 0
         for k, e in enumerate(self.bucket_exits):
             fn_normal = jax.jit(functools.partial(segment, prev, e + 1, False))
             fn_first = (jax.jit(functools.partial(segment, prev, e + 1, True))
                         if k == 0 else None)
             self._segments.append((prev, e, fn_normal, fn_first))
+            self._seg_params.append(seg_params(prev, e + 1))
             prev = e + 1
 
     # -- state --------------------------------------------------------------
@@ -147,9 +197,10 @@ class DeerPolicy:
         """One env step.  image/gripper: (1, 1, 1, 3, H, W) preprocessed;
         returns the 7-dof action (numpy) with the gripper binarized to ±1
         (eval_utils.py:458-475)."""
-        media, x, mloc = self._encode_prefix(self.params, image, gripper,
-                                             input_ids, attention_mask,
-                                             state)
+        media, x, mloc = self._encode_prefix(self.enc_params,
+                                             self.enc_stacked, image,
+                                             gripper, input_ids,
+                                             attention_mask, state)
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers,
                                     x.shape[0], self.cfg.head.hidden_size,
@@ -170,8 +221,8 @@ class DeerPolicy:
             # exit path (ctrl None) skips the pseudo forward entirely.
             run_fn = fn_first if (k == 0 and ctrl is not None) else fn
             x, out, cand_carry, delta = run_fn(
-                self.params, x, attention_mask, media, mloc, self.carry,
-                prev_action, state)
+                self._seg_params[k], x, attention_mask, media, mloc,
+                self.carry, prev_action, state)
             prev_action = out.actions[:, 0]
             if ctrl is None:
                 chosen = (e, out, cand_carry)

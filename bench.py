@@ -56,7 +56,14 @@ def main():
 
     hw, s = cfg.vit.image_size, cfg.text_len
     r = np.random.RandomState(0)
-    img = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+    # DISTINCT image per timing iteration: the runtime deduplicates
+    # identical repeat dispatches (identical program + argument buffers
+    # return without re-execution), which would fake the measurement —
+    # a chained LSTM carry alone is not protection once it converges
+    N_POOL = 40
+    img_pool = [jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+                for _ in range(N_POOL)]
+    img = img_pool[0]
     grip = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
     ids = np.full((1, s), 11, np.int32)
     ids[0, 0] = cfg.media_token_id
@@ -85,15 +92,17 @@ def main():
         th = full_thresholds(k)
         carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
                            jnp.float32)
-        for _ in range(warmup):
+        for i in range(warmup):
             arm, gp, carry, el = policy._step(policy.params, policy.stacked,
-                                              img, grip, ids, mask, carry, th)
+                                              img_pool[i % N_POOL], grip,
+                                              ids, mask, carry, th)
         jax.block_until_ready((arm, gp, carry, el))
         assert int(el[0]) == exits[k], (int(el[0]), exits[k])
         t0 = time.perf_counter()
-        for _ in range(iters):
+        for i in range(iters):
             arm, gp, carry, el = policy._step(policy.params, policy.stacked,
-                                              img, grip, ids, mask, carry, th)
+                                              img_pool[i % N_POOL], grip,
+                                              ids, mask, carry, th)
         jax.block_until_ready((arm, gp, carry, el))
         return (time.perf_counter() - t0) / iters
 
@@ -103,8 +112,8 @@ def main():
         policy.reset()
         policy.step(img, grip, ids, mask)
         t0 = time.perf_counter()
-        for _ in range(iters):
-            policy.step(img, grip, ids, mask)
+        for i in range(iters):
+            policy.step(img_pool[i % N_POOL], grip, ids, mask)
         return (time.perf_counter() - t0) / iters
 
     probs = exit_probs(len(exits), 0.8, "exp")
@@ -130,7 +139,9 @@ def main():
         B = 32
         bp = ScanDeerPolicy(params, cfg,
                             thresholds=[-1e8] * (len(exits) - 1) + [1e8])
-        imgB = jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
+        iters_b = 20
+        imgB_pool = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
+                     for _ in range(4)]  # distinct inputs defeat dedupe
         idsB = np.full((B, s), 11, np.int32)
         idsB[:, 0] = cfg.media_token_id
         idsB = jnp.asarray(idsB)
@@ -138,16 +149,17 @@ def main():
         thB = full_thresholds(len(exits) - 1)
         carryB = zero_carry(cfg.head.lstm_num_layers, B,
                             cfg.head.hidden_size, jnp.float32)
-        for _ in range(3):
-            armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked, imgB,
-                                              imgB, idsB, maskB, carryB, thB)
+        for i in range(3):
+            armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked,
+                                              imgB_pool[i % 4], imgB_pool[i % 4],
+                                              idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         assert int(elB[0]) == exits[-1]
         t0 = time.perf_counter()
-        iters_b = 20
-        for _ in range(iters_b):
-            armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked, imgB,
-                                              imgB, idsB, maskB, carryB, thB)
+        for i in range(iters_b):
+            armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked,
+                                              imgB_pool[i % 4], imgB_pool[i % 4],
+                                              idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
 

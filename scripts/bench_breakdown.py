@@ -7,6 +7,10 @@ head / loop+dispatch overhead.  Absolute numbers are tunnel weather; only
 the SAME-RUN ratios are meaningful (CLAUDE.md).
 
 Usage:  python scripts/bench_breakdown.py [model]
+
+WARNING: numbers from repeat-arg timing are contaminated by the runtime's
+identical-dispatch deduplication (see CLAUDE.md) — vary inputs per iteration
+for honest measurements (bench_packed_ab2.py pattern).
 """
 
 import os

@@ -9,6 +9,10 @@ Programs compared (identical argument trees -> identical marshaling cost):
 
 C - B = while_loop machinery + exit plumbing at equal compute.
 A = marshaling floor.  All device-pipelined, one block at the end.
+
+WARNING: repeat-arg timings here are dedupe-contaminated (the runtime
+skips re-executing identical dispatches); use the bench_packed_ab2.py
+pattern (distinct inputs per iteration) for honest numbers.
 """
 
 import os

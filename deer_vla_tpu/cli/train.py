@@ -30,6 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_state", action="store_true")
     p.add_argument("--sep_resampler", action="store_true")
     p.add_argument("--share_exit", action="store_true")
+    p.add_argument("--fusion_mode", default="post",
+                   choices=["post", "pre", "two_way", "vit_concat"],
+                   help="camera fusion (flamingo_mpt.py:585-777); "
+                        "vit_concat folds the window into the media tokens "
+                        "(per-window text, last-step action labels)")
+    p.add_argument("--use_hist", action="store_true",
+                   help="history variant: learned frame embeddings on ViT "
+                        "tokens, last-step-only loss (flamingo_mpt.py:700)")
     # data
     p.add_argument("--calvin_dataset", default=os.environ.get("calvin_dataset_path", ""))
     p.add_argument("--tokenizer_path", default="")
@@ -98,6 +106,8 @@ def make_model_config(args):
                       window_size=args.window_size, dtypes=dtypes)
     updates = {"use_state": args.use_state, "sep_resampler": args.sep_resampler,
                "share_exit": args.share_exit,
+               "fusion_mode": getattr(args, "fusion_mode", "post"),
+               "use_hist": getattr(args, "use_hist", False),
                "remat_layers": getattr(args, "remat", False),
                "remat_policy": getattr(args, "remat_policy", "full")}
     head_updates = {}

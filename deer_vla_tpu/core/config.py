@@ -201,9 +201,20 @@ class DeerConfig:
     exit_interval: int = 2
     window_size: int = 12
 
-    # fusion of the two cameras (default 'post': concat perceiver latents on
-    # the token dim, flamingo_mpt.py:609-668)
+    # fusion of the two cameras (flamingo_mpt.py:585-777):
+    #   'post' (default) — concat each camera's perceiver latents on the
+    #       token dim (:609-668)
+    #   'pre' — concat ViT tokens on the token dim, ONE perceiver (:585-607)
+    #   'two_way' — the MPT forward encodes the static camera only
+    #       (flamingo_mpt.py:375; the batch-doubled protocol is BCFlamingo's)
+    #   'vit_concat' — per-frame latents concatenated across the window into
+    #       one media set per trajectory; text/labels are per-window, not
+    #       per-frame (:742-777, train_utils.py:240-279)
     fusion_mode: str = "post"
+    # history variant (--use_hist): learned per-frame embeddings added to the
+    # ViT tokens before the perceiver; last-step-only action labels
+    # (flamingo_mpt.py:700-740, train_utils.py:277)
+    use_hist: bool = False
     use_gripper: bool = True
     use_state: bool = False
     state_dim: int = 15
@@ -263,11 +274,14 @@ class DeerConfig:
 
     @property
     def num_media_tokens(self) -> int:
-        """Per-frame media tokens the LM cross-attends to: rgb + gripper
-        latents concatenated (flamingo_mpt.py:661), + 1 if use_state."""
+        """Media tokens the LM cross-attends to, by fusion mode:
+        post = 2n per frame (flamingo_mpt.py:661), pre/two_way = n,
+        vit_concat = 2n x window per trajectory; + 1 if use_state."""
         n = self.perceiver.num_latents
         if self.use_gripper and self.fusion_mode == "post":
             n *= 2
+        elif self.use_gripper and self.fusion_mode == "vit_concat":
+            n *= 2 * self.window_size
         if self.use_state:
             n += 1
         return n

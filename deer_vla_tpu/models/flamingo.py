@@ -65,6 +65,11 @@ def init_deer(key, cfg: DeerConfig) -> dict:
     if cfg.use_state:
         params["state_fc"] = init_linear(k[6], cfg.state_dim, cfg.vis_dim,
                                          bias=True, dtype=pdt)
+    if cfg.use_hist:
+        # learned per-frame embedding added to ViT tokens pre-perceiver
+        # (flamingo_mpt.py:138, :718-719)
+        params["frame_embs"] = jax.random.normal(
+            jax.random.fold_in(k[6], 1), (cfg.window_size, cfg.vis_dim), pdt)
     if cfg.multi_exit and not cfg.share_exit:
         for j, layer_id in enumerate(cfg.exit_layer_ids()):
             params["lm_exits"][str(layer_id)] = init_head(k[7 + j], cfg.head, pdt)
@@ -84,10 +89,23 @@ def init_deer(key, cfg: DeerConfig) -> dict:
 def encode_vision(params: dict, vision_rgb: jnp.ndarray,
                   vision_gripper: Optional[jnp.ndarray], cfg: DeerConfig,
                   state_tensor: Optional[jnp.ndarray] = None,
-                  stacked: Optional[dict] = None) -> jnp.ndarray:
-    """'post' fusion (flamingo_mpt.py:609-668).
+                  stacked: Optional[dict] = None,
+                  window_size: int = 1) -> jnp.ndarray:
+    """Camera fusion (flamingo_mpt.py:585-777), routed by cfg.fusion_mode:
 
-    vision_rgb/gripper: (B, T, F=1, 3, H, W) -> media (B, T, 2n(+1), vis_dim).
+      'post' (default): each camera -> perceiver, latents concat on the
+          token dim -> (B, T, 2n(+1), vis_dim)          [:609-668]
+      'pre': ViT tokens concat on the token dim, ONE perceiver ->
+          (B, T, n(+1), vis_dim)                        [:585-607]
+      'two_way': static camera only (the MPT forward's routing, :375)
+      'vit_concat': per-frame latents window-concatenated per trajectory:
+          batch rows are B*window frames in, (B, T, 2n*window(+1), d) out
+          [_encode_history_vision_fc_post :742-777]
+
+    cfg.use_hist additionally adds the learned frame embedding to each
+    window frame's ViT tokens before the perceiver (:700-740); batch rows
+    stay per-frame (B*window in and out).
+
     The ViT runs under stop_gradient (frozen, torch.no_grad at
     flamingo_mpt.py:573-580).
 
@@ -116,26 +134,64 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
         flat = v.reshape((b * t * f,) + v.shape[3:]).astype(cdt)
         _, tokens = run_vit(flat)
         tokens = jax.lax.stop_gradient(tokens)
-        return tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
+        tokens = tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
+        if cfg.use_hist and "frame_embs" in params:
+            # (B*W, T, F, v, d) + frame_embs[w] per window position
+            # (flamingo_mpt.py:713-721)
+            fe = params["frame_embs"].astype(tokens.dtype)[:window_size]
+            fe = jnp.tile(fe, (b // window_size, 1))  # (B*W, d)
+            tokens = tokens + fe[:, None, None, None, :]
+        return tokens
 
-    if cfg.use_gripper and vision_gripper is not None and not cfg.sep_resampler:
-        # both cameras share the ViT and the resampler: run them as ONE
-        # doubled batch (2x MXU utilization at small batch; the reference
-        # runs two sequential encoder+perceiver passes,
+    grip_on = (cfg.use_gripper and vision_gripper is not None
+               and cfg.fusion_mode != "two_way")
+    gripper_perceiver = ("perceiver_gripper" if cfg.sep_resampler
+                         else "perceiver")
+
+    def window_concat(lat):
+        """(B*W, T, n, d) -> (B, T, n*W, d): fold the window into the media
+        token dim (train_utils.py:279 lang is per-window in this mode)."""
+        bw, t, n, d = lat.shape
+        lat = lat.reshape(bw // window_size, window_size, t, n, d)
+        return lat.transpose(0, 2, 1, 3, 4).reshape(
+            bw // window_size, t, window_size * n, d)
+
+    if not grip_on:
+        media = run_perceiver("perceiver", encode(vision_rgb))
+    elif cfg.fusion_mode == "pre":
+        # ViT tokens of both cameras concat on the token axis -> ONE
+        # perceiver resample over the union (flamingo_mpt.py:596-601)
+        tok = jnp.concatenate([encode(vision_rgb), encode(vision_gripper)],
+                              axis=3)
+        media = run_perceiver("perceiver", tok)
+    elif cfg.fusion_mode == "vit_concat":
+        rgb_lat = window_concat(run_perceiver("perceiver",
+                                              encode(vision_rgb)))
+        grip_lat = window_concat(run_perceiver(gripper_perceiver,
+                                               encode(vision_gripper)))
+        media = jnp.concatenate([rgb_lat, grip_lat], axis=2)
+    elif not cfg.sep_resampler:
+        # 'post': both cameras share the ViT and the resampler: run them as
+        # ONE doubled batch (2x MXU utilization at small batch; the
+        # reference runs two sequential encoder+perceiver passes,
         # flamingo_mpt.py:626-659)
         both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
         tok = encode(both)
         lat = run_perceiver("perceiver", tok)
         b = vision_rgb.shape[0]
         media = jnp.concatenate([lat[:b], lat[b:]], axis=2)
-    elif cfg.use_gripper and vision_gripper is not None:
+    else:
         rgb_lat = run_perceiver("perceiver", encode(vision_rgb))
         grip_lat = run_perceiver("perceiver_gripper", encode(vision_gripper))
         media = jnp.concatenate([rgb_lat, grip_lat], axis=2)
-    else:
-        media = run_perceiver("perceiver", encode(vision_rgb))
     if cfg.use_state and state_tensor is not None and "state_fc" in params:
-        st = linear(params["state_fc"], state_tensor.astype(cdt))
+        st_in = state_tensor
+        if cfg.fusion_mode == "vit_concat" and window_size > 1:
+            # media is per-trajectory in this mode: use the last frame's
+            # proprio state (the action target is the last step's)
+            st_in = state_tensor.reshape(
+                (-1, window_size) + state_tensor.shape[1:])[:, -1]
+        st = linear(params["state_fc"], st_in.astype(cdt))
         media = jnp.concatenate([media, st], axis=2)
     return media
 
@@ -158,11 +214,20 @@ def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
       vision_x, vision_gripper: (B*W, 1, 1, 3, H, W)
       lang_x, attention_mask:   (B*W, S)
       state_tensor:             (B*W, 1, 1, state_dim) or None
+
+    fusion_mode 'vit_concat': lang_x/attention_mask are PER-WINDOW (B, S)
+    while vision stays per-frame (train_utils.py:240-251) — the decoder runs
+    batch B with the window folded into the media token dim, and heads see
+    window 1 (one action per trajectory; labels take the last step).
     """
     w = cfg.window_size
+    if cfg.fusion_mode == "vit_concat":
+        w = 1
     # media: (B*W, T_img=1, tokens, d) — each frame is its own batch row, so
     # T_img stays 1 and the x-attn media-time mask sees one image per row.
-    media = encode_vision(params, vision_x, vision_gripper, cfg, state_tensor)
+    # (vit_concat: (B, 1, 2n*W, d) — one media set per trajectory.)
+    media = encode_vision(params, vision_x, vision_gripper, cfg, state_tensor,
+                          window_size=cfg.window_size)
 
     hidden, _ = decoder_forward(params["decoder"], lang_x, attention_mask,
                                 media, cfg)
@@ -170,6 +235,9 @@ def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
         hidden = jax.lax.stop_gradient(hidden)
 
     st = state_tensor.reshape(-1, state_tensor.shape[-1]) if state_tensor is not None else None
+    if st is not None and cfg.fusion_mode == "vit_concat":
+        # heads run batch B (window folded into media): last frame's state
+        st = st.reshape(-1, cfg.window_size, st.shape[-1])[:, -1]
     rngs = jax.random.split(rng, 8)
 
     def run_head(head_params, feat, drng):
@@ -289,7 +357,8 @@ def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
         top = keys[0]
         if top == "vit":
             return False
-        if top in ("perceiver", "perceiver_gripper", "state_fc"):
+        if top in ("perceiver", "perceiver_gripper", "state_fc",
+                   "frame_embs"):
             return phase == "joint"
         if top == "decoder":
             if "xattn" in keys:

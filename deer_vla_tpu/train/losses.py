@@ -27,7 +27,8 @@ def bce_with_logits(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def multi_exit_loss(outputs: TrainOutputs, labels: jnp.ndarray,
-                    bin_coef: float = 0.01) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+                    bin_coef: float = 0.01, last_step_only: bool = False
+                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """labels: (B, W, 7), or (B, W, k, 7) for multi_step_action k>1 —
     [..., :6] arm, [..., 6] gripper in {-1, 1}.
 
@@ -36,8 +37,14 @@ def multi_exit_loss(outputs: TrainOutputs, labels: jnp.ndarray,
     with the (B, W, k, 7) labels (train_utils.py:497-503 reshapes the same
     way on the torch side).
 
+    last_step_only (use_hist / vit_concat variants): loss on the window's
+    final step only (train_utils.py:277-279 slices labels[:, [-1]]); both
+    label and output windows are sliced to their last position.
+
     Ordering matches train_utils.py:503:
     [internal exits..., final, extra1, extra2]."""
+    if last_step_only:
+        labels = labels[:, -1:]
     arm_t = labels[..., :6].astype(jnp.float32)
     grip_t = ((labels[..., 6:] + 1.0) / 2.0).astype(jnp.float32)
 
@@ -46,6 +53,9 @@ def multi_exit_loss(outputs: TrainOutputs, labels: jnp.ndarray,
 
     num = jnp.stack([o.actions.astype(jnp.float32) for o in all_outputs])     # (E, B, W, 6k)
     logits = jnp.stack([o.gripper_logits.astype(jnp.float32) for o in all_outputs])  # (E, B, W, k)
+    if last_step_only:
+        num = num[:, :, -1:]
+        logits = logits[:, :, -1:]
 
     if labels.ndim == 4:  # multi-step: (B, W, k, 7) labels, flat head outputs
         k = labels.shape[2]

@@ -57,7 +57,9 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             vision_gripper=batch.get("gripper"),
             state_tensor=batch.get("state"),
             no_backbone_grad=exit_only, train=True)
-        return multi_exit_loss(out, batch["labels"], bin_coef)
+        return multi_exit_loss(
+            out, batch["labels"], bin_coef,
+            last_step_only=cfg.use_hist or cfg.fusion_mode == "vit_concat")
 
     def _split_micro(batch: Dict) -> Dict:
         """Reshape leading dims to (k, .../k, ...)."""
@@ -132,7 +134,9 @@ def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             vision_gripper=batch.get("gripper"),
             state_tensor=batch.get("state"),
             no_backbone_grad=exit_only, train=True)
-        calvin_loss, metrics = multi_exit_loss(out, batch["labels"], bin_coef)
+        calvin_loss, metrics = multi_exit_loss(
+            out, batch["labels"], bin_coef,
+            last_step_only=cfg.use_hist or cfg.fusion_mode == "vit_concat")
         vl, vl_metrics = lm_loss(params, cfg, vl_batch["image"],
                                  vl_batch["input_ids"],
                                  vl_batch["attention_mask"],

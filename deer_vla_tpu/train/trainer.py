@@ -96,8 +96,13 @@ def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
     img, gri = prep(rng, jnp.asarray(stat), jnp.asarray(grip))
     bs = raw["input_ids"].shape[0]
     s = raw["input_ids"].shape[-1]
-    ids = np.repeat(raw["input_ids"][:, None], w, axis=1).reshape(bs * w, s)
-    mask = np.repeat(raw["attention_mask"][:, None], w, axis=1).reshape(bs * w, s)
+    if cfg.fusion_mode == "vit_concat":
+        # text stays per-WINDOW in this mode — the decoder runs batch B with
+        # the frames folded into the media token dim (train_utils.py:240-251)
+        ids, mask = raw["input_ids"], raw["attention_mask"]
+    else:
+        ids = np.repeat(raw["input_ids"][:, None], w, axis=1).reshape(bs * w, s)
+        mask = np.repeat(raw["attention_mask"][:, None], w, axis=1).reshape(bs * w, s)
     ids, mask = fixed_length(ids, mask, cfg.text_len, 0)
     labels = jnp.asarray(raw["actions"][:, :w])
     if tcfg.tcp_rel and "robot_obs" in raw:

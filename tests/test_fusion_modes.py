@@ -1,0 +1,143 @@
+"""Camera-fusion variants (flamingo_mpt.py:585-777): pre / post / two_way /
+vit_concat encodes, use_hist frame embeddings, last-step-only loss."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.models.flamingo import (encode_vision, forward_train,
+                                          init_deer, trainable_mask)
+from deer_vla_tpu.train.losses import multi_exit_loss
+
+
+def make(mode="post", use_hist=False, window=2):
+    cfg = deer_tiny()
+    cfg = dataclasses.replace(cfg, fusion_mode=mode, use_hist=use_hist,
+                              window_size=window,
+                              head=dataclasses.replace(cfg.head,
+                                                       window_size=window))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def vis(cfg, bw):
+    r = np.random.RandomState(0)
+    hw = cfg.vit.image_size
+    return (jnp.asarray(r.randn(bw, 1, 1, 3, hw, hw), jnp.float32),
+            jnp.asarray(r.randn(bw, 1, 1, 3, hw, hw), jnp.float32))
+
+
+def test_encode_shapes_by_mode():
+    n = deer_tiny().perceiver.num_latents
+    d = deer_tiny().vis_dim
+    for mode, want in (("post", 2 * n), ("pre", n), ("two_way", n)):
+        cfg, params = make(mode)
+        rgb, grip = vis(cfg, 4)
+        media = encode_vision(params, rgb, grip, cfg)
+        assert media.shape == (4, 1, want, d), (mode, media.shape)
+        assert cfg.num_media_tokens == want
+
+    # vit_concat folds the window (2) into the media tokens: batch B*W=4 in,
+    # B=2 trajectories out with 2n*W tokens
+    cfg, params = make("vit_concat", window=2)
+    rgb, grip = vis(cfg, 4)
+    media = encode_vision(params, rgb, grip, cfg, window_size=2)
+    assert media.shape == (2, 1, 2 * n * 2, d)
+    assert cfg.num_media_tokens == 2 * n * 2
+
+
+def test_pre_differs_from_post():
+    cfg_post, params = make("post")
+    cfg_pre = dataclasses.replace(cfg_post, fusion_mode="pre")
+    rgb, grip = vis(cfg_post, 2)
+    m_post = encode_vision(params, rgb, grip, cfg_post)
+    m_pre = encode_vision(params, rgb, grip, cfg_pre)
+    assert m_post.shape[2] == 2 * m_pre.shape[2]
+    # pre resamples the token UNION — not equal to either post half
+    assert not np.allclose(np.asarray(m_post[:, :, :m_pre.shape[2]]),
+                           np.asarray(m_pre), atol=1e-5)
+
+
+def test_two_way_ignores_gripper():
+    cfg, params = make("two_way")
+    rgb, grip = vis(cfg, 2)
+    m1 = encode_vision(params, rgb, grip, cfg)
+    m2 = encode_vision(params, rgb, jnp.zeros_like(grip), cfg)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2))
+
+
+def test_use_hist_frame_embs():
+    cfg, params = make("post", use_hist=True, window=2)
+    assert params["frame_embs"].shape == (2, cfg.vis_dim)
+    rgb, grip = vis(cfg, 4)
+    m1 = encode_vision(params, rgb, grip, cfg, window_size=2)
+    p2 = dict(params)
+    p2["frame_embs"] = params["frame_embs"] + 1.0
+    m2 = encode_vision(p2, rgb, grip, cfg, window_size=2)
+    assert not np.allclose(np.asarray(m1), np.asarray(m2))
+    # frame_embs is trainable in the joint phase
+    mask = trainable_mask(params, cfg, "joint")
+    assert bool(mask["frame_embs"])
+    assert not trainable_mask(params, cfg, "exit_only")["frame_embs"]
+
+
+@pytest.mark.parametrize("mode,use_hist", [("pre", False), ("two_way", False),
+                                           ("post", True)])
+def test_forward_train_variants(mode, use_hist):
+    """Per-frame-text variants run the full multi-exit forward + loss."""
+    cfg, params = make(mode, use_hist=use_hist, window=2)
+    bw = 2 * cfg.window_size
+    rgb, grip = vis(cfg, bw)
+    s = cfg.text_len
+    ids = np.full((bw, s), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    out = forward_train(params, rgb, ids, np.ones((bw, s), np.int32), cfg,
+                        jax.random.PRNGKey(1), vision_gripper=grip,
+                        train=False)
+    assert out.final_output.actions.shape == (2, cfg.window_size, 6)
+    labels = jnp.asarray(np.random.RandomState(0).randn(2, cfg.window_size, 7),
+                         jnp.float32)
+    loss, metrics = multi_exit_loss(out, labels, last_step_only=use_hist)
+    assert np.isfinite(float(loss))
+
+
+def test_forward_train_vit_concat():
+    """vit_concat: per-window text (batch B), one action per trajectory,
+    last-step labels."""
+    cfg, params = make("vit_concat", window=2)
+    b, w = 2, cfg.window_size
+    rgb, grip = vis(cfg, b * w)
+    s = cfg.text_len
+    ids = np.full((b, s), 7, np.int32)  # per-WINDOW text
+    ids[:, 0] = cfg.media_token_id
+    out = forward_train(params, rgb, ids, np.ones((b, s), np.int32), cfg,
+                        jax.random.PRNGKey(1), vision_gripper=grip,
+                        train=False)
+    assert out.final_output.actions.shape == (b, 1, 6)
+    labels = jnp.asarray(np.random.RandomState(0).randn(b, w, 7), jnp.float32)
+    loss, _ = multi_exit_loss(out, labels, last_step_only=True)
+    assert np.isfinite(float(loss))
+
+
+def test_last_step_only_loss_slices():
+    """last_step_only ignores all but the final window step."""
+    cfg, params = make("post", window=2)
+    bw = 2 * cfg.window_size
+    rgb, grip = vis(cfg, bw)
+    s = cfg.text_len
+    ids = np.full((bw, s), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    out = forward_train(params, rgb, ids, np.ones((bw, s), np.int32), cfg,
+                        jax.random.PRNGKey(1), vision_gripper=grip,
+                        train=False)
+    r = np.random.RandomState(0)
+    labels = r.randn(2, cfg.window_size, 7).astype(np.float32)
+    l1, _ = multi_exit_loss(out, jnp.asarray(labels), last_step_only=True)
+    garbled = labels.copy()
+    garbled[:, :-1] = 99.0  # perturb every step but the last
+    l2, _ = multi_exit_loss(out, jnp.asarray(garbled), last_step_only=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

@@ -70,6 +70,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run_name", default="runs/deer")
     p.add_argument("--resume", action="store_true", default=True)
     p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--save_every_iter", type=int, default=-1,
+                   help=">0: also checkpoint every N steps within an epoch "
+                        "(train_utils.py:626-628)")
     p.add_argument("--debug", action="store_true",
                    help="random-tensor data, no dataset required")
     # vision-language co-training (--cotrain, train_calvin_post_strategy.py:296-302)
@@ -185,7 +188,8 @@ def main(argv=None):
         rgb_pad=args.rgb_pad, gripper_pad=args.gripper_pad,
         traj_cons=args.traj_cons, real_data=args.real_data,
         tcp_rel=args.tcp_rel,
-        logging_steps=args.logging_steps, seed=args.seed)
+        logging_steps=args.logging_steps, seed=args.seed,
+        save_every_iter=args.save_every_iter)
 
     def log_fn(d):
         print(json.dumps({k: v for k, v in d.items()}, default=float))

@@ -56,6 +56,9 @@ class TrainConfig:
     traj_cons: bool = True
     real_data: bool = False
     save_every_epoch: bool = True
+    # >0: also checkpoint every N optimizer steps within an epoch
+    # (--save_every_iter, train_utils.py:626-628)
+    save_every_iter: int = -1
     logging_steps: int = 100
     seed: int = 42
     # liveness file for scripts/launch_elastic.py (empty = disabled); the
@@ -261,6 +264,12 @@ class Trainer:
                     self.state, metrics = self._step_fn(self.state, batch,
                                                         step_rng)
                 self.heartbeat.beat(epoch=epoch, step=it, phase=phase)
+                if (tcfg.save_every_iter > 0
+                        and (it + 1) % tcfg.save_every_iter == 0):
+                    # mid-epoch checkpoint (train_utils.py:626-628); params
+                    # come from the live train state so the delta is current
+                    self.params = self.state.params
+                    self.save(epoch)
                 if (it + 1) % tcfg.logging_steps == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()
                                     if np.ndim(v) == 0}

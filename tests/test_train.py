@@ -148,3 +148,26 @@ def test_multi_step_action_loss(setup):
     loss, m = multi_exit_loss(out, labels)
     assert np.isfinite(float(loss))
     assert m["per_exit_loss"].shape[0] == len(cfg.exit_layer_ids()) + 3
+
+def test_save_every_iter(tmp_path):
+    """save_every_iter > 0 writes a mid-epoch checkpoint before the epoch
+    completes (train_utils.py:626-628 equivalent)."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id,
+                              eoc_token_id=tok.eoc_token_id)
+    loader = DebugBatcher(cfg, tok, batch_size=2, num_batches=3,
+                          img_hw=cfg.vit.image_size,
+                          grip_hw=cfg.vit.image_size)
+    tcfg = TrainConfig(run_dir=str(tmp_path), num_joint_epochs=1,
+                       num_exit_epochs=0, joint_lr=1e-3, exit_lr=1e-3,
+                       joint_warmup_steps=0, exit_warmup_steps=0,
+                       rgb_pad=2, gripper_pad=2, logging_steps=100,
+                       batch_size=2, save_every_epoch=False,
+                       save_every_iter=2)
+    tr = Trainer(cfg, tcfg, loader)
+    tr.train()
+    # 3 batches with save_every_iter=2 -> one mid-epoch save exists even
+    # though save_every_epoch is off
+    ckpts = [f for f in os.listdir(tmp_path) if f.startswith("deer_")]
+    assert ckpts, os.listdir(tmp_path)

@@ -85,10 +85,9 @@ def load_checkpoint(path: str, params_template: dict,
     with open(path + ".ckpt", "rb") as f:
         loaded = serialization.msgpack_restore(f.read())
     flat_l = dict(loaded.get("params", {}))
-    n_hit = 0
+    consumed = set()
 
     def rec(node, prefix):
-        nonlocal n_hit
         if isinstance(node, dict):
             return {k: rec(v, prefix + (str(k),)) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
@@ -96,7 +95,7 @@ def load_checkpoint(path: str, params_template: dict,
                               for i, v in enumerate(node))
         key = "/".join(prefix)
         if node is not None and key in flat_l:
-            n_hit += 1
+            consumed.add(key)
             return jnp.asarray(flat_l[key], dtype=getattr(node, "dtype", None))
         return node
 
@@ -105,7 +104,17 @@ def load_checkpoint(path: str, params_template: dict,
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
             meta = json.load(f)
-    meta.setdefault("meta", {})["loaded_keys"] = n_hit
+    meta.setdefault("meta", {})["loaded_keys"] = len(consumed)
+    # ckpt keys with no home in the template — the reference's
+    # check_loaded_parameters diagnostic (eval_utils.py:129-141), surfaced
+    # in meta instead of a disabled assert
+    unconsumed = sorted(set(flat_l) - consumed)
+    meta["meta"]["unconsumed_keys"] = unconsumed
+    if unconsumed:
+        import warnings
+        warnings.warn(
+            f"checkpoint {path}: {len(unconsumed)} stored params not "
+            f"matched by the model template (first: {unconsumed[:3]})")
     opt_state = None
     if opt_state_template is not None and "opt_state" in loaded:
         opt_state = serialization.from_state_dict(opt_state_template,

@@ -171,3 +171,23 @@ def test_save_every_iter(tmp_path):
     # though save_every_epoch is off
     ckpts = [f for f in os.listdir(tmp_path) if f.startswith("deer_")]
     assert ckpts, os.listdir(tmp_path)
+
+def test_unconsumed_key_diagnostic(tmp_path):
+    """Checkpoint keys with no home in the template are surfaced in meta +
+    a warning (check_loaded_parameters equivalent, eval_utils.py:129-141)."""
+    import warnings
+    import jax.numpy as jnp
+    from deer_vla_tpu.train.checkpoint import (load_checkpoint,
+                                               save_checkpoint)
+    cfg = deer_tiny()
+    params = {"a": {"w": jnp.ones((2, 2))}, "b": jnp.zeros((3,))}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, params, cfg, meta={})
+    template = {"a": {"w": jnp.zeros((2, 2))}}  # "b" has no home
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        loaded, _, meta = load_checkpoint(p, template)
+    assert meta["meta"]["loaded_keys"] == 1
+    assert meta["meta"]["unconsumed_keys"] == ["b"]
+    assert any("not matched" in str(w.message) for w in rec)
+    np.testing.assert_allclose(np.asarray(loaded["a"]["w"]), 1.0)

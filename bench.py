@@ -51,8 +51,12 @@ def main():
     jax.block_until_ready(params)
 
     exits = list(cfg.all_exit_ids())
-    policy = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits),
-                            drop_unstacked=BENCH_MODEL == "mpt_9b")
+    policy = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
+    if BENCH_MODEL == "mpt_9b":
+        # HBM headroom: pack=True's pruned tree holds no per-layer original
+        # references, so dropping ours frees the unstacked decoder + ViT
+        # blocks (the old drop_unstacked role)
+        del params
 
     hw, s = cfg.vit.image_size, cfg.text_len
     r = np.random.RandomState(0)
@@ -139,9 +143,11 @@ def main():
         B = 32
         bp = ScanDeerPolicy(params, cfg,
                             thresholds=[-1e8] * (len(exits) - 1) + [1e8])
-        iters_b = 20
+        iters_b, warm_b = 20, 3
+        # a DISTINCT image for every dispatch, warmup included — a cycled
+        # pool can settle into a bit-exact limit cycle and dedupe
         imgB_pool = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
-                     for _ in range(4)]  # distinct inputs defeat dedupe
+                     for _ in range(iters_b + warm_b)]
         idsB = np.full((B, s), 11, np.int32)
         idsB[:, 0] = cfg.media_token_id
         idsB = jnp.asarray(idsB)
@@ -149,16 +155,16 @@ def main():
         thB = full_thresholds(len(exits) - 1)
         carryB = zero_carry(cfg.head.lstm_num_layers, B,
                             cfg.head.hidden_size, jnp.float32)
-        for i in range(3):
+        for i in range(warm_b):
             armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked,
-                                              imgB_pool[i % 4], imgB_pool[i % 4],
+                                              imgB_pool[i], imgB_pool[i],
                                               idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         assert int(elB[0]) == exits[-1]
         t0 = time.perf_counter()
-        for i in range(iters_b):
+        for i in range(warm_b, warm_b + iters_b):
             armB, gpB, carryB, elB = bp._step(bp.params, bp.stacked,
-                                              imgB_pool[i % 4], imgB_pool[i % 4],
+                                              imgB_pool[i], imgB_pool[i],
                                               idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)

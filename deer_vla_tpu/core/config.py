@@ -278,10 +278,10 @@ class DeerConfig:
         post = 2n per frame (flamingo_mpt.py:661), pre/two_way = n,
         vit_concat = 2n x window per trajectory; + 1 if use_state."""
         n = self.perceiver.num_latents
-        if self.use_gripper and self.fusion_mode == "post":
+        if self.fusion_mode == "vit_concat":
+            n *= (2 if self.use_gripper else 1) * self.window_size
+        elif self.use_gripper and self.fusion_mode == "post":
             n *= 2
-        elif self.use_gripper and self.fusion_mode == "vit_concat":
-            n *= 2 * self.window_size
         if self.use_state:
             n += 1
         return n

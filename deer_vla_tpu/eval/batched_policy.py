@@ -43,6 +43,8 @@ class BatchedDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", steps_per_stage: int = 1):
+        from deer_vla_tpu.eval.scan_policy import check_serving_supported
+        check_serving_supported(cfg)
         self.params = params
         self.cfg = cfg
         self.batch = batch

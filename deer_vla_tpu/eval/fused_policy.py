@@ -120,6 +120,8 @@ class FusedDeerPolicy:
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None):
+        from deer_vla_tpu.eval.scan_policy import check_serving_supported
+        check_serving_supported(cfg)
         self.params = params
         self.cfg = cfg
         exit_ids = list(exit_ids or cfg.all_exit_ids())

@@ -55,6 +55,8 @@ class DeerPolicy:
                  threshold_type: str = "L2",
                  use_action_ensemble: bool = False,
                  multi_execution: int = 1):
+        from deer_vla_tpu.eval.scan_policy import check_serving_supported
+        check_serving_supported(cfg)
         self.params = params
         self.cfg = cfg
         self.controller = controller
@@ -86,27 +88,14 @@ class DeerPolicy:
         # packed argument trees: per-dispatch host marshaling on this
         # runtime costs ~1 us per pytree leaf (scripts/bench_dispatch_args
         # .py), and this engine dispatches encode + up to n_exits segment
-        # programs per action — each program receives ONLY the leaves it
-        # reads (stacked encoders for the prefix; the bucket's layer range
-        # and its head for each segment)
-        cdt = cfg.dtypes.cdt
-        from deer_vla_tpu.models.perceiver import stack_perceiver_layers
-        from deer_vla_tpu.models.vit import stack_vit_blocks
-        enc_stacked = {"vit": stack_vit_blocks(params["vit"], cdt)}
-        vit_rest = {k: v for k, v in params["vit"].items() if k != "blocks"}
-        vit_rest["blocks"] = []
-        enc_params = {"vit": vit_rest,
-                      "decoder": {"wte": params["decoder"]["wte"]}}
-        for pk in ("perceiver", "perceiver_gripper"):
-            if pk in params:
-                enc_stacked[pk] = stack_perceiver_layers(params[pk], cdt)
-                p = {k: v for k, v in params[pk].items() if k != "layers"}
-                p["layers"] = []
-                enc_params[pk] = p
-        if "state_fc" in params:
-            enc_params["state_fc"] = params["state_fc"]
-        self.enc_params = enc_params
-        self.enc_stacked = enc_stacked
+        # programs per action WITH a blocking delta readback between
+        # segments — so the marshal sits on the action's critical path here.
+        # Each program receives ONLY the leaves it reads (shared helpers
+        # with the while-loop engine, eval/scan_policy.py).
+        from deer_vla_tpu.eval.scan_policy import (prune_encoder_params,
+                                                   stack_encoder_layers)
+        self.enc_params = prune_encoder_params(params)
+        self.enc_stacked = stack_encoder_layers(params, cfg.dtypes.cdt)
 
         @jax.jit
         def encode_prefix(params, stacked, img, grip, ids, mask, state):

@@ -45,15 +45,11 @@ def stack_decoder_layers(params: dict, cfg: DeerConfig,
     encode_vision's stacked path): per-program dispatch cost on this runtime
     grows ~1 us per argument leaf (scripts/bench_dispatch_args.py), and the
     encoders are ~400 of the full tree's ~800 leaves."""
+    from deer_vla_tpu.ops.layers import stack_layer_tree
     cdt = cfg.dtypes.cdt
-
-    def stack(*xs):
-        s = jnp.stack(xs)
-        return s.astype(cdt) if jnp.issubdtype(s.dtype, jnp.floating) else s
-
-    blocks = jax.tree_util.tree_map(stack, *params["decoder"]["blocks"])
+    blocks = stack_layer_tree(params["decoder"]["blocks"], cdt)
     xattn_list = [x for x in params["decoder"]["xattn"] if x is not None]
-    xattn = jax.tree_util.tree_map(stack, *xattn_list)
+    xattn = stack_layer_tree(xattn_list, cdt)
     has_xattn = np.array([cfg.has_xattn(i) for i in range(cfg.n_layers)])
     xidx = np.zeros(cfg.n_layers, np.int32)
     j = 0
@@ -65,20 +61,14 @@ def stack_decoder_layers(params: dict, cfg: DeerConfig,
            "has_xattn": jnp.asarray(has_xattn),
            "xattn_idx": jnp.asarray(xidx)}
     if include_encoders:
-        from deer_vla_tpu.models.perceiver import stack_perceiver_layers
-        from deer_vla_tpu.models.vit import stack_vit_blocks
-        out["vit"] = stack_vit_blocks(params["vit"], cdt)
-        for pk in ("perceiver", "perceiver_gripper"):
-            if pk in params:
-                out[pk] = stack_perceiver_layers(params[pk], cdt)
+        out.update(stack_encoder_layers(params, cdt))
     return out
 
 
-def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
-    """Serving argument tree with ONLY the leaves the while-loop step reads:
-    ViT/perceiver non-layer leaves (layer weights ride the stacked tree),
-    the token embedding, and the one exit head.  ~800 -> ~60 leaves; at
-    ~1 us/leaf marshaling that removes most of the per-dispatch floor."""
+def prune_encoder_params(params: dict) -> dict:
+    """ViT/perceiver non-layer leaves (+ wte, state_fc) — the encode-prefix
+    subtree shared by both packed engines; layer weights ride the stacked
+    encoder trees instead."""
     vit = {k: v for k, v in params["vit"].items() if k != "blocks"}
     vit["blocks"] = []
     out = {"vit": vit, "decoder": {"wte": params["decoder"]["wte"]}}
@@ -87,6 +77,43 @@ def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
             p = {k: v for k, v in params[pk].items() if k != "layers"}
             p["layers"] = []
             out[pk] = p
+    if "state_fc" in params:
+        out["state_fc"] = params["state_fc"]
+    if "frame_embs" in params:
+        out["frame_embs"] = params["frame_embs"]
+    return out
+
+
+def stack_encoder_layers(params: dict, cdt) -> dict:
+    """Stacked ViT blocks + perceiver layers for encode_vision's stacked
+    path (shared by both packed engines)."""
+    from deer_vla_tpu.models.perceiver import stack_perceiver_layers
+    from deer_vla_tpu.models.vit import stack_vit_blocks
+    out = {"vit": stack_vit_blocks(params["vit"], cdt)}
+    for pk in ("perceiver", "perceiver_gripper"):
+        if pk in params:
+            out[pk] = stack_perceiver_layers(params[pk], cdt)
+    return out
+
+
+def check_serving_supported(cfg: DeerConfig) -> None:
+    """The serving engines evaluate per-frame media; the use_hist /
+    vit_concat TRAINING variants fold the window into the media tokens, so
+    silently serving them would feed train/eval-mismatched features (frame
+    embedding 0 everywhere; 2n instead of 2nW tokens).  Refuse loudly."""
+    if cfg.use_hist or cfg.fusion_mode == "vit_concat":
+        raise NotImplementedError(
+            "serving models trained with --use_hist or --fusion_mode "
+            "vit_concat is not supported: these window-folded variants need "
+            "rolling-window media bookkeeping at inference (training-only "
+            "ablations here; flamingo_mpt.py:700-777)")
+
+
+def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
+    """Serving argument tree with ONLY the leaves the while-loop step reads:
+    the encode-prefix subtree plus the one exit head.  ~800 -> ~60 leaves;
+    at ~1 us/leaf marshaling that removes most of the per-dispatch floor."""
+    out = prune_encoder_params(params)
     head_key = "lm_head" if cfg.share_exit else "extra_exit"
     out[head_key] = params[head_key]
     return out
@@ -279,6 +306,7 @@ class ScanDeerPolicy:
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
                  steps_per_stage: int = 1, drop_unstacked: bool = False,
                  indexed_mm: bool = False, pack: bool = True):
+        check_serving_supported(cfg)
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg,
@@ -286,9 +314,11 @@ class ScanDeerPolicy:
         if pack:
             # serving default: encoder layers ride the stacked tree and the
             # params argument shrinks to the ~60 leaves the step reads —
-            # per-dispatch marshaling is ~1 us/leaf on this runtime, so the
-            # full 794-leaf tree costs ~0.6 ms/action of pure host overhead
-            # (scripts/bench_dispatch_args.py / bench_loop_overhead.py)
+            # per-dispatch marshaling is ~1 us/leaf on this runtime
+            # (scripts/bench_dispatch_args.py).  The pruned tree holds NO
+            # references to the per-layer originals, so a caller that drops
+            # its own `params` reference (bench.py 9B mode) frees the
+            # fp32/bf16 originals — pack subsumes drop_unstacked.
             self.params = prune_serving_params(params, cfg)
         elif drop_unstacked:
             # serving mode: the while-loop consumes only the stacked bf16

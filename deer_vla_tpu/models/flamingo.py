@@ -145,8 +145,6 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
 
     grip_on = (cfg.use_gripper and vision_gripper is not None
                and cfg.fusion_mode != "two_way")
-    gripper_perceiver = ("perceiver_gripper" if cfg.sep_resampler
-                         else "perceiver")
 
     def window_concat(lat):
         """(B*W, T, n, d) -> (B, T, n*W, d): fold the window into the media
@@ -157,19 +155,32 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
             bw // window_size, t, window_size * n, d)
 
     if not grip_on:
-        media = run_perceiver("perceiver", encode(vision_rgb))
+        lat = run_perceiver("perceiver", encode(vision_rgb))
+        if cfg.fusion_mode == "vit_concat":
+            lat = window_concat(lat)
+        media = lat
     elif cfg.fusion_mode == "pre":
         # ViT tokens of both cameras concat on the token axis -> ONE
-        # perceiver resample over the union (flamingo_mpt.py:596-601)
-        tok = jnp.concatenate([encode(vision_rgb), encode(vision_gripper)],
-                              axis=3)
-        media = run_perceiver("perceiver", tok)
+        # perceiver resample over the union (flamingo_mpt.py:596-601);
+        # the ViT still runs as one doubled batch like the post path
+        both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
+        tok = encode(both)
+        b = vision_rgb.shape[0]
+        media = run_perceiver("perceiver",
+                              jnp.concatenate([tok[:b], tok[b:]], axis=3))
     elif cfg.fusion_mode == "vit_concat":
-        rgb_lat = window_concat(run_perceiver("perceiver",
-                                              encode(vision_rgb)))
-        grip_lat = window_concat(run_perceiver(gripper_perceiver,
-                                               encode(vision_gripper)))
-        media = jnp.concatenate([rgb_lat, grip_lat], axis=2)
+        if cfg.sep_resampler:
+            rgb_lat = run_perceiver("perceiver", encode(vision_rgb))
+            grip_lat = run_perceiver("perceiver_gripper",
+                                     encode(vision_gripper))
+        else:
+            # shared tower + resampler: one doubled-batch pass
+            both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
+            lat = run_perceiver("perceiver", encode(both))
+            b = vision_rgb.shape[0]
+            rgb_lat, grip_lat = lat[:b], lat[b:]
+        media = jnp.concatenate([window_concat(rgb_lat),
+                                 window_concat(grip_lat)], axis=2)
     elif not cfg.sep_resampler:
         # 'post': both cameras share the ViT and the resampler: run them as
         # ONE doubled batch (2x MXU utilization at small batch; the

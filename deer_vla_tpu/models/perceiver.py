@@ -93,15 +93,10 @@ def perceiver_forward(params: dict, x: jnp.ndarray, cfg: PerceiverConfig) -> jnp
 
 def stack_perceiver_layers(params: dict, dtype=None) -> dict:
     """layers list -> one pytree with leading depth dim (serving path; see
-    vit.stack_vit_blocks for the dispatch-leaf-count rationale)."""
-
-    def stack(*xs):
-        s = jnp.stack(xs)
-        if dtype is not None and jnp.issubdtype(s.dtype, jnp.floating):
-            s = s.astype(dtype)
-        return s
-
-    return jax.tree_util.tree_map(stack, *params["layers"])
+    vit.stack_vit_blocks for the dispatch-leaf-count rationale and
+    ops.layers.stack_layer_tree for the dtype rule)."""
+    from deer_vla_tpu.ops.layers import stack_layer_tree
+    return stack_layer_tree(params["layers"], dtype)
 
 
 def perceiver_forward_stacked(params: dict, stacked_layers: dict,

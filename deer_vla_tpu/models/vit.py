@@ -106,16 +106,10 @@ def stack_vit_blocks(params: dict, dtype=None) -> dict:
 
     Collapses 24 x ~14 argument leaves to ~14: per-program dispatch cost on
     this runtime grows ~1 us/leaf (scripts/bench_dispatch_args.py), so the
-    streaming policy packs encoder weights.  Casting to the compute dtype is
-    numerically identical — ``linear`` casts weights to x.dtype at use."""
-
-    def stack(*xs):
-        s = jnp.stack(xs)
-        if dtype is not None and jnp.issubdtype(s.dtype, jnp.floating):
-            s = s.astype(dtype)
-        return s
-
-    return jax.tree_util.tree_map(stack, *params["blocks"])
+    streaming policy packs encoder weights.  Bit-identical to the list path
+    (see ops.layers.stack_layer_tree for the dtype rule)."""
+    from deer_vla_tpu.ops.layers import stack_layer_tree
+    return stack_layer_tree(params["blocks"], dtype)
 
 
 def vit_forward_stacked(params: dict, stacked_blocks: dict, x: jnp.ndarray,

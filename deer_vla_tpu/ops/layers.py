@@ -163,3 +163,28 @@ def cast_tree(tree, dtype):
 def count_params(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree)
                if hasattr(x, "size"))
+
+
+# ---------------------------------------------------------------------------
+# layer stacking (serving argument-tree packing)
+# ---------------------------------------------------------------------------
+
+
+def stack_layer_tree(layers, dtype=None):
+    """List of per-layer param dicts -> one pytree with a leading L dim.
+
+    dtype pre-casts MATMUL weights (pre-stack ndim >= 2) to the compute
+    dtype — numerically identical to the unpacked path, where ``linear``
+    casts weights to x.dtype at use.  1-D leaves (LayerNorm scales/biases,
+    linear biases) keep their original dtype: ``layernorm`` consumes its
+    params in fp32, so pre-rounding them to bf16 would break the packed ==
+    unpacked bit-identity guarantee.
+    """
+    def stack(*xs):
+        s = jnp.stack(xs)
+        if (dtype is not None and xs[0].ndim >= 2
+                and jnp.issubdtype(s.dtype, jnp.floating)):
+            s = s.astype(dtype)
+        return s
+
+    return jax.tree_util.tree_map(stack, *layers)

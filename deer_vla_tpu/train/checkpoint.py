@@ -139,15 +139,26 @@ def load_calibration_values(path: str) -> Optional[np.ndarray]:
     return np.load(f, allow_pickle=False)["values"]
 
 
-def find_latest_checkpoint(run_dir: str, pattern: str = r".*_(\d+)\.ckpt$") -> Optional[str]:
-    """Auto-resume: newest epoch-numbered ckpt in the run dir
-    (train_calvin_post_strategy.py:589-629)."""
+def find_latest_checkpoint(
+        run_dir: str,
+        pattern: str = r".*_(\d+)(?:_it(\d+))?\.ckpt$") -> Optional[str]:
+    """Auto-resume: newest ckpt in the run dir
+    (train_calvin_post_strategy.py:589-629).
+
+    Names: ``deer_{E}.ckpt`` (end of epoch E) and ``deer_{E}_it{N}.ckpt``
+    (mid-epoch, --save_every_iter).  An end-of-epoch ckpt outranks any
+    mid-epoch save of the same epoch; later iters outrank earlier."""
     if not os.path.isdir(run_dir):
         return None
-    best, best_ep = None, -1
+    best, best_key = None, (-1, 0, -1)
     for fn in os.listdir(run_dir):
         m = re.match(pattern, fn)
-        if m and int(m.group(1)) > best_ep:
-            best_ep = int(m.group(1))
+        if not m:
+            continue
+        ep = int(m.group(1))
+        it = m.group(2)
+        key = (ep, 0, int(it)) if it is not None else (ep, 1, 0)
+        if key > best_key:
+            best_key = key
             best = os.path.join(run_dir, fn)
     return best

@@ -211,7 +211,11 @@ class Trainer:
         if ck is None:
             return 0
         self.params, _, meta = load_checkpoint(ck, self.params)
-        self.start_epoch = int(meta.get("meta", {}).get("epoch", -1)) + 1
+        md = meta.get("meta", {})
+        ep = int(md.get("epoch", -1))
+        # mid-epoch ckpt (has "step"): re-run that epoch from its start
+        # (deterministic reshuffle) instead of skipping its remainder
+        self.start_epoch = ep if md.get("step") is not None else ep + 1
         # remember the ckpt so train() can restore the phase optimizer state
         # (Adam moments + schedule count) once the phase template exists —
         # the reference restores optimizer.state_dict() the same way
@@ -267,9 +271,12 @@ class Trainer:
                 if (tcfg.save_every_iter > 0
                         and (it + 1) % tcfg.save_every_iter == 0):
                     # mid-epoch checkpoint (train_utils.py:626-628); params
-                    # come from the live train state so the delta is current
+                    # come from the live train state so the delta is current.
+                    # Named deer_{E}_it{N} — resume re-runs epoch E from its
+                    # start (deterministic reshuffle) rather than silently
+                    # skipping its remainder.
                     self.params = self.state.params
-                    self.save(epoch)
+                    self.save(epoch, step=it + 1)
                 if (it + 1) % tcfg.logging_steps == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()
                                     if np.ndim(v) == 0}
@@ -285,20 +292,20 @@ class Trainer:
                 self.save(epoch)
         return last_metrics
 
-    def save(self, epoch: int) -> str:
+    def save(self, epoch: int, step: Optional[int] = None) -> str:
         phase = self.phase_of_epoch(epoch)
-        mask = trainable_mask(self.params, self.cfg,
-                              "joint" if phase == "joint" else "exit_only")
         # always persist head + backbone-trainable leaves (joint mask is the
         # superset — matches trainable-only ckpts, train_utils.py:631-638)
         mask = trainable_mask(self.params, self.cfg, "joint")
-        path = os.path.join(self.tcfg.run_dir, f"deer_{epoch}")
+        name = f"deer_{epoch}" if step is None else f"deer_{epoch}_it{step}"
+        path = os.path.join(self.tcfg.run_dir, name)
+        meta = {"epoch": epoch, "phase": phase, "seed": self.tcfg.seed}
+        if step is not None:
+            meta["step"] = step
         # seed lets eval reconstruct the SAME frozen backbone before the
         # trainable-delta overlay; opt_state makes resume exact (Adam
         # moments + schedule count survive preemption)
-        return save_checkpoint(path, self.params, self.cfg,
-                               meta={"epoch": epoch, "phase": phase,
-                                     "seed": self.tcfg.seed},
+        return save_checkpoint(path, self.params, self.cfg, meta=meta,
                                trainable_mask=mask,
                                opt_state=None if self.state is None
                                else self.state.opt_state)

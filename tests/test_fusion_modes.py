@@ -141,3 +141,28 @@ def test_last_step_only_loss_slices():
     garbled[:, :-1] = 99.0  # perturb every step but the last
     l2, _ = multi_exit_loss(out, jnp.asarray(garbled), last_step_only=True)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+def test_vit_concat_without_gripper():
+    """vit_concat must window-fold even with the gripper camera off
+    (regression: the single-camera branch skipped the fold)."""
+    n = deer_tiny().perceiver.num_latents
+    cfg, params = make("vit_concat", window=2)
+    cfg = dataclasses.replace(cfg, use_gripper=False)
+    rgb, _ = vis(cfg, 4)
+    media = encode_vision(params, rgb, None, cfg, window_size=2)
+    assert media.shape[:3] == (2, 1, n * 2)
+    assert cfg.num_media_tokens == n * 2
+
+
+def test_serving_guard_for_window_folded_variants():
+    """Serving engines refuse use_hist / vit_concat models loudly instead of
+    silently evaluating train/eval-mismatched features."""
+    import pytest as _pytest
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = make("vit_concat", window=2)
+    with _pytest.raises(NotImplementedError):
+        ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    cfg_h, params_h = make("post", use_hist=True, window=2)
+    with _pytest.raises(NotImplementedError):
+        DeerPolicy(params_h, cfg_h)

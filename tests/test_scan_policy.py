@@ -181,3 +181,22 @@ def test_packed_matches_unpacked(setup):
         a_f = full.step(img, grip, ids, mask)
         assert packed.last_exit_layer == full.last_exit_layer
         np.testing.assert_allclose(a_p, a_f, rtol=1e-6, atol=1e-6)
+
+def test_packed_bit_identical_bf16(setup):
+    """Under bf16 compute the packed path must STILL be bit-identical:
+    matmul weights are cast to x.dtype at use either way, and 1-D params
+    (LayerNorm scales/biases) keep their original dtype in the stacks
+    (ops.layers.stack_layer_tree)."""
+    from deer_vla_tpu.core.config import DTypePolicy
+    cfg, params = setup
+    cfg16 = dataclasses.replace(cfg, dtypes=DTypePolicy(
+        param_dtype="float32", compute_dtype="bfloat16"))
+    th = [0.05, 1e8]
+    packed = ScanDeerPolicy(params, cfg16, thresholds=th, pack=True)
+    full = ScanDeerPolicy(params, cfg16, thresholds=th, pack=False)
+    for t in range(2):
+        img, grip, ids, mask = obs(cfg16, seed=t)
+        a_p = packed.step(img, grip, ids, mask)
+        a_f = full.step(img, grip, ids, mask)
+        assert packed.last_exit_layer == full.last_exit_layer
+        np.testing.assert_array_equal(a_p, a_f)

@@ -191,3 +191,42 @@ def test_unconsumed_key_diagnostic(tmp_path):
     assert meta["meta"]["unconsumed_keys"] == ["b"]
     assert any("not matched" in str(w.message) for w in rec)
     np.testing.assert_allclose(np.asarray(loaded["a"]["w"]), 1.0)
+
+def test_mid_epoch_resume_reruns_epoch(tmp_path):
+    """A deer_{E}_it{N} checkpoint resumes AT epoch E (re-running it), and
+    an end-of-epoch deer_{E} outranks same-epoch mid-epoch saves."""
+    from deer_vla_tpu.train.checkpoint import (find_latest_checkpoint,
+                                               save_checkpoint)
+    import jax.numpy as jnp
+    cfg = deer_tiny()
+    p = {"a": jnp.zeros((2,))}
+    save_checkpoint(str(tmp_path / "deer_3_it500"), p, cfg,
+                    meta={"epoch": 3, "step": 500, "phase": "joint"})
+    ck = find_latest_checkpoint(str(tmp_path))
+    assert ck.endswith("deer_3_it500.ckpt")
+    # end-of-epoch 3 outranks it
+    save_checkpoint(str(tmp_path / "deer_3"), p, cfg,
+                    meta={"epoch": 3, "phase": "joint"})
+    assert find_latest_checkpoint(str(tmp_path)).endswith("deer_3.ckpt")
+    # later mid-epoch save of epoch 4 outranks epoch 3
+    save_checkpoint(str(tmp_path / "deer_4_it2"), p, cfg,
+                    meta={"epoch": 4, "step": 2, "phase": "exit_only"})
+    assert find_latest_checkpoint(str(tmp_path)).endswith("deer_4_it2.ckpt")
+
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg2 = dataclasses.replace(cfg, media_token_id=tok.media_token_id,
+                               eoc_token_id=tok.eoc_token_id)
+    loader = DebugBatcher(cfg2, tok, batch_size=2, num_batches=1,
+                          img_hw=cfg2.vit.image_size,
+                          grip_hw=cfg2.vit.image_size)
+    run2 = tmp_path / "mid_only"
+    run2.mkdir()
+    params = init_deer(jax.random.PRNGKey(0), cfg2)
+    save_checkpoint(str(run2 / "deer_1_it7"), params, cfg2,
+                    meta={"epoch": 1, "step": 7, "phase": "joint"})
+    tcfg = TrainConfig(run_dir=str(run2), num_joint_epochs=2,
+                       num_exit_epochs=0, joint_lr=1e-3, exit_lr=1e-3,
+                       joint_warmup_steps=0, exit_warmup_steps=0,
+                       rgb_pad=2, gripper_pad=2, batch_size=2)
+    tr = Trainer(cfg2, tcfg, loader)
+    assert tr.maybe_resume() == 1  # re-run epoch 1, don't skip to 2

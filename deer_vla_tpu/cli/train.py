@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multi_step_action", type=int, default=1)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--use_state", action="store_true")
+    p.add_argument("--clip_state", action="store_true",
+                   help="keep only arm pose + gripper of the proprio state "
+                        "(train_utils.py:253-255)")
     p.add_argument("--sep_resampler", action="store_true")
     p.add_argument("--share_exit", action="store_true")
     p.add_argument("--fusion_mode", default="post",
@@ -121,6 +124,9 @@ def make_model_config(args):
         # and proprio embedding in the LSTM head (HeadConfig.use_state),
         # mirroring the reference's single use_state flag
         head_updates["use_state"] = True
+        if args.clip_state:
+            updates["clip_state"] = True
+            updates["state_dim"] = 7
     if head_updates:
         updates["head"] = dataclasses.replace(cfg.head, **head_updates)
     return dataclasses.replace(cfg, **updates)

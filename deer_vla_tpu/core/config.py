@@ -218,6 +218,9 @@ class DeerConfig:
     use_gripper: bool = True
     use_state: bool = False
     state_dim: int = 15
+    # --clip_state: keep only arm pose (6) + gripper (1) of the 15-dim
+    # proprio vector (train_utils.py:253-255)
+    clip_state: bool = False
     sep_resampler: bool = False
     sep_lm_head: bool = True
     layerwise_exit_eval: bool = False

@@ -143,8 +143,10 @@ class CalvinPolicyAdapter:
         if (cfg.use_state or cfg.head.use_state) and "robot_obs" in obs:
             # proprio for state-trained models: state_fc vision token +
             # head embed_state (same (1,1,1,state_dim) layout as training)
-            state = jnp.asarray(np.asarray(obs["robot_obs"], np.float32)
-                                )[None, None, None, :]
+            ro = np.asarray(obs["robot_obs"], np.float32)
+            if cfg.clip_state:
+                ro = np.concatenate([ro[:6], ro[-1:]], -1)
+            state = jnp.asarray(ro)[None, None, None, :]
         t0 = time.perf_counter()
         if state is not None:  # jit engines (k=1, stateless) keep 4-arg step
             action = self.policy.step(img, grip, ids, mask, state=state)

@@ -127,6 +127,9 @@ def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
         # proprio state -> (B*W, 1, 1, state_dim) for encode_vision's
         # state_fc token and the head's embed_state (flamingo.py:120-126)
         st = np.asarray(raw["robot_obs"])[:, :w].reshape(bs * w, -1)
+        if cfg.clip_state:
+            # arm pose + gripper only (train_utils.py:253-255)
+            st = np.concatenate([st[:, :6], st[:, -1:]], -1)
         batch["state"] = jnp.asarray(st[:, None, None, :], jnp.float32)
     return batch
 

@@ -230,3 +230,16 @@ def test_mid_epoch_resume_reruns_epoch(tmp_path):
                        rgb_pad=2, gripper_pad=2, batch_size=2)
     tr = Trainer(cfg2, tcfg, loader)
     assert tr.maybe_resume() == 1  # re-run epoch 1, don't skip to 2
+
+def test_clip_state(tmp_path):
+    """--clip_state keeps arm6+gripper of the proprio vector end to end:
+    state_fc is built for 7 dims and prepare_batch clips."""
+    from deer_vla_tpu.cli.train import main
+    main(["--debug", "--model", "tiny", "--use_state", "--clip_state",
+          "--num_joint_epochs", "1", "--num_exit_epochs", "0",
+          "--batch_size_calvin", "2", "--run_name", str(tmp_path),
+          "--precision", "fp32"])
+    import json as _json
+    side = _json.load(open(tmp_path / "deer_0.json"))
+    assert side["config"]["clip_state"] is True
+    assert side["config"]["state_dim"] == 7

@@ -113,13 +113,14 @@ def build_fused_step(cfg: DeerConfig, exit_ids: List[int],
 class FusedDeerPolicy:
     """Drop-in single-stream policy using the fused program.  Same public
     surface as eval/policy.DeerPolicy (reset / set_timestep / step /
-    last_exit_layer) minus the steps_per_stage stage reuse (host-controlled
-    mode covers that)."""
+    last_exit_layer); steps_per_stage stage reuse works through the runtime
+    threshold array (zero recompiles), like the while-loop engine."""
 
     def __init__(self, params: dict, cfg: DeerConfig,
                  exit_ids: Optional[List[int]] = None,
                  thresholds: Optional[List[float]] = None,
-                 threshold_type: str = "L2", max_layer: Optional[int] = None):
+                 threshold_type: str = "L2", max_layer: Optional[int] = None,
+                 steps_per_stage: int = 1):
         from deer_vla_tpu.eval.scan_policy import check_serving_supported
         check_serving_supported(cfg)
         self.params = params
@@ -130,6 +131,8 @@ class FusedDeerPolicy:
         if thresholds is None:
             thresholds = [1e8] * len(self.exits)
         self.set_thresholds(thresholds)
+        self.steps_per_stage = steps_per_stage
+        self.cur_step = 0
         self.last_exit_layer = -1
         self.reset()
 
@@ -141,9 +144,23 @@ class FusedDeerPolicy:
 
     def reset(self):
         self.carry = None
+        self.cur_step = 0
+        self.last_exit_layer = -1
 
     def set_timestep(self, t: int):
-        pass  # stage reuse not supported in fused mode
+        self.cur_step = t
+
+    def _stage_thresholds(self):
+        """steps_per_stage reuse (value_net.py:284-286): mid-stage, force
+        the exit at the previous step's segment by swapping the RUNTIME
+        per-segment threshold array (-inf below it, +inf at it)."""
+        if (self.steps_per_stage <= 1
+                or self.cur_step % self.steps_per_stage == 0
+                or self.last_exit_layer < 0):
+            return self.thresholds
+        full = np.full(len(self.exits), -np.inf, np.float32)
+        full[self.exits.index(self.last_exit_layer)] = np.inf
+        return jnp.asarray(full)
 
     def step(self, image, gripper, input_ids, attention_mask,
              state=None) -> np.ndarray:
@@ -153,7 +170,7 @@ class FusedDeerPolicy:
                                     jnp.float32)
         arm, grip, self.carry, exit_layer = self._step(
             self.params, image, gripper, input_ids, attention_mask,
-            self.carry, self.thresholds)
+            self.carry, self._stage_thresholds())
         self.last_exit_layer = int(exit_layer)
         k = self.cfg.head.multi_step_action
         a = np.asarray(arm[0])

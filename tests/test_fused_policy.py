@@ -70,3 +70,39 @@ def test_threshold_change_no_recompile(setup):
     fused.set_thresholds([-1.0, 1e8])
     fused.step(img, grip, ids, mask)
     assert fused.last_exit_layer == cfg.all_exit_ids()[-1]
+
+def test_fused_policy_stage_reuse(setup):
+    """steps_per_stage reuse through the runtime per-segment threshold array
+    (value_net.py:284-286) — same protocol as the while-loop engine."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from deer_vla_tpu.core.config import deer_tiny
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.models.flamingo import init_deer
+
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = FusedDeerPolicy(params, cfg, thresholds=[-1.0, 1e8],
+                          steps_per_stage=2)
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(1, 1, 1, 3, 28, 28), jnp.float32)
+    ids = np.full((1, cfg.text_len), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((1, cfg.text_len), jnp.int32)
+
+    pol.set_timestep(0)
+    pol.step(img, img, ids, mask)
+    first = pol.last_exit_layer
+    assert first == cfg.all_exit_ids()[-1]
+    pol.set_thresholds([1e8, 1e8])  # would exit earlier if re-evaluated
+    pol.set_timestep(1)
+    pol.step(img, img, ids, mask)
+    assert pol.last_exit_layer == first  # mid-stage: reuse
+    pol.set_timestep(2)
+    pol.step(img, img, ids, mask)
+    assert pol.last_exit_layer == cfg.all_exit_ids()[0]  # new stage

@@ -64,13 +64,19 @@ def generate_calibration_values(params: dict, cfg: DeerConfig,
             size=cfg.vit.image_size)
         bsw = img.shape[0]
         s = batch["input_ids"].shape[-1]
-        ids = np.repeat(batch["input_ids"][:, None], cfg.window_size, axis=1)
-        mask = np.repeat(batch["attention_mask"][:, None], cfg.window_size, axis=1)
+        if cfg.fusion_mode == "vit_concat":
+            # per-WINDOW text in this mode (train_utils.py:240-251)
+            ids = np.asarray(batch["input_ids"])
+            mask = np.asarray(batch["attention_mask"])
+        else:
+            ids = np.repeat(batch["input_ids"][:, None], cfg.window_size,
+                            axis=1).reshape(bsw, s)
+            mask = np.repeat(batch["attention_mask"][:, None],
+                             cfg.window_size, axis=1).reshape(bsw, s)
         from deer_vla_tpu.data.text import fixed_length
         # pad to the static text_len so one compiled program serves all
         # batches (padding ids are masked out by attention_mask)
-        ids2, mask2 = fixed_length(ids.reshape(bsw, s), mask.reshape(bsw, s),
-                                   cfg.text_len, 0)
+        ids2, mask2 = fixed_length(ids, mask, cfg.text_len, 0)
         d = delta_fn(params, img, gri, jnp.asarray(ids2), jnp.asarray(mask2),
                      fwd_rng)
         outs.append(np.asarray(d))

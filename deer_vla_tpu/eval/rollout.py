@@ -101,6 +101,7 @@ class CalvinPolicyAdapter:
     def __init__(self, policy: DeerPolicy, text_fn: Callable,
                  text_len: int = 32, tcp_rel: bool = False):
         import functools
+        from collections import deque
         self.policy = policy
         self.text_fn = text_fn
         self.text_len = text_len
@@ -111,9 +112,19 @@ class CalvinPolicyAdapter:
         # jit: eager resize/normalize would dispatch per-op (fatal over a
         # tunneled TPU); one compiled program per camera instead
         self._prep = jax.jit(functools.partial(clip_preprocess, size=size))
+        # vit_concat serving: rolling window of the last W frames, fed to
+        # the engine as W batch rows per step (the reference's img_queue
+        # protocol, eval_utils.py:344-386; left-padded with the episode's
+        # first frame)
+        self._window = (policy.cfg.window_size
+                        if policy.cfg.fusion_mode == "vit_concat" else 0)
+        self._img_q = deque(maxlen=self._window or 1)
+        self._grip_q = deque(maxlen=self._window or 1)
 
     def reset(self):
         self.policy.reset()
+        self._img_q.clear()
+        self._grip_q.clear()
 
     @property
     def current_exit_layer(self) -> int:
@@ -137,6 +148,19 @@ class CalvinPolicyAdapter:
         grip = self._prep(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None])
         img = img[:, None, None]   # (1, 1, 1, 3, 224, 224)
         grip = grip[:, None, None]
+        if self._window:
+            # rolling W-frame window (left-padded with the first frame at
+            # episode start, eval_utils.py:344-349); the engine folds the
+            # window into the media tokens
+            if not self._img_q:
+                for _ in range(self._window):
+                    self._img_q.append(img)
+                    self._grip_q.append(grip)
+            else:
+                self._img_q.append(img)
+                self._grip_q.append(grip)
+            img = jnp.concatenate(list(self._img_q), axis=0)
+            grip = jnp.concatenate(list(self._grip_q), axis=0)
         ids, mask = self._tokenize(goal)
         state = None
         cfg = self.policy.cfg

@@ -96,17 +96,27 @@ def stack_encoder_layers(params: dict, cdt) -> dict:
     return out
 
 
-def check_serving_supported(cfg: DeerConfig) -> None:
+def check_serving_supported(cfg: DeerConfig,
+                            allow_vit_concat: bool = False) -> None:
     """The serving engines evaluate per-frame media; the use_hist /
     vit_concat TRAINING variants fold the window into the media tokens, so
     silently serving them would feed train/eval-mismatched features (frame
-    embedding 0 everywhere; 2n instead of 2nW tokens).  Refuse loudly."""
-    if cfg.use_hist or cfg.fusion_mode == "vit_concat":
+    embedding 0 everywhere; 2n instead of 2nW tokens).  Refuse loudly.
+
+    vit_concat IS served by the while-loop engine (allow_vit_concat=True):
+    its step folds the rolling frame window into the media tokens, fed by
+    eval/rollout's windowed adapter (the reference's img_queue protocol,
+    eval_utils.py:344-386)."""
+    if cfg.fusion_mode == "vit_concat" and not allow_vit_concat:
         raise NotImplementedError(
-            "serving models trained with --use_hist or --fusion_mode "
-            "vit_concat is not supported: these window-folded variants need "
-            "rolling-window media bookkeeping at inference (training-only "
-            "ablations here; flamingo_mpt.py:700-777)")
+            "this engine does not serve --fusion_mode vit_concat; use the "
+            "while-loop engine (ScanDeerPolicy) with the windowed adapter")
+    if cfg.use_hist:
+        raise NotImplementedError(
+            "serving models trained with --use_hist is not supported: the "
+            "history variant needs per-frame text + last-step head slicing "
+            "at inference (training-only ablation here, "
+            "flamingo_mpt.py:700-740)")
 
 
 def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
@@ -156,8 +166,14 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         first exit's reference action is ALWAYS the pseudo action from the
         layer below it (the `i - interval < 0` branch is layer-indexed, so it
         triggers every timestep), and each later exit compares against the
-        previous exit's action this timestep (action_list[-1])."""
-        media = encode_vision(params, img, grip, cfg, stacked=stacked)
+        previous exit's action this timestep (action_list[-1]).
+
+        vit_concat serving: img/grip carry B*window frame rows (the rolling
+        queue, eval_utils.py:344-386) while ids/mask stay per-stream (B, S);
+        encode_vision folds the window into the media tokens."""
+        enc_w = (cfg.window_size if cfg.fusion_mode == "vit_concat" else 1)
+        media = encode_vision(params, img, grip, cfg, stacked=stacked,
+                              window_size=enc_w)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
         attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
@@ -306,7 +322,7 @@ class ScanDeerPolicy:
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
                  steps_per_stage: int = 1, drop_unstacked: bool = False,
                  indexed_mm: bool = False, pack: bool = True):
-        check_serving_supported(cfg)
+        check_serving_supported(cfg, allow_vit_concat=True)
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg,
@@ -376,8 +392,11 @@ class ScanDeerPolicy:
              state=None) -> np.ndarray:
         """One env step.  Returns a 7-dof action, or a (k, 7) plan for
         multi_step_action k>1 (same contract as DeerPolicy.step — the
-        rollout loop queues the plan, eval_utils.py:668-675)."""
-        b = image.shape[0]
+        rollout loop queues the plan, eval_utils.py:668-675).
+
+        The LSTM carry batch follows the TEXT batch (one row per stream) —
+        under vit_concat serving the image batch carries window frames."""
+        b = input_ids.shape[0]
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
                                     self.cfg.head.hidden_size, jnp.float32)
@@ -402,7 +421,7 @@ class ScanDeerPolicy:
         work (e.g. step ANOTHER lane group's envs) while this group
         computes; convert with finish_batch.  Used by the pipelined batched
         rollout (eval/batched_rollout.py pipeline>1)."""
-        b = image.shape[0]
+        b = input_ids.shape[0]
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
                                     self.cfg.head.hidden_size, jnp.float32)

@@ -70,14 +70,16 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
       at seq positions W//2-1 .. W-2 with random-layer history prefixes.
     """
     assert 0 not in exit_list
-    w = cfg.window_size
+    # vit_concat folds the window into the media tokens: hidden batch is
+    # per-trajectory, one action position, no history prefix
+    w = 1 if cfg.fusion_mode == "vit_concat" else cfg.window_size
     s, d = hidden_states.shape[2], hidden_states.shape[3]
     ids = [0] + list(exit_list)
     feats = [hidden_states[i].reshape(-1, w, s, d) for i in ids]  # (B, W, S, D) each
     rand = rand_layer_feat.reshape(-1, w, s, d)
 
     per_seq = []
-    for seq_id in range(w // 2 - 1, w - 1):
+    for seq_id in range(max(w // 2 - 1, 0), max(w - 1, 1)):
         prev = rand[:, :seq_id]  # (B, seq_id, S, D)
         acts = []
         for f in feats:

@@ -155,14 +155,45 @@ def test_vit_concat_without_gripper():
 
 
 def test_serving_guard_for_window_folded_variants():
-    """Serving engines refuse use_hist / vit_concat models loudly instead of
-    silently evaluating train/eval-mismatched features."""
+    """Engines without window-media support refuse vit_concat loudly
+    (the while-loop engine serves it — see test_vit_concat_serving_rollout);
+    use_hist is refused everywhere."""
     import pytest as _pytest
     from deer_vla_tpu.eval.policy import DeerPolicy
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     cfg, params = make("vit_concat", window=2)
     with _pytest.raises(NotImplementedError):
-        ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+        DeerPolicy(params, cfg)
     cfg_h, params_h = make("post", use_hist=True, window=2)
     with _pytest.raises(NotImplementedError):
         DeerPolicy(params_h, cfg_h)
+    with _pytest.raises(NotImplementedError):
+        ScanDeerPolicy(params_h, cfg_h, thresholds=[1e8, 1e8])
+
+def test_vit_concat_serving_rollout():
+    """vit_concat serves through the while-loop engine + windowed adapter:
+    rolling W-frame queue folded into the media tokens (the reference's
+    img_queue protocol, eval_utils.py:344-386)."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.rollout import (CalvinPolicyAdapter, DebugEnv,
+                                           DebugTaskOracle, rollout)
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+
+    cfg, params = make("vit_concat", window=2)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    adapter = CalvinPolicyAdapter(pol, tok, text_len=cfg.text_len)
+    env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+    env.reset()
+    oracle = DebugTaskOracle(threshold=0.05)
+    success, exits, steps, _ = rollout(env, adapter, oracle, "open_drawer",
+                                       "open the drawer", ep_len=6)
+    assert steps >= 1 and len(exits) == steps
+    assert all(e in cfg.all_exit_ids() for e in exits)
+
+    # direct step: W frame rows in, one action out; carry stays per-stream
+    obs = env.get_obs()
+    a = adapter.step(obs, "open the drawer")
+    assert a.shape == (7,)

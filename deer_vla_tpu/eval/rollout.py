@@ -112,12 +112,16 @@ class CalvinPolicyAdapter:
         # jit: eager resize/normalize would dispatch per-op (fatal over a
         # tunneled TPU); one compiled program per camera instead
         self._prep = jax.jit(functools.partial(clip_preprocess, size=size))
-        # vit_concat serving: rolling window of the last W frames, fed to
-        # the engine as W batch rows per step (the reference's img_queue
-        # protocol, eval_utils.py:344-386; left-padded with the episode's
-        # first frame)
-        self._window = (policy.cfg.window_size
-                        if policy.cfg.fusion_mode == "vit_concat" else 0)
+        # vit_concat / use_hist serving: rolling window of the last W
+        # frames, fed to the engine as W batch rows per step (the
+        # reference's img_queue protocol, eval_utils.py:344-386; left-padded
+        # with the episode's first frame).  use_hist additionally tiles the
+        # goal text per frame (the pad_length text_queue, :366-378).
+        cfg0 = policy.cfg
+        self._window = (cfg0.window_size
+                        if (cfg0.fusion_mode == "vit_concat"
+                            or cfg0.use_hist) else 0)
+        self._tile_text = cfg0.use_hist
         self._img_q = deque(maxlen=self._window or 1)
         self._grip_q = deque(maxlen=self._window or 1)
 
@@ -162,6 +166,9 @@ class CalvinPolicyAdapter:
             img = jnp.concatenate(list(self._img_q), axis=0)
             grip = jnp.concatenate(list(self._grip_q), axis=0)
         ids, mask = self._tokenize(goal)
+        if self._window and self._tile_text:
+            ids = jnp.tile(ids, (self._window, 1))
+            mask = jnp.tile(mask, (self._window, 1))
         state = None
         cfg = self.policy.cfg
         if (cfg.use_state or cfg.head.use_state) and "robot_obs" in obs:

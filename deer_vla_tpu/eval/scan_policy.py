@@ -97,26 +97,25 @@ def stack_encoder_layers(params: dict, cdt) -> dict:
 
 
 def check_serving_supported(cfg: DeerConfig,
-                            allow_vit_concat: bool = False) -> None:
+                            allow_window_folded: bool = False) -> None:
     """The serving engines evaluate per-frame media; the use_hist /
     vit_concat TRAINING variants fold the window into the media tokens, so
     silently serving them would feed train/eval-mismatched features (frame
     embedding 0 everywhere; 2n instead of 2nW tokens).  Refuse loudly.
 
-    vit_concat IS served by the while-loop engine (allow_vit_concat=True):
-    its step folds the rolling frame window into the media tokens, fed by
-    eval/rollout's windowed adapter (the reference's img_queue protocol,
-    eval_utils.py:344-386)."""
-    if cfg.fusion_mode == "vit_concat" and not allow_vit_concat:
+    vit_concat and use_hist ARE served by the while-loop engine
+    (allow_window_folded=True): its step folds the rolling frame window into
+    the media tokens, fed by eval/rollout's windowed adapter (the
+    reference's img_queue protocol, eval_utils.py:344-386)."""
+    if cfg.fusion_mode == "vit_concat" and not allow_window_folded:
         raise NotImplementedError(
             "this engine does not serve --fusion_mode vit_concat; use the "
             "while-loop engine (ScanDeerPolicy) with the windowed adapter")
-    if cfg.use_hist:
+    if cfg.use_hist and not allow_window_folded:
         raise NotImplementedError(
-            "serving models trained with --use_hist is not supported: the "
-            "history variant needs per-frame text + last-step head slicing "
-            "at inference (training-only ablation here, "
-            "flamingo_mpt.py:700-740)")
+            "this engine does not serve --use_hist; use the while-loop "
+            "engine (ScanDeerPolicy) with the windowed adapter (per-frame "
+            "text + full-window head, flamingo_mpt.py:700-740)")
 
 
 def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
@@ -170,26 +169,42 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
 
         vit_concat serving: img/grip carry B*window frame rows (the rolling
         queue, eval_utils.py:344-386) while ids/mask stay per-stream (B, S);
-        encode_vision folds the window into the media tokens."""
-        enc_w = (cfg.window_size if cfg.fusion_mode == "vit_concat" else 1)
+        encode_vision folds the window into the media tokens.
+
+        use_hist serving: img/grip AND ids/mask carry B*window rows (text
+        tiled per frame); the head runs the FULL window (no streamed carry —
+        the window IS the memory) and emits the last step\'s action
+        (flamingo_mpt.py:700-740, labels[:, [-1]] semantics)."""
+        enc_w = (cfg.window_size
+                 if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
         media = encode_vision(params, img, grip, cfg, stacked=stacked,
                               window_size=enc_w)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
         attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
         head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
-        b = x.shape[0]
+        # stream count: text rows, except use_hist where text is per-frame
+        b = x.shape[0] // (enc_w if cfg.use_hist else 1)
         is_exit_arr = jnp.asarray(is_exit)
         # multi_step_action k>1: arm width 6k, gripper width k (flat head
         # output, action_head.py:443-444); the exit delta spans the full plan
         adim = cfg.head.out_features * cfg.head.multi_step_action
         gdim = cfg.head.multi_step_action
 
-        def eval_head(x_in):
-            out, cand = head_step(head, x_in.astype(jnp.float32), carry,
-                                  cfg.head, None)
-            return out.actions[:, 0].astype(jnp.float32), \
-                out.gripper_probs[:, 0].astype(jnp.float32), cand
+        if cfg.use_hist:
+            from deer_vla_tpu.models.action_head import head_forward
+
+            def eval_head(x_in):
+                out = head_forward(head, x_in.astype(jnp.float32), cfg.head,
+                                   window=enc_w, last_action=True)
+                return out.actions[:, 0].astype(jnp.float32), \
+                    out.gripper_probs[:, 0].astype(jnp.float32), carry
+        else:
+            def eval_head(x_in):
+                out, cand = head_step(head, x_in.astype(jnp.float32), carry,
+                                      cfg.head, None)
+                return out.actions[:, 0].astype(jnp.float32), \
+                    out.gripper_probs[:, 0].astype(jnp.float32), cand
 
         use_imm = indexed_mm and cfg.mpt.arch == "mpt"
 
@@ -322,7 +337,7 @@ class ScanDeerPolicy:
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
                  steps_per_stage: int = 1, drop_unstacked: bool = False,
                  indexed_mm: bool = False, pack: bool = True):
-        check_serving_supported(cfg, allow_vit_concat=True)
+        check_serving_supported(cfg, allow_window_folded=True)
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg,
@@ -397,6 +412,8 @@ class ScanDeerPolicy:
         The LSTM carry batch follows the TEXT batch (one row per stream) —
         under vit_concat serving the image batch carries window frames."""
         b = input_ids.shape[0]
+        if self.cfg.use_hist:
+            b //= self.cfg.window_size  # text is per-frame in hist mode
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
                                     self.cfg.head.hidden_size, jnp.float32)

@@ -155,20 +155,17 @@ def test_vit_concat_without_gripper():
 
 
 def test_serving_guard_for_window_folded_variants():
-    """Engines without window-media support refuse vit_concat loudly
-    (the while-loop engine serves it — see test_vit_concat_serving_rollout);
-    use_hist is refused everywhere."""
+    """Engines without window-media support refuse vit_concat / use_hist
+    loudly; the while-loop engine serves both (see the serving rollout
+    tests)."""
     import pytest as _pytest
     from deer_vla_tpu.eval.policy import DeerPolicy
-    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     cfg, params = make("vit_concat", window=2)
     with _pytest.raises(NotImplementedError):
         DeerPolicy(params, cfg)
     cfg_h, params_h = make("post", use_hist=True, window=2)
     with _pytest.raises(NotImplementedError):
         DeerPolicy(params_h, cfg_h)
-    with _pytest.raises(NotImplementedError):
-        ScanDeerPolicy(params_h, cfg_h, thresholds=[1e8, 1e8])
 
 def test_vit_concat_serving_rollout():
     """vit_concat serves through the while-loop engine + windowed adapter:
@@ -197,3 +194,31 @@ def test_vit_concat_serving_rollout():
     obs = env.get_obs()
     a = adapter.step(obs, "open the drawer")
     assert a.shape == (7,)
+
+def test_use_hist_serving_rollout():
+    """use_hist serves through the while-loop engine: W frame rows +
+    per-frame text; the head runs the full window and emits the last
+    step's action (flamingo_mpt.py:700-740)."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.rollout import (CalvinPolicyAdapter, DebugEnv,
+                                           DebugTaskOracle, rollout)
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+
+    cfg, params = make("post", use_hist=True, window=2)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    adapter = CalvinPolicyAdapter(pol, tok, text_len=cfg.text_len)
+    env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+    env.reset()
+    oracle = DebugTaskOracle(threshold=0.05)
+    success, exits, steps, _ = rollout(env, adapter, oracle, "open_drawer",
+                                       "open the drawer", ep_len=6)
+    assert steps >= 1 and len(exits) == steps
+    assert all(e in cfg.all_exit_ids() for e in exits)
+    a = adapter.step(env.get_obs(), "open the drawer")
+    assert a.shape == (7,)
+    # (frame-embs sensitivity is asserted at the media level in
+    # test_use_hist_frame_embs — at init the x-attn gates are zero
+    # (helpers.py:236-279), so media cannot move the ACTION yet)

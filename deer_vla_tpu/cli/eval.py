@@ -241,6 +241,9 @@ def main(argv=None):
         from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
         from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
         assert controller is not None, "--lanes needs dynamic exit"
+        if cfg.use_hist or cfg.fusion_mode == "vit_concat":
+            raise SystemExit("--lanes does not serve window-folded models "
+                             "(use_hist / vit_concat); run without --lanes")
         bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
             ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
                            max_layer=max_layer)

@@ -117,11 +117,21 @@ class CalvinPolicyAdapter:
         # reference's img_queue protocol, eval_utils.py:344-386; left-padded
         # with the episode's first frame).  use_hist additionally tiles the
         # goal text per frame (the pad_length text_queue, :366-378).
+        # NOTE: like the reference's uncached protocol, every step re-encodes
+        # all W frames; a rolling LATENT queue (feature_cache analogue,
+        # eval_utils.py:371) would cut steady-state vision work (W-1)/W —
+        # future optimization, needs an encode/decode split in the engine.
         cfg0 = policy.cfg
         self._window = (cfg0.window_size
                         if (cfg0.fusion_mode == "vit_concat"
                             or cfg0.use_hist) else 0)
         self._tile_text = cfg0.use_hist
+        if self._window:
+            # one program for both cameras' window stacking (an eager
+            # per-step jnp.concatenate would be a tunnel round trip each)
+            self._win_cat = jax.jit(
+                lambda fs, gs: (jnp.concatenate(fs, axis=0),
+                                jnp.concatenate(gs, axis=0)))
         self._img_q = deque(maxlen=self._window or 1)
         self._grip_q = deque(maxlen=self._window or 1)
 
@@ -142,6 +152,11 @@ class CalvinPolicyAdapter:
         ids, mask = self.text_fn([goal])
         pad_id = getattr(self.text_fn, "pad_token_id", 0)
         ids, mask = fixed_length(ids, mask, self.text_len, pad_id)
+        if self._window and self._tile_text:
+            # use_hist: text per frame row — tiled on HOST and cached per
+            # goal (a per-step device tile would be an eager tunnel dispatch)
+            ids = np.tile(np.asarray(ids), (self._window, 1))
+            mask = np.tile(np.asarray(mask), (self._window, 1))
         out = (jnp.asarray(ids), jnp.asarray(mask))
         self._goal_cache = (goal, out)
         return out
@@ -163,12 +178,9 @@ class CalvinPolicyAdapter:
             else:
                 self._img_q.append(img)
                 self._grip_q.append(grip)
-            img = jnp.concatenate(list(self._img_q), axis=0)
-            grip = jnp.concatenate(list(self._grip_q), axis=0)
+            img, grip = self._win_cat(list(self._img_q),
+                                      list(self._grip_q))
         ids, mask = self._tokenize(goal)
-        if self._window and self._tile_text:
-            ids = jnp.tile(ids, (self._window, 1))
-            mask = jnp.tile(mask, (self._window, 1))
         state = None
         cfg = self.policy.cfg
         if (cfg.use_state or cfg.head.use_state) and "robot_obs" in obs:

@@ -116,6 +116,10 @@ def check_serving_supported(cfg: DeerConfig,
             "this engine does not serve --use_hist; use the while-loop "
             "engine (ScanDeerPolicy) with the windowed adapter (per-frame "
             "text + full-window head, flamingo_mpt.py:700-740)")
+    if cfg.use_hist and cfg.fusion_mode == "vit_concat":
+        raise NotImplementedError(
+            "use_hist + vit_concat combined serving is undefined (per-frame "
+            "text vs per-trajectory media); train/serve one or the other")
 
 
 def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
@@ -411,6 +415,10 @@ class ScanDeerPolicy:
 
         The LSTM carry batch follows the TEXT batch (one row per stream) —
         under vit_concat serving the image batch carries window frames."""
+        if state is not None:
+            raise NotImplementedError(
+                "the while-loop engine is stateless (no proprio thread); "
+                "state-trained models serve through DeerPolicy")
         b = input_ids.shape[0]
         if self.cfg.use_hist:
             b //= self.cfg.window_size  # text is per-frame in hist mode
@@ -438,6 +446,12 @@ class ScanDeerPolicy:
         work (e.g. step ANOTHER lane group's envs) while this group
         computes; convert with finish_batch.  Used by the pipelined batched
         rollout (eval/batched_rollout.py pipeline>1)."""
+        if self.cfg.use_hist or self.cfg.fusion_mode == "vit_concat":
+            # the batched rollout feeds one frame per lane; window-folded
+            # models need the single-stream windowed adapter
+            raise NotImplementedError(
+                "batched lanes do not serve window-folded models "
+                "(use_hist / vit_concat); run without --lanes")
         b = input_ids.shape[0]
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,

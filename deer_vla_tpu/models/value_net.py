@@ -71,7 +71,12 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
     """
     assert 0 not in exit_list
     # vit_concat folds the window into the media tokens: hidden batch is
-    # per-trajectory, one action position, no history prefix
+    # per-trajectory, one action position, no history prefix.  CAVEAT: this
+    # calibrates with a zero LSTM state, while serving streams the carry
+    # across the episode — the delta distribution can be mildly skewed for
+    # vit_concat models (post-mode calibration warms the carry with random
+    # history prefixes; w=1 cannot).  Online BO (cli/bayes_opt.py) is the
+    # reference-faithful corrective if the exit mix matters.
     w = 1 if cfg.fusion_mode == "vit_concat" else cfg.window_size
     s, d = hidden_states.shape[2], hidden_states.shape[3]
     ids = [0] + list(exit_list)

@@ -222,3 +222,29 @@ def test_use_hist_serving_rollout():
     # (frame-embs sensitivity is asserted at the media level in
     # test_use_hist_frame_embs — at init the x-attn gates are zero
     # (helpers.py:236-279), so media cannot move the ACTION yet)
+
+def test_window_folded_refusals():
+    """Batched lanes and state-threading refuse window-folded models with
+    clear errors; use_hist+vit_concat combined serving is rejected."""
+    import pytest as _pytest
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = make("vit_concat", window=2)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    r = np.random.RandomState(0)
+    hw = cfg.vit.image_size
+    img = jnp.asarray(r.randn(2, 1, 1, 3, hw, hw), jnp.float32)
+    ids = np.full((2, cfg.text_len), 7, np.int32)
+    with _pytest.raises(NotImplementedError):
+        pol.step_batch(img, img, jnp.asarray(ids),
+                       jnp.ones((2, cfg.text_len), jnp.int32))
+    with _pytest.raises(NotImplementedError):
+        pol.step(img, img, jnp.asarray(ids[:1]),
+                 jnp.ones((1, cfg.text_len), jnp.int32),
+                 state=jnp.zeros((1, 1, 1, 15)))
+    cfg_both = dataclasses.replace(cfg, use_hist=True)
+    with _pytest.raises(NotImplementedError):
+        ScanDeerPolicy(params, cfg_both, thresholds=[0.05, 1e8])

@@ -248,3 +248,24 @@ def test_window_folded_refusals():
     cfg_both = dataclasses.replace(cfg, use_hist=True)
     with _pytest.raises(NotImplementedError):
         ScanDeerPolicy(params, cfg_both, thresholds=[0.05, 1e8])
+
+def test_pre_mode_serving_rollout():
+    """pre fusion (single perceiver over the token union) serves through the
+    standard engines — per-frame media, no window bookkeeping."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.rollout import (CalvinPolicyAdapter, DebugEnv,
+                                           DebugTaskOracle, rollout)
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+
+    cfg, params = make("pre", window=2)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    adapter = CalvinPolicyAdapter(pol, tok, text_len=cfg.text_len)
+    env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+    env.reset()
+    oracle = DebugTaskOracle(threshold=0.05)
+    success, exits, steps, _ = rollout(env, adapter, oracle, "open_drawer",
+                                       "open the drawer", ep_len=4)
+    assert steps >= 1 and all(e in cfg.all_exit_ids() for e in exits)

@@ -44,3 +44,35 @@ def test_fixed_exit_golden():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(out.gripper_probs[0, 0, 0]),
                                GOLDEN_GRIPPER, rtol=1e-4)
+
+
+def test_fusion_encode_golden():
+    """Pin the fusion-variant encode outputs (seed 1234 / input seed 7,
+    window 2): guards the pre token-union resample, the vit_concat window
+    fold, and the use_hist frame-embedding add against silent drift.
+    Regenerate with the script pattern above if intentionally changed."""
+    import dataclasses
+    from deer_vla_tpu.models.flamingo import encode_vision
+
+    golden = {
+        ("pre", False): ((2, 1, 8, 64), -9.998144149780273),
+        ("vit_concat", False): ((1, 1, 32, 64), -19.99408721923828),
+        ("post", True): ((2, 1, 16, 64), -14.835199356079102),
+    }
+    with jax.default_matmul_precision("highest"):
+        for (mode, hist), (shape, ssum) in golden.items():
+            cfg = deer_tiny()
+            cfg = dataclasses.replace(
+                cfg, fusion_mode=mode, use_hist=hist, window_size=2,
+                head=dataclasses.replace(cfg.head, window_size=2))
+            params = init_deer(jax.random.PRNGKey(1234), cfg)
+            r = np.random.RandomState(7)
+            rgb = jnp.asarray(r.randn(2, 1, 1, 3, 28, 28), jnp.float32)
+            gpr = jnp.asarray(r.randn(2, 1, 1, 3, 28, 28), jnp.float32)
+            m = np.asarray(jax.jit(
+                lambda p, a, b, c=cfg: encode_vision(p, a, b, c,
+                                                     window_size=2))(
+                params, rgb, gpr))
+            assert m.shape == shape, (mode, hist, m.shape)
+            np.testing.assert_allclose(float(m[..., :3].sum()), ssum,
+                                       rtol=1e-5)

@@ -40,7 +40,8 @@ def make_greedy_generate(cfg: DeerConfig, n_new: int):
         def body(carry, i):
             ids, mask = carry
             hidden, _ = decoder_forward(params["decoder"], ids, mask, media, cfg)
-            logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt)
+            logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt,
+                           arch=cfg.mpt.arch)
             pos = start_lens + i - 1  # per-row last prompt/generated position
             nxt = logits[rows, pos].argmax(-1)
             write = start_lens + i
@@ -95,7 +96,8 @@ def make_lm_scorer(cfg: DeerConfig):
         from deer_vla_tpu.models.flamingo import encode_vision
         media = encode_vision(params, vision_x, None, cfg)
         hidden, _ = decoder_forward(params["decoder"], ids, mask, media, cfg)
-        logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt)
+        logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt,
+                           arch=cfg.mpt.arch)
         logits = logits[:, :-1].astype(jnp.float32)
         targets = ids[:, 1:]
         logp = jax.nn.log_softmax(logits, -1)

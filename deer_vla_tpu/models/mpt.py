@@ -70,6 +70,14 @@ def init_decoder(key, cfg: DeerConfig, dtype=jnp.float32) -> dict:
         "blocks": [],
         "xattn": [],
     }
+    if mpt.arch == "llama":
+        # llama's LM side: RMSNorm final + UNTIED lm_head (lm_logits'
+        # llama branch; the mpt path reuses ln_f + wte^T)
+        from deer_vla_tpu.models.llama import init_rmsnorm
+        params["norm_f"] = init_rmsnorm(mpt.d_model, dtype)
+        params["lm_head_w"] = init_linear(keys[1], mpt.d_model,
+                                          mpt.vocab_size, bias=False,
+                                          dtype=dtype)
     for i in range(mpt.n_layers):
         if mpt.arch == "llama":
             from deer_vla_tpu.models.llama import init_llama_block
@@ -219,11 +227,21 @@ def decoder_forward(params: dict, input_ids: jnp.ndarray,
     return jnp.stack(outs, axis=0), x
 
 
-def lm_logits(params: dict, hidden: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
-    """Vocabulary logits from final hidden states: ln_f + tied wte^T (MPT
-    ties input/output embeddings).  Unused by the DeeR action path (the
-    action heads replaced lm_head) but required for the upstream
-    OpenFlamingo LM-pretraining capability (open_flamingo/train/)."""
+def lm_logits(params: dict, hidden: jnp.ndarray, compute_dtype=None,
+              arch: str = "mpt") -> jnp.ndarray:
+    """Vocabulary logits from final hidden states.
+
+    mpt: ln_f + tied wte^T (MPT ties input/output embeddings).
+    llama: rmsnorm(norm_f) + UNTIED lm_head matrix (the BCFlamingo llama
+    family's generate path, flamingo_bc.py:252-310).
+
+    Unused by the DeeR action path (the action heads replaced lm_head) but
+    required for the upstream OpenFlamingo LM-pretraining capability
+    (open_flamingo/train/) and text generation."""
+    if arch == "llama" and "norm_f" in params:
+        from deer_vla_tpu.models.llama import rmsnorm
+        h = rmsnorm(params["norm_f"], hidden)
+        return linear(params["lm_head_w"], h)
     h = layernorm(params["ln_f"], hidden)
     w = params["wte"]["w"]
     if compute_dtype is not None:

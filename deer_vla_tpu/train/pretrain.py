@@ -38,7 +38,8 @@ def lm_loss(params: dict, cfg: DeerConfig, vision_x: jnp.ndarray,
     media = encode_vision(params, vision_x, vision_gripper, cfg)
     hidden, _ = decoder_forward(params["decoder"], input_ids, attention_mask,
                                 media, cfg)
-    logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt)
+    logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt,
+                           arch=cfg.mpt.arch)
     logits = logits[:, :-1].astype(jnp.float32)
     targets = input_ids[:, 1:]
     valid = attention_mask[:, 1:].astype(bool)

@@ -80,3 +80,42 @@ def test_bc_flamingo_forward():
                                   mask[:1], cfg, exit_id=-1,
                                   vision_gripper=img[:1])
     assert o.actions.shape == (1, 1, 6)
+
+
+def test_llama_generate_and_lm_loss():
+    """BCFlamingo.generate equivalent for the llama family
+    (flamingo_bc.py:252-310): greedy text generation + LM loss run through
+    the UNTIED llama head (rmsnorm(norm_f) + lm_head, lm_logits' llama
+    branch)."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.vl_eval import greedy_generate
+    from deer_vla_tpu.models.flamingo import init_deer
+    from deer_vla_tpu.models.mpt import lm_logits
+
+    cfg = tiny_llama_cfg()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=8)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    assert "norm_f" in params["decoder"] and "lm_head_w" in params["decoder"]
+
+    r = np.random.RandomState(0)
+    vis = jnp.asarray(r.randn(2, 1, 1, 3, 28, 28), jnp.float32)
+    ids, mask = tok(["open the drawer", "push the block"])
+    out = greedy_generate(params, cfg, vis, np.asarray(ids)[:, :-2],
+                          np.asarray(mask)[:, :-2], max_new_tokens=4,
+                          eos_id=tok.eos_token_id)
+    assert out.shape == (2, 4)
+    assert np.all((out >= 0) & (out < cfg.mpt.vocab_size))
+
+    # the llama branch actually differs from the tied-mpt branch
+    h = jnp.asarray(r.randn(2, 8, cfg.mpt.d_model), jnp.float32)
+    l_llama = lm_logits(params["decoder"], h, arch="llama")
+    l_mpt = lm_logits(params["decoder"], h, arch="mpt")
+    assert l_llama.shape == l_mpt.shape == (2, 8, cfg.mpt.vocab_size)
+    assert not np.allclose(np.asarray(l_llama), np.asarray(l_mpt))
+
+    # LM pretrain loss consumes the llama head too
+    from deer_vla_tpu.train.pretrain import lm_loss
+    loss, _ = lm_loss(params, cfg, vis, jnp.asarray(ids),
+                      jnp.asarray(mask))
+    assert np.isfinite(float(loss))

@@ -188,13 +188,12 @@ def main(argv=None):
     use_fused = (args.engine == "fused" or
                  (args.engine == "auto" and controller is not None
                   and not args.use_action_ensemble))
-    if (cfg.use_state or cfg.head.use_state or args.multi_execution > 1
-            or args.vision_cache_tau > 0):
+    if (cfg.use_state or cfg.head.use_state or args.multi_execution > 1):
         use_fused = False  # the jit engines are stateless (no proprio
-        # thread) and don't repeat actions; DeerPolicy covers both, and
-        # vision caching needs its split encode program.
+        # thread) and don't repeat actions; DeerPolicy covers both.
         # multi_step_action k>1 IS supported by the jit engines ((k, 7)
-        # plans into the rollout queue).
+        # plans into the rollout queue), and vision caching composes with
+        # BOTH engines (split encode/decode programs).
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
@@ -204,6 +203,10 @@ def main(argv=None):
                                 max_layer=max_layer,
                                 steps_per_stage=args.steps_per_stage)
         policy.set_thresholds(controller.thresholds)
+        if args.vision_cache_tau > 0:
+            from deer_vla_tpu.eval.caching import VisionCacheScanPolicy
+            policy = VisionCacheScanPolicy(policy,
+                                           tau=args.vision_cache_tau)
     else:
         policy = DeerPolicy(params, cfg, controller=controller,
                             exit_id=args.exit_id,

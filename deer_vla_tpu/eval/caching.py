@@ -88,6 +88,51 @@ class ActionCachePolicy:
         return action
 
 
+class VisionCacheScanPolicy:
+    """While-loop-engine variant of visual-token caching: the scan engine's
+    encode (ViT+perceiver+embed) and decode (dynamic-exit while_loop) are
+    separate jit programs, so a near-identical frame reuses the cached
+    (media, x, mloc) and dispatches only the decode.  Exit decisions, head
+    carry and actions stay exact — only the vision conditioning is stale.
+    """
+
+    def __init__(self, inner, tau: float = 0.05):
+        self.inner = inner
+        self.cfg = inner.cfg
+        self.tau = tau
+        self.encode_hits = 0
+        self.steps = 0
+        self.reset()
+
+    def reset(self):
+        self.inner.reset()
+        self._prev_frame = None
+        self._cached = None  # (media, x, mloc)
+
+    def set_timestep(self, t: int):
+        self.inner.set_timestep(t)
+
+    @property
+    def last_exit_layer(self):
+        return self.inner.last_exit_layer
+
+    def set_thresholds(self, thresholds):
+        self.inner.set_thresholds(thresholds)
+
+    def step(self, image, gripper, input_ids, attention_mask, state=None):
+        assert state is None, "the while-loop engine is stateless"
+        self.steps += 1
+        hit = False
+        if self._cached is not None:
+            hit = float(frame_delta(image, self._prev_frame)) <= self.tau
+        if not hit:
+            self._cached = self.inner.encode(image, gripper, input_ids)
+            self._prev_frame = image
+        self.encode_hits += int(hit)
+        media, x, mloc = self._cached
+        return self.inner.step_from_encoded(media, x, mloc, attention_mask)
+
+
 class VisionCacheDeerPolicy:
     """DeerPolicy variant with visual-token caching: when the frame delta is
     below tau, reuse the previous step's media latents and goal-token

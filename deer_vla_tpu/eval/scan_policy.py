@@ -179,16 +179,30 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         tiled per frame); the head runs the FULL window (no streamed carry —
         the window IS the memory) and emits the last step\'s action
         (flamingo_mpt.py:700-740, labels[:, [-1]] semantics)."""
-        enc_w = (cfg.window_size
-                 if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
+        media, x, mloc = encode(params, stacked, img, grip, ids)
+        return decode(params, stacked, media, x, mloc, mask, carry,
+                      thresholds_full)
+
+    enc_w = (cfg.window_size
+             if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
+
+    def encode(params, stacked, img, grip, ids):
+        """Vision + token-embed prefix; separable so the training-free
+        vision cache (eval/caching.py) can skip it on near-identical
+        frames."""
         media = encode_vision(params, img, grip, cfg, stacked=stacked,
                               window_size=enc_w)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
+        return media, x, mloc
+
+    def decode(params, stacked, media, x, mloc, mask, carry,
+               thresholds_full):
+        """The dynamic-exit while_loop from pre-encoded (media, x)."""
         attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
         head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
         # stream count: text rows, except use_hist where text is per-frame
-        b = x.shape[0] // (enc_w if cfg.use_hist else 1)
+        b = x.shape[0] // (enc_w if cfg.use_hist else 1)  # enc_w from closure
         is_exit_arr = jnp.asarray(is_exit)
         # multi_step_action k>1: arm width 6k, gripper width k (flat head
         # output, action_head.py:443-444); the exit delta spans the full plan
@@ -328,7 +342,7 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
          exit_layer) = jax.lax.while_loop(cond_fn, body, init)
         return best_arm, best_grip, best_carry, exit_layer
 
-    return jax.jit(step), exits
+    return jax.jit(step), exits, jax.jit(encode), jax.jit(decode)
 
 
 class ScanDeerPolicy:
@@ -366,9 +380,9 @@ class ScanDeerPolicy:
             self.params = dict(params)
             self.params["decoder"] = dec
         exit_ids = list(exit_ids or cfg.all_exit_ids())
-        self._step, self.exits = build_scan_step(cfg, exit_ids,
-                                                 threshold_type, max_layer,
-                                                 indexed_mm=indexed_mm)
+        (self._step, self.exits, self._encode,
+         self._decode) = build_scan_step(cfg, exit_ids, threshold_type,
+                                         max_layer, indexed_mm=indexed_mm)
         self.steps_per_stage = steps_per_stage
         self.cur_step = 0
         self.set_thresholds(thresholds if thresholds is not None
@@ -419,16 +433,22 @@ class ScanDeerPolicy:
             raise NotImplementedError(
                 "the while-loop engine is stateless (no proprio thread); "
                 "state-trained models serve through DeerPolicy")
-        b = input_ids.shape[0]
+        self._ensure_carry(input_ids.shape[0])
+        arm, grip, self.carry, exit_layer = self._step(
+            self.params, self.stacked, image, gripper, input_ids,
+            attention_mask, self.carry, self._stage_thresholds())
+        self.last_exit_layer = int(exit_layer[0])
+        return self._postprocess(arm, grip)
+
+    def _ensure_carry(self, text_rows: int) -> None:
+        b = text_rows
         if self.cfg.use_hist:
             b //= self.cfg.window_size  # text is per-frame in hist mode
         if self.carry is None:
             self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
                                     self.cfg.head.hidden_size, jnp.float32)
-        arm, grip, self.carry, exit_layer = self._step(
-            self.params, self.stacked, image, gripper, input_ids,
-            attention_mask, self.carry, self._stage_thresholds())
-        self.last_exit_layer = int(exit_layer[0])
+
+    def _postprocess(self, arm, grip) -> np.ndarray:
         k = self.cfg.head.multi_step_action
         a = np.asarray(arm[0])
         gp = np.asarray(grip[0]).reshape(-1)
@@ -438,6 +458,21 @@ class ScanDeerPolicy:
                                   -1).astype(np.float32)
         g = 1.0 if float(gp[0]) > 0.5 else -1.0
         return np.concatenate([a, [g]]).astype(np.float32)
+
+    def encode(self, image, gripper, input_ids):
+        """The vision+embed prefix as its own program (for the vision
+        cache): returns (media, x, media_locations) device handles."""
+        return self._encode(self.params, self.stacked, image, gripper,
+                            input_ids)
+
+    def step_from_encoded(self, media, x, mloc, attention_mask) -> np.ndarray:
+        """Dynamic-exit decode from a (possibly cached) encoded prefix."""
+        self._ensure_carry(x.shape[0])
+        arm, grip, self.carry, exit_layer = self._decode(
+            self.params, self.stacked, media, x, mloc, attention_mask,
+            self.carry, self._stage_thresholds())
+        self.last_exit_layer = int(exit_layer[0])
+        return self._postprocess(arm, grip)
 
     def dispatch_batch(self, image, gripper, input_ids, attention_mask):
         """Asynchronous step_batch: launches the program, commits the carry

@@ -109,3 +109,34 @@ def test_vision_cache_multi_step_plan(setup):
     assert plan.shape == (2, 7)
     plan2 = pol.step(img, img, ids, mask)
     assert pol.encode_hits == 1 and np.isfinite(plan2).all()
+
+
+def test_vision_cache_scan_engine(setup):
+    """VisionCacheScanPolicy: the while-loop engine's split encode/decode —
+    never-hit wrapper is identical to the plain scan policy; static frames
+    hit the cache while carry/exit stay exact."""
+    from deer_vla_tpu.eval.caching import VisionCacheScanPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = setup
+    img, ids, mask = obs(cfg)
+    th = [0.05, 1e8]
+
+    plain = ScanDeerPolicy(params, cfg, thresholds=th)
+    wrapped = VisionCacheScanPolicy(ScanDeerPolicy(params, cfg,
+                                                   thresholds=th), tau=-1.0)
+    for t in range(3):
+        plain.set_timestep(t)
+        wrapped.set_timestep(t)
+        a_p = plain.step(img, img, ids, mask)
+        a_w = wrapped.step(img, img, ids, mask)
+        np.testing.assert_allclose(a_w, a_p, rtol=1e-6, atol=1e-6)
+        assert wrapped.last_exit_layer == plain.last_exit_layer
+    assert wrapped.encode_hits == 0
+
+    cached = VisionCacheScanPolicy(ScanDeerPolicy(params, cfg,
+                                                  thresholds=th), tau=0.01)
+    for t in range(3):
+        cached.set_timestep(t)
+        a_c = cached.step(img, img, ids, mask)
+    assert cached.encode_hits == 2  # encode ran once
+    np.testing.assert_allclose(a_c, a_p, rtol=1e-5, atol=1e-5)

@@ -78,7 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vision_cache_tau", type=float, default=0.0,
                    help=">0: visual-token caching — reuse ViT+perceiver "
                         "latents across near-identical frames (exact head "
-                        "semantics; bucketed engine)")
+                        "semantics; composes with both the while-loop and "
+                        "bucketed engines; not with --lanes)")
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -247,9 +248,14 @@ def main(argv=None):
         if cfg.use_hist or cfg.fusion_mode == "vit_concat":
             raise SystemExit("--lanes does not serve window-folded models "
                              "(use_hist / vit_concat); run without --lanes")
+        if args.vision_cache_tau > 0:
+            raise SystemExit("--lanes does not compose with "
+                             "--vision_cache_tau (per-lane frame caching "
+                             "is not implemented); drop one of the flags")
         bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
             ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
-                           max_layer=max_layer)
+                           max_layer=max_layer,
+                           steps_per_stage=args.steps_per_stage)
         if not isinstance(policy, ScanDeerPolicy):
             bpolicy.set_thresholds(controller.thresholds)
         if args.debug or not args.calvin_conf_path:

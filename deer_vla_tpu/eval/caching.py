@@ -88,13 +88,10 @@ class ActionCachePolicy:
         return action
 
 
-class VisionCacheScanPolicy:
-    """While-loop-engine variant of visual-token caching: the scan engine's
-    encode (ViT+perceiver+embed) and decode (dynamic-exit while_loop) are
-    separate jit programs, so a near-identical frame reuses the cached
-    (media, x, mloc) and dispatches only the decode.  Exit decisions, head
-    carry and actions stay exact — only the vision conditioning is stale.
-    """
+class _VisionCacheBase:
+    """Shared tau-gated visual-token caching shell: miss -> run the engine's
+    encode program and stash the prefix; hit -> reuse it and dispatch only
+    the decode.  Subclasses supply _encode/_decode for their engine."""
 
     def __init__(self, inner, tau: float = 0.05):
         self.inner = inner
@@ -107,58 +104,7 @@ class VisionCacheScanPolicy:
     def reset(self):
         self.inner.reset()
         self._prev_frame = None
-        self._cached = None  # (media, x, mloc)
-
-    def set_timestep(self, t: int):
-        self.inner.set_timestep(t)
-
-    @property
-    def last_exit_layer(self):
-        return self.inner.last_exit_layer
-
-    def set_thresholds(self, thresholds):
-        self.inner.set_thresholds(thresholds)
-
-    def step(self, image, gripper, input_ids, attention_mask, state=None):
-        assert state is None, "the while-loop engine is stateless"
-        self.steps += 1
-        hit = False
-        if self._cached is not None:
-            hit = float(frame_delta(image, self._prev_frame)) <= self.tau
-        if not hit:
-            self._cached = self.inner.encode(image, gripper, input_ids)
-            self._prev_frame = image
-        self.encode_hits += int(hit)
-        media, x, mloc = self._cached
-        return self.inner.step_from_encoded(media, x, mloc, attention_mask)
-
-
-class VisionCacheDeerPolicy:
-    """DeerPolicy variant with visual-token caching: when the frame delta is
-    below tau, reuse the previous step's media latents and goal-token
-    embedding (skipping the dual ViT + perceiver encode) and run only the
-    decoder buckets + head.  Head carries, exit decisions and actions follow
-    the exact dynamic-exit protocol — only the vision conditioning is stale.
-
-    Implemented as composition around eval/policy.DeerPolicy's split
-    programs (encode_prefix is already a separate jit program there).
-    """
-
-    def __init__(self, inner, tau: float = 0.05):
-        from deer_vla_tpu.eval.policy import DeerPolicy
-        assert isinstance(inner, DeerPolicy), \
-            "vision caching needs the bucketed DeerPolicy (split encode)"
-        self.inner = inner
-        self.cfg = inner.cfg
-        self.tau = tau
-        self.encode_hits = 0
-        self.steps = 0
-        self.reset()
-
-    def reset(self):
-        self.inner.reset()
-        self._prev_frame = None
-        self._cached = None  # (media, x0, mloc)
+        self._cached = None  # engine-specific encoded prefix
 
     def set_timestep(self, t: int):
         self.inner.set_timestep(t)
@@ -177,12 +123,57 @@ class VisionCacheDeerPolicy:
         if self._cached is not None:
             hit = float(frame_delta(image, self._prev_frame)) <= self.tau
         if not hit:
-            self._cached = self.inner._encode_prefix(
-                self.inner.enc_params, self.inner.enc_stacked, image,
-                gripper, input_ids, attention_mask, state)
+            self._cached = self._encode(image, gripper, input_ids,
+                                        attention_mask, state)
             self._prev_frame = image
         self.encode_hits += int(hit)
-        media, x0, mloc = self._cached
+        return self._decode(self._cached, attention_mask, state)
+
+
+class VisionCacheScanPolicy(_VisionCacheBase):
+    """While-loop-engine variant of visual-token caching: the scan engine's
+    encode (ViT+perceiver+embed) and decode (dynamic-exit while_loop) are
+    separate jit programs, so a near-identical frame reuses the cached
+    (media, x, mloc) and dispatches only the decode.  Exit decisions, head
+    carry and actions stay exact — only the vision conditioning is stale.
+    """
+
+    def set_thresholds(self, thresholds):
+        self.inner.set_thresholds(thresholds)
+
+    def _encode(self, image, gripper, input_ids, attention_mask, state):
+        assert state is None, "the while-loop engine is stateless"
+        return self.inner.encode(image, gripper, input_ids)
+
+    def _decode(self, cached, attention_mask, state):
+        media, x, mloc = cached
+        return self.inner.step_from_encoded(media, x, mloc, attention_mask)
+
+
+class VisionCacheDeerPolicy(_VisionCacheBase):
+    """DeerPolicy variant with visual-token caching: when the frame delta is
+    below tau, reuse the previous step's media latents and goal-token
+    embedding (skipping the dual ViT + perceiver encode) and run only the
+    decoder buckets + head.  Head carries, exit decisions and actions follow
+    the exact dynamic-exit protocol — only the vision conditioning is stale.
+
+    Implemented as composition around eval/policy.DeerPolicy's split
+    programs (encode_prefix is already a separate jit program there).
+    """
+
+    def __init__(self, inner, tau: float = 0.05):
+        from deer_vla_tpu.eval.policy import DeerPolicy
+        assert isinstance(inner, DeerPolicy), \
+            "vision caching needs the bucketed DeerPolicy (split encode)"
+        super().__init__(inner, tau)
+
+    def _encode(self, image, gripper, input_ids, attention_mask, state):
+        return self.inner._encode_prefix(
+            self.inner.enc_params, self.inner.enc_stacked, image, gripper,
+            input_ids, attention_mask, state)
+
+    def _decode(self, cached, attention_mask, state):
+        media, x0, mloc = cached
         return self._step_from_encoded(media, x0, mloc, attention_mask, state)
 
     def _step_from_encoded(self, media, x0, mloc, attention_mask, state):

@@ -487,10 +487,7 @@ class ScanDeerPolicy:
             raise NotImplementedError(
                 "batched lanes do not serve window-folded models "
                 "(use_hist / vit_concat); run without --lanes")
-        b = input_ids.shape[0]
-        if self.carry is None:
-            self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
-                                    self.cfg.head.hidden_size, jnp.float32)
+        self._ensure_carry(input_ids.shape[0])
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
             attention_mask, self.carry, self.thresholds)

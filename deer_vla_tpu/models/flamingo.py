@@ -376,6 +376,11 @@ def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
                 return phase == "joint"
             if "wte" in keys:
                 return phase == "joint"
+            if "norm_f" in keys or "lm_head_w" in keys:
+                # llama's untied LM output head: trained like the embeddings
+                # (upstream trains input+output embeddings; a frozen random
+                # lm_head would make LM pretraining learn nothing)
+                return phase == "joint"
             return False  # MPT blocks / ln_f stay frozen, as in the reference
         if top in ("lm_head", "extra_exit", "lm_exits"):
             return True

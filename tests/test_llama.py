@@ -119,3 +119,15 @@ def test_llama_generate_and_lm_loss():
     loss, _ = lm_loss(params, cfg, vis, jnp.asarray(ids),
                       jnp.asarray(mask))
     assert np.isfinite(float(loss))
+
+
+def test_llama_lm_head_trainable():
+    """Regression: the untied llama LM head must be TRAINABLE in the joint
+    phase (a frozen random lm_head makes LM pretraining learn nothing)."""
+    from deer_vla_tpu.models.flamingo import init_deer, trainable_mask
+    cfg = tiny_llama_cfg()
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    mask = trainable_mask(params, cfg, "joint")
+    assert bool(jax.tree_util.tree_leaves(mask["decoder"]["lm_head_w"])[0])
+    assert bool(jax.tree_util.tree_leaves(mask["decoder"]["norm_f"])[0])
+    assert bool(jax.tree_util.tree_leaves(mask["decoder"]["wte"])[0])

@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bucketed engine, value_net.py:92-95)")
     p.add_argument("--multi_execution", type=int, default=1,
                    help="repeat/consume k actions per policy call")
+    p.add_argument("--future_act_len", type=int, default=-1,
+                   help="diffusion head: execute only the first K sampled "
+                        "actions of each plan (eval_calvin.py:209)")
     p.add_argument("--replan", type=int, default=-1)
     p.add_argument("--lanes", type=int, default=1,
                    help=">1: batched rollout — N env streams in lockstep "
@@ -195,6 +198,20 @@ def main(argv=None):
         # multi_step_action k>1 IS supported by the jit engines ((k, 7)
         # plans into the rollout queue), and vision caching composes with
         # BOTH engines (split encode/decode programs).
+    if cfg.head_type != "deterministic":
+        # fc/gpt/diffusion heads serve through the bucketed engine (the jit
+        # engines hardcode the LSTM head); cli routes like the reference
+        # selects decoder_type at construction (eval_calvin.py:520,528)
+        use_fused = False
+        if args.lanes > 1:
+            raise SystemExit(f"--lanes does not serve head_type "
+                             f"{cfg.head_type!r}; run without --lanes")
+        if cfg.head_type == "diffusion" and args.action_cache_tau > 0:
+            raise SystemExit("--action_cache_tau does not compose with the "
+                             "diffusion head's plan sampling")
+        if args.vision_cache_tau > 0:
+            raise SystemExit("--vision_cache_tau currently serves the "
+                             "deterministic LSTM head only")
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
@@ -217,6 +234,13 @@ def main(argv=None):
         if args.vision_cache_tau > 0:
             from deer_vla_tpu.eval.caching import VisionCacheDeerPolicy
             policy = VisionCacheDeerPolicy(policy, tau=args.vision_cache_tau)
+    if cfg.head_type == "diffusion":
+        # DDPM sampling wrapper: exit features -> action plan
+        # (eval_utils.py:388-419 use_diff branch)
+        from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
+        policy = DiffusionSamplerPolicy(policy, params,
+                                        future_act_len=args.future_act_len,
+                                        seed=args.seed)
     if args.action_cache_tau > 0:
         from deer_vla_tpu.eval.caching import ActionCachePolicy
         policy = ActionCachePolicy(policy, tau=args.action_cache_tau,

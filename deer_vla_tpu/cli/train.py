@@ -41,6 +41,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_hist", action="store_true",
                    help="history variant: learned frame embeddings on ViT "
                         "tokens, last-step-only loss (flamingo_mpt.py:700)")
+    # action-head family (reference --decoder_type/--head_type,
+    # train_calvin_post_strategy.py:308,317)
+    p.add_argument("--head_type", default="deterministic",
+                   choices=["deterministic", "fc", "gpt", "diffusion"])
+    p.add_argument("--hidden_size", type=int, default=None,
+                   help="GPTDecoder backbone width (head_type gpt)")
+    p.add_argument("--n_timesteps", type=int, default=150,
+                   help="diffusion timesteps (head_type diffusion)")
+    p.add_argument("--n_obs_steps", type=int, default=6,
+                   help="action-history length + 1 for the diffusion head")
+    p.add_argument("--diff_horizon", type=int, default=32)
     # data
     p.add_argument("--calvin_dataset", default=os.environ.get("calvin_dataset_path", ""))
     p.add_argument("--tokenizer_path", default="")
@@ -116,6 +127,20 @@ def make_model_config(args):
                "use_hist": getattr(args, "use_hist", False),
                "remat_layers": getattr(args, "remat", False),
                "remat_policy": getattr(args, "remat_policy", "full")}
+    ht = getattr(args, "head_type", "deterministic")
+    if ht != "deterministic":
+        updates["head_type"] = ht
+    if getattr(args, "hidden_size", None):
+        updates["gpt_hidden_size"] = args.hidden_size
+    if ht == "diffusion":
+        updates["diff_timesteps"] = getattr(args, "n_timesteps", 150)
+        updates["diff_horizon"] = getattr(args, "diff_horizon", 32)
+        # clamp the history to the (possibly tiny) window so smoke configs
+        # stay valid; reference couples the two the same way via
+        # eval_hist_size = n_obs_steps (train_calvin_post_strategy.py:348)
+        w = cfg.window_size if args.model == "tiny" else args.window_size
+        updates["n_obs_steps"] = min(getattr(args, "n_obs_steps", 6), w)
+        updates["diff_horizon"] = max(updates["diff_horizon"], w)
     head_updates = {}
     if args.multi_step_action != 1:
         head_updates["multi_step_action"] = args.multi_step_action

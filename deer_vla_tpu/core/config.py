@@ -201,6 +201,28 @@ class DeerConfig:
     exit_interval: int = 2
     window_size: int = 12
 
+    # action-head family (reference decoder_type/head_type routing,
+    # flamingo_mpt.py:149-182, factory.py:89,193):
+    #   'deterministic' — LSTM DeterministicDecoder (default)
+    #   'fc'            — FCDecoder (requires use_hist or vit_concat fusion,
+    #                     flamingo_mpt.py:157-165)
+    #   'gpt'           — GPTDecoder with a GPT-2 temporal backbone
+    #   'diffusion'     — LSTM feature extractor + conditional 1-D U-Net
+    #                     DDPM sampler (DiffusionDecoder, action_head.py:848)
+    head_type: str = "deterministic"
+    # GPTDecoder backbone width override (--hidden_size,
+    # train_calvin_post_strategy.py; None = head.in_features)
+    gpt_hidden_size: Optional[int] = None
+    # diffusion head hyperparameters (train_calvin_post_strategy.py:189-203:
+    # --n_timesteps 150, --n_obs_steps 6, --diff_horizon 32)
+    diff_horizon: int = 32
+    diff_timesteps: int = 150
+    diff_predict_epsilon: bool = True
+    n_obs_steps: int = 6
+    # U-Net channel ladder (unets.py down_dims default [256,512,1024]);
+    # shrink for tiny/test configs
+    diff_down_dims: Tuple[int, ...] = (256, 512, 1024)
+
     # fusion of the two cameras (flamingo_mpt.py:585-777):
     #   'post' (default) — concat each camera's perceiver latents on the
     #       token dim (:609-668)
@@ -303,6 +325,8 @@ class DeerConfig:
         hd["mlp_hidden_dims"] = tuple(hd["mlp_hidden_dims"])
         raw["head"] = HeadConfig(**hd)
         raw["dtypes"] = DTypePolicy(**raw["dtypes"])
+        if "diff_down_dims" in raw:
+            raw["diff_down_dims"] = tuple(raw["diff_down_dims"])
         return DeerConfig(**raw)
 
 

@@ -79,7 +79,9 @@ def generate_calibration_values(params: dict, cfg: DeerConfig,
         ids2, mask2 = fixed_length(ids, mask, cfg.text_len, 0)
         d = delta_fn(params, img, gri, jnp.asarray(ids2), jnp.asarray(mask2),
                      fwd_rng)
-        outs.append(np.asarray(d))
+        # fp32 at source: under bf16 compute some head types return bf16
+        # deltas, which the numpy solver + npz sidecar can't round-trip
+        outs.append(np.asarray(d, np.float32))
     return np.concatenate(outs, axis=1)
 
 

@@ -31,11 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from deer_vla_tpu.core.config import DeerConfig
-from deer_vla_tpu.models.action_head import head_step
 from deer_vla_tpu.models.flamingo import encode_vision
+from deer_vla_tpu.models.heads import (any_head_step, any_zero_carry,
+                                       head_action_width)
 from deer_vla_tpu.models.mpt import decoder_segment_forward, embed_tokens
 from deer_vla_tpu.models.value_net import ExitController, get_delta
-from deer_vla_tpu.ops.lstm import zero_carry
 
 
 class DeerPolicy:
@@ -56,7 +56,12 @@ class DeerPolicy:
                  use_action_ensemble: bool = False,
                  multi_execution: int = 1):
         from deer_vla_tpu.eval.scan_policy import check_serving_supported
-        check_serving_supported(cfg)
+        check_serving_supported(cfg, allow_window_folded=True,
+                                allow_any_head=True)
+        if cfg.head_type == "diffusion" and use_action_ensemble:
+            raise NotImplementedError(
+                "action ensembling averages exit ACTIONS; the diffusion "
+                "head's exits emit conditioning features")
         self.params = params
         self.cfg = cfg
         self.controller = controller
@@ -97,13 +102,21 @@ class DeerPolicy:
         self.enc_params = prune_encoder_params(params)
         self.enc_stacked = stack_encoder_layers(params, cfg.dtypes.cdt)
 
+        # window-folded serving (vit_concat / use_hist): the adapter feeds a
+        # rolling W-frame window per step; encode_vision folds it into the
+        # media tokens (same protocol as the while-loop engine,
+        # eval_utils.py:344-386)
+        enc_w = (cfg.window_size
+                 if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
+        self._enc_w = enc_w
+
         @jax.jit
         def encode_prefix(params, stacked, img, grip, ids, mask, state):
             # state (or None) reaches the state_fc vision token when the
             # model was trained with --use_state (flamingo.py:120-126);
             # None vs array retraces, which is fine — it's fixed per rollout
             media = encode_vision(params, img, grip, cfg, state,
-                                  stacked=stacked)
+                                  stacked=stacked, window_size=enc_w)
             x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
             media_locations = ids == cfg.media_token_id
             return media, x, media_locations
@@ -139,14 +152,28 @@ class DeerPolicy:
                 media_locations)
             from deer_vla_tpu.models.flamingo import resolve_head
             head = resolve_head(params, cfg, stop - 1)
-            out, cand_carry = head_step(head, x_out.astype(jnp.float32),
-                                        carry, cfg.head, state)
-            action = out.actions[:, 0]  # (B, 6)
+
+            def eval_head(x_in, c):
+                # any_head_step routes by cfg.head_type; for 'diffusion' the
+                # HeadOutput.actions slot carries the conditioning FEATURE
+                # and the delta criterion compares features (models/heads.py).
+                # use_hist: the head consumes the FULL frame window (the
+                # window IS the memory — no streamed carry,
+                # flamingo_mpt.py:700-740) and emits the last step's action.
+                if cfg.use_hist:
+                    from deer_vla_tpu.models.heads import any_head_forward
+                    o = any_head_forward(head, x_in.astype(jnp.float32), cfg,
+                                         window=self._enc_w, last_action=True)
+                    return o, c
+                return any_head_step(head, x_in.astype(jnp.float32), c,
+                                     cfg, state)
+
+            out, cand_carry = eval_head(x_out, carry)
+            action = out.actions[:, 0]  # (B, 6k) — or (B, hidden) feature
             if first_exit:
                 # pseudo previous action from the layer below the first exit
                 # (value_net.py:122-126), same uncommitted carry
-                pseudo, _ = head_step(head, x_prev.astype(jnp.float32),
-                                      carry, cfg.head, state)
+                pseudo, _ = eval_head(x_prev, carry)
                 ref_action = pseudo.actions[:, 0]
             else:
                 ref_action = prev_action
@@ -190,15 +217,23 @@ class DeerPolicy:
                                              self.enc_stacked, image,
                                              gripper, input_ids,
                                              attention_mask, state)
+        # stream count = text rows, except use_hist where text is per-frame
+        streams = x.shape[0] // (self._enc_w if self.cfg.use_hist else 1)
         if self.carry is None:
-            self.carry = zero_carry(self.cfg.head.lstm_num_layers,
-                                    x.shape[0], self.cfg.head.hidden_size,
-                                    jnp.float32)
+            self.carry = any_zero_carry(self.cfg, streams)
 
         ctrl = self.controller
-        # action width is 6k for multi_step_action k (flat head output)
-        adim = self.cfg.head.out_features * self.cfg.head.multi_step_action
-        prev_action = jnp.zeros((x.shape[0], adim), jnp.float32)
+        # window-folded state models: the head consumes the LAST frame's
+        # proprio row (training slices the same way, flamingo.py vit_concat
+        # branch); use_hist heads take the full per-frame rows
+        hstate = state
+        if (state is not None and self._enc_w > 1
+                and self.cfg.fusion_mode == "vit_concat"):
+            hstate = state.reshape((streams, self._enc_w) + state.shape[1:])[:, -1]
+        # action width is 6k for multi_step_action k (flat head output);
+        # the feature dim for the diffusion head
+        adim = head_action_width(self.cfg)
+        prev_action = jnp.zeros((streams, adim), jnp.float32)
 
         reuse = ctrl is not None and ctrl.reuse_stage_exit()
         chosen = None
@@ -211,7 +246,7 @@ class DeerPolicy:
             run_fn = fn_first if (k == 0 and ctrl is not None) else fn
             x, out, cand_carry, delta = run_fn(
                 self._seg_params[k], x, attention_mask, media, mloc,
-                self.carry, prev_action, state)
+                self.carry, prev_action, hstate)
             prev_action = out.actions[:, 0]
             if ctrl is None:
                 chosen = (e, out, cand_carry)
@@ -230,6 +265,11 @@ class DeerPolicy:
         exit_layer, out, cand_carry = chosen
         self.carry = cand_carry  # the single commit per env step
         self.last_exit_layer = exit_layer
+        if self.cfg.head_type == "diffusion":
+            # the chosen exit's conditioning feature; the DDPM sampler
+            # wrapper (eval/diffusion_policy.DiffusionSamplerPolicy) maps it
+            # to an action plan (eval_utils.py:388-419 use_diff branch)
+            return np.asarray(out.actions[0, 0], np.float32)
         if ctrl is not None and reuse:
             ctrl.cur_exit_id = exit_layer
             ctrl.record_action((np.asarray(out.actions[:, 0]),

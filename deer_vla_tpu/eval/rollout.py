@@ -134,11 +134,15 @@ class CalvinPolicyAdapter:
                                 jnp.concatenate(gs, axis=0)))
         self._img_q = deque(maxlen=self._window or 1)
         self._grip_q = deque(maxlen=self._window or 1)
+        # state rides the same rolling window for window-folded state models
+        # (the reference's state_queue, eval_utils.py:245-249,384-385)
+        self._state_q = deque(maxlen=self._window or 1)
 
     def reset(self):
         self.policy.reset()
         self._img_q.clear()
         self._grip_q.clear()
+        self._state_q.clear()
 
     @property
     def current_exit_layer(self) -> int:
@@ -189,7 +193,17 @@ class CalvinPolicyAdapter:
             ro = np.asarray(obs["robot_obs"], np.float32)
             if cfg.clip_state:
                 ro = np.concatenate([ro[:6], ro[-1:]], -1)
-            state = jnp.asarray(ro)[None, None, None, :]
+            state_row = ro[None, None, None, :]
+            if self._window:
+                # per-frame state rows matching the frame window
+                if not self._state_q:
+                    for _ in range(self._window):
+                        self._state_q.append(state_row)
+                else:
+                    self._state_q.append(state_row)
+                state = jnp.asarray(np.concatenate(list(self._state_q), 0))
+            else:
+                state = jnp.asarray(state_row)
         t0 = time.perf_counter()
         if state is not None:  # jit engines (k=1, stateless) keep 4-arg step
             action = self.policy.step(img, grip, ids, mask, state=state)

@@ -97,7 +97,8 @@ def stack_encoder_layers(params: dict, cdt) -> dict:
 
 
 def check_serving_supported(cfg: DeerConfig,
-                            allow_window_folded: bool = False) -> None:
+                            allow_window_folded: bool = False,
+                            allow_any_head: bool = False) -> None:
     """The serving engines evaluate per-frame media; the use_hist /
     vit_concat TRAINING variants fold the window into the media tokens, so
     silently serving them would feed train/eval-mismatched features (frame
@@ -120,6 +121,11 @@ def check_serving_supported(cfg: DeerConfig,
         raise NotImplementedError(
             "use_hist + vit_concat combined serving is undefined (per-frame "
             "text vs per-trajectory media); train/serve one or the other")
+    if cfg.head_type != "deterministic" and not allow_any_head:
+        raise NotImplementedError(
+            f"this engine hardcodes the LSTM head; head_type "
+            f"{cfg.head_type!r} serves through DeerPolicy (cli.eval routes "
+            "it automatically)")
 
 
 def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:

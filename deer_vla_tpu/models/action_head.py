@@ -52,14 +52,21 @@ def _init_mlp_head(key, cfg: HeadConfig, out_dim: int, dtype) -> dict:
     return {"layers": layers, "lns": lns}
 
 
-def init_head(key, cfg: HeadConfig, dtype=jnp.float32) -> dict:
+def init_head(key, cfg: HeadConfig, dtype=jnp.float32,
+              features_only: bool = False) -> dict:
+    """features_only: the diffusion variant — the LSTM is a feature
+    extractor and the action/gripper MLPs are never built (use_diff skips
+    them, action_head.py:364-371)."""
     k = jax.random.split(key, 6)
     p = {
         "rnn": init_lstm(k[0], cfg.in_features, cfg.hidden_size,
                          cfg.lstm_num_layers, cfg.lstm_layernorm, dtype),
-        "actions": _init_mlp_head(k[1], cfg, cfg.out_features * cfg.multi_step_action, dtype),
-        "gripper": _init_mlp_head(k[2], cfg, 1 * cfg.multi_step_action, dtype),
     }
+    if not features_only:
+        p["actions"] = _init_mlp_head(
+            k[1], cfg, cfg.out_features * cfg.multi_step_action, dtype)
+        p["gripper"] = _init_mlp_head(k[2], cfg, 1 * cfg.multi_step_action,
+                                      dtype)
     if cfg.use_state:
         # action_head.py:447-449: arm state (6,) -> Linear+ReLU to in_features;
         # gripper state {0,1} -> Embedding+ReLU; concat -> Linear to in_features.
@@ -151,6 +158,34 @@ def head_forward(p: dict, feat: jnp.ndarray, cfg: HeadConfig,
     act = jnp.tanh(_mlp_head_forward(p["actions"], y, cfg, dropout_rng=rngs[1], train=train))
     glog = _mlp_head_forward(p["gripper"], y, cfg, dropout_rng=rngs[2], train=train)
     return HeadOutput(act, jax.nn.sigmoid(glog), glog)
+
+
+def head_features(p: dict, feat: jnp.ndarray, cfg: HeadConfig,
+                  state: Optional[jnp.ndarray] = None,
+                  *, window: Optional[int] = None) -> jnp.ndarray:
+    """Full-window LSTM features (B, W, hidden) — the use_diff return path
+    (action_head.py:602-603: with use_diff the decoder returns rnn_out as
+    the diffusion model's global conditioning instead of actions)."""
+    w = window if window is not None else cfg.window_size
+    x = _prepare_input(p, feat, state, cfg, w)
+    y, _ = lstm_forward(p["rnn"], x, None)
+    return y
+
+
+def head_feature_step(p: dict, feat: jnp.ndarray, carry: Optional[Carry],
+                      cfg: HeadConfig, state: Optional[jnp.ndarray] = None
+                      ) -> Tuple[jnp.ndarray, Carry]:
+    """Streaming LSTM features: one frame -> ((B, hidden), new_carry).
+    Same speculative-carry contract as head_step."""
+    if feat.ndim == 3:
+        feat = pool_tokens(feat, cfg.pooling)
+    if cfg.use_state and state is not None:
+        feat = feat + embed_state(p, state.reshape(feat.shape[0], -1), cfg)
+    if carry is None:
+        carry = zero_carry(cfg.lstm_num_layers, feat.shape[0], cfg.hidden_size,
+                           feat.dtype)
+    y, new_carry = lstm_step(p["rnn"], feat, carry)
+    return y, new_carry
 
 
 def head_step(p: dict, feat: jnp.ndarray, carry: Optional[Carry],

@@ -22,8 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from deer_vla_tpu.core.config import DeerConfig
-from deer_vla_tpu.models.action_head import (HeadOutput, head_forward,
-                                             head_step, init_head)
+from deer_vla_tpu.models.action_head import HeadOutput
 from deer_vla_tpu.models.mpt import (decoder_forward, decoder_segment_forward,
                                      embed_tokens, init_decoder)
 from deer_vla_tpu.models.perceiver import (init_perceiver, perceiver_forward,
@@ -50,16 +49,34 @@ class TrainOutputs(NamedTuple):
 
 
 def init_deer(key, cfg: DeerConfig) -> dict:
+    from deer_vla_tpu.models.heads import check_head_type, init_any_head
+    check_head_type(cfg)
     pdt = cfg.dtypes.pdt
     k = jax.random.split(key, 8 + cfg.num_exits)
     params = {
         "vit": init_vit(k[0], cfg.vit, pdt),
         "perceiver": init_perceiver(k[1], cfg.perceiver, pdt),
         "decoder": init_decoder(k[2], cfg, pdt),
-        "lm_head": init_head(k[3], cfg.head, pdt),   # final-layer exit head
-        "extra_exit": init_head(k[4], cfg.head, pdt),
+        # heads routed by cfg.head_type (flamingo_mpt.py:149-182)
+        "lm_head": init_any_head(k[3], cfg, pdt),   # final-layer exit head
+        "extra_exit": init_any_head(k[4], cfg, pdt),
         "lm_exits": {},
     }
+    if cfg.head_type == "diffusion":
+        # one model-level DDPM U-Net shared by all exits (the reference's
+        # single self.diffusion_model, flamingo_mpt.py:168-176) plus the
+        # LinearNormalizer affine (fit from data by the trainer,
+        # train_calvin_post_strategy.py:457-461; identity until fit)
+        from deer_vla_tpu.models.diffusion import init_unet
+        from deer_vla_tpu.models.heads import diffusion_head_config
+        adim = cfg.head.out_features + 1
+        params["diffusion"] = {
+            # fold_in keeps every pre-existing init stream byte-identical
+            "unet": init_unet(jax.random.fold_in(key, 777),
+                              diffusion_head_config(cfg), pdt),
+            "norm": {"scale": jnp.ones((adim,), jnp.float32),
+                     "offset": jnp.zeros((adim,), jnp.float32)},
+        }
     if cfg.sep_resampler:
         params["perceiver_gripper"] = init_perceiver(k[5], cfg.perceiver, pdt)
     if cfg.use_state:
@@ -72,7 +89,7 @@ def init_deer(key, cfg: DeerConfig) -> dict:
             jax.random.fold_in(k[6], 1), (cfg.window_size, cfg.vis_dim), pdt)
     if cfg.multi_exit and not cfg.share_exit:
         for j, layer_id in enumerate(cfg.exit_layer_ids()):
-            params["lm_exits"][str(layer_id)] = init_head(k[7 + j], cfg.head, pdt)
+            params["lm_exits"][str(layer_id)] = init_any_head(k[7 + j], cfg, pdt)
     if cfg.share_exit:
         # sharing is resolved at USE time (resolve_head): storing the same
         # dict under several keys would flatten into INDEPENDENT leaves and
@@ -252,8 +269,12 @@ def forward_train(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
     rngs = jax.random.split(rng, 8)
 
     def run_head(head_params, feat, drng):
-        return head_forward(head_params, feat, cfg.head, st,
-                            window=w, dropout_rng=drng, train=train)
+        # routed by cfg.head_type; for 'diffusion' the return value is the
+        # (B, W, hidden) LSTM feature tensor, not a HeadOutput (the DDPM
+        # loss consumes features, train/losses.multi_exit_diffusion_loss)
+        from deer_vla_tpu.models.heads import any_head_forward
+        return any_head_forward(head_params, feat, cfg, st,
+                                window=w, dropout_rng=drng, train=train)
 
     final_out = run_head(params["lm_head"], hidden[-1], rngs[0])
 
@@ -327,7 +348,8 @@ def forward_fixed_exit(params: dict, vision_x: jnp.ndarray, lang_x: jnp.ndarray,
     head = resolve_head(params, cfg, exit_id)
     # fp32 head + carry: the LSTM carry persists across the episode; bf16
     # accumulation would drift (matches the policy engines)
-    return head_step(head, x.astype(jnp.float32), carry, cfg.head, st)
+    from deer_vla_tpu.models.heads import any_head_step
+    return any_head_step(head, x.astype(jnp.float32), carry, cfg, st)
 
 
 def resolve_head(params: dict, cfg: DeerConfig, exit_id: int) -> dict:
@@ -384,7 +406,24 @@ def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
             return False  # MPT blocks / ln_f stay frozen, as in the reference
         if top in ("lm_head", "extra_exit", "lm_exits"):
             return True
+        if top == "diffusion":
+            # the DDPM U-Net trains in BOTH phases like the heads
+            # (factory.py:232 diffusion_model.requires_grad_(True)); the
+            # normalizer affine is a data-fit buffer, never optimized
+            return "norm" not in keys
         return False
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: label(path), params)
+
+
+def checkpoint_mask(params: dict, cfg: DeerConfig) -> dict:
+    """Leaves the trainable-delta checkpoint must persist: the joint-phase
+    trainable set PLUS non-trained data-fit buffers (the diffusion
+    normalizer affine — lost weights would silently rescale every served
+    action)."""
+    mask = trainable_mask(params, cfg, "joint")
+    if "diffusion" in params:
+        mask["diffusion"]["norm"] = jax.tree_util.tree_map(
+            lambda _: True, params["diffusion"]["norm"])
+    return mask

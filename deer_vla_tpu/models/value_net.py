@@ -90,11 +90,17 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
         for f in feats:
             last = f[:, seq_id:seq_id + 1]
             combined = jnp.concatenate([prev, last], axis=1)  # (B, seq_id+1, S, D)
-            out = head_forward(
+            # routed by cfg.head_type; the diffusion head's "action" for the
+            # exit criterion is its conditioning feature (models/heads.py)
+            from deer_vla_tpu.models.heads import any_head_forward
+            out = any_head_forward(
                 extra_exit_params,
-                combined.reshape(-1, s, d), cfg.head,
+                combined.reshape(-1, s, d), cfg,
                 window=seq_id + 1, last_action=True)
-            acts.append(out.actions[:, 0])  # (B, 6)
+            if cfg.head_type == "diffusion":
+                acts.append(out[:, 0])       # (B, hidden) feature
+            else:
+                acts.append(out.actions[:, 0])  # (B, 6)
         per_seq.append(jnp.stack(acts))  # (n_exit+1, B, 6)
     stacked = jnp.stack(per_seq, axis=2)  # (n_exit+1, B, n_seq, 6)
     delta = get_delta(stacked[1:], stacked[:-1], threshold_type)  # (n_exit, B, n_seq)

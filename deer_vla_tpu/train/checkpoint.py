@@ -127,7 +127,10 @@ def save_calibration_values(path: str, values: np.ndarray,
     """Cache calibration deltas next to the ckpt (replaces the reference's
     in-place ckpt['values'] mutation, eval_calvin.py:608-611)."""
     path = path[:-5] if path.endswith(".ckpt") else path
-    np.savez(path + ".values.npz", values=values,
+    # fp32 on disk: bf16 (ml_dtypes) arrays round-trip through np.savez as
+    # raw void bytes and poison the threshold solver on reload
+    np.savez(path + ".values.npz",
+             values=np.asarray(values).astype(np.float32),
              info=json.dumps(info or {}))
 
 
@@ -136,7 +139,11 @@ def load_calibration_values(path: str) -> Optional[np.ndarray]:
     f = path + ".values.npz"
     if not os.path.exists(f):
         return None
-    return np.load(f, allow_pickle=False)["values"]
+    v = np.load(f, allow_pickle=False)["values"]
+    if v.dtype.kind == "V":  # legacy sidecar written as raw bf16 bytes
+        import ml_dtypes
+        v = v.view(ml_dtypes.bfloat16).astype(np.float32)
+    return v
 
 
 def find_latest_checkpoint(

@@ -31,7 +31,11 @@ def _path_str(path) -> str:
 
 
 def is_head_path(ps: str) -> bool:
-    return ("'lm_head'" in ps) or ("'lm_exits'" in ps) or ("'extra_exit'" in ps)
+    # 'diffusion' (the DDPM U-Net) trains alongside the heads in both
+    # phases (factory.py:232 diffusion_model.requires_grad_(True)); its
+    # 'norm' buffer is excluded by the trainable mask, not here
+    return ("'lm_head'" in ps) or ("'lm_exits'" in ps) \
+        or ("'extra_exit'" in ps) or ("'diffusion'" in ps)
 
 
 def is_xattn_path(ps: str) -> bool:

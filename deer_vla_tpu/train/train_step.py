@@ -18,7 +18,8 @@ import optax
 
 from deer_vla_tpu.core.config import DeerConfig
 from deer_vla_tpu.models.flamingo import forward_train
-from deer_vla_tpu.train.losses import multi_exit_loss
+from deer_vla_tpu.train.losses import (multi_exit_diffusion_loss,
+                                       multi_exit_loss)
 
 
 class TrainState(NamedTuple):
@@ -57,6 +58,14 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             vision_gripper=batch.get("gripper"),
             state_tensor=batch.get("state"),
             no_backbone_grad=exit_only, train=True)
+        if cfg.head_type == "diffusion":
+            # DDPM epsilon loss on per-exit LSTM features (the reference
+            # leaves this unimplemented, train_utils.py:301 — see
+            # losses.multi_exit_diffusion_loss).  fold_in keeps the
+            # forward_train rng stream identical to the other head types.
+            drng = jax.random.fold_in(rng, 99)
+            return multi_exit_diffusion_loss(out, batch["labels"],
+                                             params["diffusion"], cfg, drng)
         return multi_exit_loss(
             out, batch["labels"], bin_coef,
             last_step_only=cfg.use_hist or cfg.fusion_mode == "vit_concat")

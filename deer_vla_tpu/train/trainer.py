@@ -26,7 +26,8 @@ import numpy as np
 from deer_vla_tpu.core.config import DeerConfig
 from deer_vla_tpu.data.preprocess import preprocess_train_frames
 from deer_vla_tpu.data.text import fixed_length
-from deer_vla_tpu.models.flamingo import init_deer, trainable_mask
+from deer_vla_tpu.models.flamingo import (checkpoint_mask, init_deer,
+                                          trainable_mask)
 from deer_vla_tpu.train.checkpoint import (find_latest_checkpoint,
                                            load_checkpoint, save_checkpoint)
 from deer_vla_tpu.train.optimizer import adaptive_lr, make_optimizer
@@ -151,6 +152,32 @@ def prepare_vl_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig
     return out
 
 
+def fit_action_normalizer(params: dict, loader, max_actions: int = 10000,
+                          mode: str = "limits") -> dict:
+    """Fit the diffusion head's LinearNormalizer affine on dataset actions
+    (train_calvin_post_strategy.py:457-461: normalizer.fit(all_actions,
+    last_n_dims=1, mode='limits') over ~10k stacked actions) and write it
+    into params['diffusion']['norm'].  Pure: returns an updated copy."""
+    if "diffusion" not in params:
+        return params
+    from deer_vla_tpu.models.normalizer import SingleFieldLinearNormalizer
+    acts, n = [], 0
+    for raw in loader:
+        a = np.asarray(raw["actions"], np.float32)
+        acts.append(a.reshape(-1, a.shape[-1]))
+        n += acts[-1].shape[0]
+        if n >= max_actions:
+            break
+    norm = SingleFieldLinearNormalizer().fit(
+        np.concatenate(acts, axis=0), mode=mode)
+    out = dict(params)
+    out["diffusion"] = dict(params["diffusion"])
+    out["diffusion"]["norm"] = {
+        "scale": jnp.asarray(norm.params["scale"], jnp.float32),
+        "offset": jnp.asarray(norm.params["offset"], jnp.float32)}
+    return out
+
+
 class Trainer:
     def __init__(self, cfg: DeerConfig, tcfg: TrainConfig, loader,
                  params: Optional[dict] = None,
@@ -174,6 +201,12 @@ class Trainer:
             from deer_vla_tpu.models.flamingo import cast_frozen_to_bf16
             params = cast_frozen_to_bf16(
                 params, trainable_mask(params, cfg, "joint"))
+        if cfg.head_type == "diffusion":
+            # fit the LinearNormalizer on dataset actions before training
+            # (train_calvin_post_strategy.py:457-461 fits 'limits' mode on
+            # 10k stacked actions); runs AFTER the bf16 cast so the fitted
+            # affine stays fp32
+            params = fit_action_normalizer(params, loader)
         self.params = params
         steps_per_epoch = len(loader)
         self._phases = {}
@@ -299,7 +332,8 @@ class Trainer:
         phase = self.phase_of_epoch(epoch)
         # always persist head + backbone-trainable leaves (joint mask is the
         # superset — matches trainable-only ckpts, train_utils.py:631-638)
-        mask = trainable_mask(self.params, self.cfg, "joint")
+        # plus data-fit buffers (diffusion normalizer)
+        mask = checkpoint_mask(self.params, self.cfg)
         name = f"deer_{epoch}" if step is None else f"deer_{epoch}_it{step}"
         path = os.path.join(self.tcfg.run_dir, name)
         meta = {"epoch": epoch, "phase": phase, "seed": self.tcfg.seed}

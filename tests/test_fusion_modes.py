@@ -156,16 +156,26 @@ def test_vit_concat_without_gripper():
 
 def test_serving_guard_for_window_folded_variants():
     """Engines without window-media support refuse vit_concat / use_hist
-    loudly; the while-loop engine serves both (see the serving rollout
-    tests)."""
+    loudly (the cond-chain engine); the while-loop engine AND the
+    host-bucketed DeerPolicy serve both (round 2: DeerPolicy grew the
+    window-folded encode so state/alt-head window-folded models have a
+    bucketed path — see test_cli_window_folded.py)."""
     import pytest as _pytest
+    from deer_vla_tpu.eval.fused_policy import FusedDeerPolicy
     from deer_vla_tpu.eval.policy import DeerPolicy
     cfg, params = make("vit_concat", window=2)
     with _pytest.raises(NotImplementedError):
-        DeerPolicy(params, cfg)
-    cfg_h, params_h = make("post", use_hist=True, window=2)
-    with _pytest.raises(NotImplementedError):
-        DeerPolicy(params_h, cfg_h)
+        FusedDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    # DeerPolicy serves window-folded models: one step runs end to end
+    pol = DeerPolicy(params, cfg, exit_id=cfg.n_layers - 1)
+    hw, s, w = cfg.vit.image_size, cfg.text_len, cfg.window_size
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(w, 1, 1, 3, hw, hw), jnp.float32)
+    grip = jnp.asarray(r.randn(w, 1, 1, 3, hw, hw), jnp.float32)
+    ids = np.full((1, s), 7, np.int32)
+    ids[0, 0] = cfg.media_token_id
+    a = pol.step(img, grip, jnp.asarray(ids), jnp.ones((1, s), jnp.int32))
+    assert a.shape == (7,) and np.all(np.isfinite(a))
 
 def test_vit_concat_serving_rollout():
     """vit_concat serves through the while-loop engine + windowed adapter:

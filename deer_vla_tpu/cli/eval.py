@@ -192,9 +192,11 @@ def main(argv=None):
     use_fused = (args.engine == "fused" or
                  (args.engine == "auto" and controller is not None
                   and not args.use_action_ensemble))
-    if (cfg.use_state or cfg.head.use_state or args.multi_execution > 1):
-        use_fused = False  # the jit engines are stateless (no proprio
-        # thread) and don't repeat actions; DeerPolicy covers both.
+    if args.multi_execution > 1:
+        use_fused = False  # the jit engines don't repeat actions;
+        # DeerPolicy covers multi_execution.  State-trained models DO get
+        # the while-loop engine now (proprio threaded through the single
+        # program — round 1 forced them onto the host-bucketed path).
         # multi_step_action k>1 IS supported by the jit engines ((k, 7)
         # plans into the rollout queue), and vision caching composes with
         # BOTH engines (split encode/decode programs).
@@ -222,6 +224,11 @@ def main(argv=None):
                                 steps_per_stage=args.steps_per_stage)
         policy.set_thresholds(controller.thresholds)
         if args.vision_cache_tau > 0:
+            if cfg.use_state or cfg.head.use_state:
+                raise SystemExit(
+                    "--vision_cache_tau cannot serve state models: the "
+                    "proprio token is part of the cached media latents and "
+                    "changes every step")
             from deer_vla_tpu.eval.caching import VisionCacheScanPolicy
             policy = VisionCacheScanPolicy(policy,
                                            tau=args.vision_cache_tau)

@@ -165,7 +165,8 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
     use_strided = uniform and stride >= 1
     n_segments = len(exits)
 
-    def step(params, stacked, img, grip, ids, mask, carry, thresholds_full):
+    def step(params, stacked, img, grip, ids, mask, carry, thresholds_full,
+             state=None):
         """Fully batched: each of the B streams exits independently; the loop
         runs until ALL streams have exited (work for the whole batch stops at
         the SLOWEST stream's exit — the throughput-serving trade; B=1
@@ -184,26 +185,32 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         use_hist serving: img/grip AND ids/mask carry B*window rows (text
         tiled per frame); the head runs the FULL window (no streamed carry —
         the window IS the memory) and emits the last step\'s action
-        (flamingo_mpt.py:700-740, labels[:, [-1]] semantics)."""
-        media, x, mloc = encode(params, stacked, img, grip, ids)
+        (flamingo_mpt.py:700-740, labels[:, [-1]] semantics).
+
+        state (proprio, --use_state models): per-frame rows matching the
+        image batch; reaches both the state_fc vision token
+        (flamingo.py:198-206) and the head's embed_state
+        (action_head.py:524-536).  None for stateless models (fixed per
+        rollout, so the one retrace is free)."""
+        media, x, mloc = encode(params, stacked, img, grip, ids, state)
         return decode(params, stacked, media, x, mloc, mask, carry,
-                      thresholds_full)
+                      thresholds_full, state)
 
     enc_w = (cfg.window_size
              if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
 
-    def encode(params, stacked, img, grip, ids):
+    def encode(params, stacked, img, grip, ids, state=None):
         """Vision + token-embed prefix; separable so the training-free
         vision cache (eval/caching.py) can skip it on near-identical
         frames."""
-        media = encode_vision(params, img, grip, cfg, stacked=stacked,
+        media = encode_vision(params, img, grip, cfg, state, stacked=stacked,
                               window_size=enc_w)
         x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
         mloc = ids == cfg.media_token_id
         return media, x, mloc
 
     def decode(params, stacked, media, x, mloc, mask, carry,
-               thresholds_full):
+               thresholds_full, state=None):
         """The dynamic-exit while_loop from pre-encoded (media, x)."""
         attn_bias = make_attn_bias(mask, cfg.mpt, x.dtype)
         head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
@@ -215,18 +222,26 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         adim = cfg.head.out_features * cfg.head.multi_step_action
         gdim = cfg.head.multi_step_action
 
+        # head-side proprio rows: use_hist heads consume the full per-frame
+        # window; vit_concat heads take the LAST frame's row (training
+        # slices the same way, flamingo.py vit_concat branch)
+        hstate = state
+        if (state is not None and enc_w > 1
+                and cfg.fusion_mode == "vit_concat"):
+            hstate = state.reshape((b, enc_w) + state.shape[1:])[:, -1]
+
         if cfg.use_hist:
             from deer_vla_tpu.models.action_head import head_forward
 
             def eval_head(x_in):
                 out = head_forward(head, x_in.astype(jnp.float32), cfg.head,
-                                   window=enc_w, last_action=True)
+                                   hstate, window=enc_w, last_action=True)
                 return out.actions[:, 0].astype(jnp.float32), \
                     out.gripper_probs[:, 0].astype(jnp.float32), carry
         else:
             def eval_head(x_in):
                 out, cand = head_step(head, x_in.astype(jnp.float32), carry,
-                                      cfg.head, None)
+                                      cfg.head, hstate)
                 return out.actions[:, 0].astype(jnp.float32), \
                     out.gripper_probs[:, 0].astype(jnp.float32), cand
 
@@ -434,15 +449,15 @@ class ScanDeerPolicy:
         rollout loop queues the plan, eval_utils.py:668-675).
 
         The LSTM carry batch follows the TEXT batch (one row per stream) —
-        under vit_concat serving the image batch carries window frames."""
-        if state is not None:
-            raise NotImplementedError(
-                "the while-loop engine is stateless (no proprio thread); "
-                "state-trained models serve through DeerPolicy")
+        under vit_concat serving the image batch carries window frames.
+
+        state (--use_state models): per-frame proprio rows; threaded through
+        the single program (round 1 forced these models onto the bucketed
+        host-sequenced engine)."""
         self._ensure_carry(input_ids.shape[0])
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
-            attention_mask, self.carry, self._stage_thresholds())
+            attention_mask, self.carry, self._stage_thresholds(), state)
         self.last_exit_layer = int(exit_layer[0])
         return self._postprocess(arm, grip)
 
@@ -465,22 +480,24 @@ class ScanDeerPolicy:
         g = 1.0 if float(gp[0]) > 0.5 else -1.0
         return np.concatenate([a, [g]]).astype(np.float32)
 
-    def encode(self, image, gripper, input_ids):
+    def encode(self, image, gripper, input_ids, state=None):
         """The vision+embed prefix as its own program (for the vision
         cache): returns (media, x, media_locations) device handles."""
         return self._encode(self.params, self.stacked, image, gripper,
-                            input_ids)
+                            input_ids, state)
 
-    def step_from_encoded(self, media, x, mloc, attention_mask) -> np.ndarray:
+    def step_from_encoded(self, media, x, mloc, attention_mask,
+                          state=None) -> np.ndarray:
         """Dynamic-exit decode from a (possibly cached) encoded prefix."""
         self._ensure_carry(x.shape[0])
         arm, grip, self.carry, exit_layer = self._decode(
             self.params, self.stacked, media, x, mloc, attention_mask,
-            self.carry, self._stage_thresholds())
+            self.carry, self._stage_thresholds(), state)
         self.last_exit_layer = int(exit_layer[0])
         return self._postprocess(arm, grip)
 
-    def dispatch_batch(self, image, gripper, input_ids, attention_mask):
+    def dispatch_batch(self, image, gripper, input_ids, attention_mask,
+                       state=None):
         """Asynchronous step_batch: launches the program, commits the carry
         (device-side, no host sync) and returns opaque device handles.  JAX
         dispatch is async, so the host returns immediately and can do other
@@ -496,7 +513,7 @@ class ScanDeerPolicy:
         self._ensure_carry(input_ids.shape[0])
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
-            attention_mask, self.carry, self.thresholds)
+            attention_mask, self.carry, self.thresholds, state)
         return arm, grip, exit_layer
 
     def finish_batch(self, handles):
@@ -514,12 +531,13 @@ class ScanDeerPolicy:
             acts = np.concatenate([a, g], -1).astype(np.float32)
         return acts, np.asarray(exit_layer).astype(np.int64)
 
-    def step_batch(self, image, gripper, input_ids, attention_mask):
+    def step_batch(self, image, gripper, input_ids, attention_mask,
+                   state=None):
         """B parallel streams, one dispatch: returns (actions (B, 7) — or
         (B, k, 7) plans for multi_step_action k>1 — and exit_layers (B,))
         with per-stream dynamic exits."""
         return self.finish_batch(self.dispatch_batch(
-            image, gripper, input_ids, attention_mask))
+            image, gripper, input_ids, attention_mask, state))
 
     def reset_streams(self, stream_mask) -> None:
         """Per-stream episode reset for step_batch."""

@@ -200,3 +200,39 @@ def test_packed_bit_identical_bf16(setup):
         a_f = full.step(img, grip, ids, mask)
         assert packed.last_exit_layer == full.last_exit_layer
         np.testing.assert_array_equal(a_p, a_f)
+
+
+def test_state_model_through_scan_engine(setup):
+    """--use_state models get the single-program while-loop path (round 2):
+    proprio reaches the state_fc media token AND the head's embed_state,
+    matching the host-bucketed DeerPolicy bit for bit."""
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.models.value_net import ExitController
+    base, _ = setup
+    cfg = dataclasses.replace(
+        base, use_state=True,
+        head=dataclasses.replace(base.head, use_state=True))
+    params = init_deer(jax.random.PRNGKey(1), cfg)
+    th = {e: t for e, t in zip(cfg.all_exit_ids(), [0.05, 1e8])}
+    scan = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    ctrl = ExitController(exit_id_list=list(cfg.all_exit_ids()),
+                          max_layer=cfg.n_layers)
+    ctrl.set_thresholds(th)
+    host = DeerPolicy(params, cfg, controller=ctrl)
+    r = np.random.RandomState(0)
+    for t in range(3):
+        img, grip, ids, mask = obs(cfg, seed=t)
+        state = jnp.asarray(r.randn(1, 1, 1, cfg.state_dim), jnp.float32)
+        a_s = scan.step(img, grip, ids, mask, state=state)
+        a_h = host.step(img, grip, ids, mask, state=state)
+        assert scan.last_exit_layer == host.last_exit_layer
+        np.testing.assert_allclose(a_s, a_h, rtol=2e-4, atol=2e-4)
+    # state changes the action (the thread is live, not a no-op)
+    img, grip, ids, mask = obs(cfg, seed=9)
+    scan2 = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    a1 = scan2.step(img, grip, ids, mask,
+                    state=jnp.zeros((1, 1, 1, cfg.state_dim), jnp.float32))
+    scan2.reset()
+    a2 = scan2.step(img, grip, ids, mask,
+                    state=jnp.ones((1, 1, 1, cfg.state_dim), jnp.float32))
+    assert not np.allclose(a1, a2)

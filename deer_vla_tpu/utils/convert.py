@@ -131,7 +131,9 @@ def convert_gated_xattn(sd: Dict[str, np.ndarray], tree: dict, prefix: str) -> i
 def convert_mpt_block(sd: Dict[str, np.ndarray], tree: dict, prefix: str) -> int:
     """MPT-1B block names: ln_1, attn.Wqkv, attn.out_proj, ln_2,
     mlp.mlp_up, mlp.mlp_down (7B uses ffn.up_proj/down_proj, norm_1/norm_2,
-    handled via alternates)."""
+    handled via alternates).  qk_ln configs add attn.q_ln / attn.k_ln
+    LayerNorms (mosaic MPT attention; only written when our tree was built
+    with cfg.qk_ln)."""
     alt = {
         "ln_1": ["ln_1", "norm_1"], "ln_2": ["ln_2", "norm_2"],
         "wqkv": ["attn.Wqkv"], "out_proj": ["attn.out_proj"],
@@ -149,6 +151,10 @@ def convert_mpt_block(sd: Dict[str, np.ndarray], tree: dict, prefix: str) -> int
                     tree[ours] = _linear(sd, full)
                 n += 1
                 break
+    for ours, theirs in [("q_ln", "attn.q_ln"), ("k_ln", "attn.k_ln")]:
+        if prefix + theirs + ".weight" in sd and ours in tree:
+            tree[ours] = _ln(sd, prefix + theirs)
+            n += 1
     return n
 
 
@@ -241,12 +247,69 @@ def convert_state_dict(sd: Dict[str, np.ndarray], params: dict,
     counts["mpt_blocks"] = nb
     counts["xattn"] = nx
 
+    # final LayerNorm: MPT-1B transformer.ln_f, llm-foundry 7B norm_f
+    # (mosaic_gpt_3b.py:108-110); consumed for the VL lm_logits path
+    for base in ("lang_encoder.transformer.", "transformer."):
+        for name in ("ln_f", "norm_f"):
+            if base + name + ".weight" in sd:
+                params["decoder"]["ln_f"] = _ln(sd, base + name)
+                counts["ln_f"] = 1
+                break
+        if counts.get("ln_f"):
+            break
+
     counts["lm_head"] = convert_head(sd, params["lm_head"], "lm_head.")
     counts["extra_exit"] = convert_head(sd, params["extra_exit"], "extra_exit.")
     for j, layer_id in enumerate(cfg.exit_layer_ids()):
         counts[f"exit_{layer_id}"] = convert_head(
             sd, params["lm_exits"][str(layer_id)], f"lm_exit_modules.{j}.")
     return counts
+
+
+# Keys legitimately present in the composed reference state dict that the
+# robot policy never uses — the converter deliberately skips them.  Everything
+# else left unconsumed is a naming-drift bug (tests/test_convert_coverage.py).
+IGNORED_KEY_PATTERNS = [
+    # open_clip CLIP text tower + contrastive glue: the policy uses only the
+    # visual tower (factory.py:109-114 keeps the whole CLIP module, frozen)
+    r"^vision_encoder\.(?!visual\.)",
+    # visual.proj / pooled-path ln_post feed the CLIP embedding, not the
+    # token features Flamingo consumes (output_tokens=True, factory.py:114)
+    r"^vision_encoder\.visual\.proj$",
+    # HF buffers that show up in torch state dicts
+    r"rotary_emb\.inv_freq$",
+    # MosaicGPT optional logit temperature (mosaic_gpt_3b.py:112-118)
+    r"logit_scale$",
+]
+
+
+class _TrackingDict(dict):
+    """dict that records which keys were read via __getitem__."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+def convert_with_audit(sd: Dict[str, np.ndarray], params: dict, cfg):
+    """convert_state_dict + name-coverage audit (VERDICT r2 item 6).
+
+    Returns (counts, report) where report = {consumed, ignored, unconsumed}
+    key sets.  `unconsumed` non-empty means the reference renamed something
+    the converter doesn't know about — fail loudly before real artifacts
+    produce silently-random weights.
+    """
+    tracked = _TrackingDict(sd)
+    counts = convert_state_dict(tracked, params, cfg)
+    ignored = {k for k in tracked
+               if any(re.search(p, k) for p in IGNORED_KEY_PATTERNS)}
+    unconsumed = set(tracked) - tracked.consumed - ignored
+    return counts, {"consumed": tracked.consumed, "ignored": ignored,
+                    "unconsumed": unconsumed}
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

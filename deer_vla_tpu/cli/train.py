@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="truncated decoder depth (early_exit_layer + 1)")
     p.add_argument("--exit_interval", type=int, default=2)
     p.add_argument("--window_size", type=int, default=12)
+    p.add_argument("--dif_ws", action="store_true",
+                   help="variable-window training (data.py:250-255): train "
+                        "windows uniform in [min, max], validation windows "
+                        "hash-determinized, samples padded to max")
+    p.add_argument("--min_window_size", type=int, default=12)
+    p.add_argument("--max_window_size", type=int, default=24)
     p.add_argument("--multi_step_action", type=int, default=1)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--use_state", action="store_true")
@@ -191,11 +197,19 @@ def main(argv=None):
     else:
         from deer_vla_tpu.data.calvin import (CalvinDataConfig, CalvinLoader,
                                               DiskCalvinDataset)
+        if args.dif_ws and cfg.window_size != args.max_window_size:
+            raise SystemExit(
+                f"--dif_ws pads every sample to --max_window_size "
+                f"({args.max_window_size}); the model window "
+                f"({cfg.window_size}) must equal it (the reference trains "
+                "the LSTM over the padded max window, data.py:212)")
         dcfg = CalvinDataConfig(
             dataset_dir=os.path.join(args.calvin_dataset, "training"),
             window_size=cfg.window_size, act_step=args.multi_step_action,
             text_aug=args.text_aug, data_percent=args.data_percent,
-            seed=args.seed)
+            seed=args.seed, dif_ws=args.dif_ws,
+            var_min_window=args.min_window_size,
+            var_max_window=args.max_window_size)
         ds = DiskCalvinDataset(dcfg, validation=False)
         loader = CalvinLoader(ds, tok, args.batch_size_calvin,
                               rank=jax.process_index(),

@@ -56,13 +56,23 @@ class CalvinDataConfig:
     enrich_lang_path: Optional[str] = None
     partial_task_path: Optional[str] = None
     seed: int = 42
+    # variable-window training (data.py:250-255 dif_ws): train windows
+    # sampled uniformly in [min, max]; validation windows hash-determinized
+    # per index; samples padded to max_window_size
+    dif_ws: bool = False
+    var_min_window: int = 12
+    var_max_window: int = 24
 
     @property
     def min_window_size(self) -> int:
+        if self.dif_ws:
+            return self.var_min_window
         return self.window_size + self.act_step - 1
 
     @property
     def max_window_size(self) -> int:
+        if self.dif_ws:
+            return self.var_max_window
         return self.window_size + self.act_step - 1
 
 
@@ -133,13 +143,31 @@ class DiskCalvinDataset:
     # -- sample --------------------------------------------------------------
 
     def _window_size(self, idx: int) -> int:
-        if self.cfg.min_window_size == self.cfg.max_window_size:
-            return self.cfg.max_window_size
+        """Window size for sample ``idx`` (data.py:406-441 _get_window_size):
+        clamp the max so the window never crosses an episode boundary (the
+        index only guarantees min_window_size frames remain), then draw
+        uniformly (train) or hash-deterministically (validation)."""
+        min_ws, max_ws = self.cfg.min_window_size, self.cfg.max_window_size
+        if min_ws == max_ws:
+            return max_ws
+        window_diff = max_ws - min_ws
+        if len(self.episode_lookup) <= idx + window_diff:
+            # last indexed windows: only the remaining entries are in-episode
+            max_window = min_ws + len(self.episode_lookup) - idx - 1
+        elif (self.episode_lookup[idx + window_diff]
+              != self.episode_lookup[idx] + window_diff):
+            # fewer than window_diff consecutive frames until the next
+            # episode starts
+            steps_to_next = int(np.nonzero(
+                self.episode_lookup[idx:idx + window_diff + 1]
+                - (self.episode_lookup[idx]
+                   + np.arange(window_diff + 1)))[0][0])
+            max_window = min(max_ws, min_ws + steps_to_next - 1)
+        else:
+            max_window = max_ws
         if self.validation:
-            return get_validation_window_size(
-                idx, self.cfg.min_window_size, self.cfg.max_window_size)
-        return int(self._rng.randint(self.cfg.min_window_size,
-                                     self.cfg.max_window_size + 1))
+            return get_validation_window_size(idx, min_ws, max_window)
+        return int(self._rng.randint(min_ws, max_window + 1))
 
     EPISODE_KEYS = ("rgb_static", "rgb_gripper", "rel_actions", "robot_obs")
 

@@ -24,7 +24,8 @@ import numpy as np
 
 from deer_vla_tpu.core.config import DeerConfig
 from deer_vla_tpu.models.action_head import head_step
-from deer_vla_tpu.models.flamingo import encode_vision
+from deer_vla_tpu.models.flamingo import (encode_vision, fuse_vision_tokens,
+                                          vision_tokens)
 from deer_vla_tpu.models.gated_xattn import gated_xattn_forward
 from deer_vla_tpu.models.mpt import embed_tokens, make_attn_bias, \
     mpt_block_forward, mpt_block_forward_stacked
@@ -363,7 +364,34 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
          exit_layer) = jax.lax.while_loop(cond_fn, body, init)
         return best_arm, best_grip, best_carry, exit_layer
 
-    return jax.jit(step), exits, jax.jit(encode), jax.jit(decode)
+    def encode_frame(params, stacked, img, grip):
+        """Per-frame ViT tokens for the rolling frame cache
+        (eval/caching.FrameCachePolicy): one NEW frame in, cacheable
+        position-independent tokens out (frame embeddings are applied at
+        fuse time).  Mirrors encode_vision's camera routing."""
+        grip_on = (cfg.use_gripper and grip is not None
+                   and cfg.fusion_mode != "two_way")
+        if not grip_on:
+            return vision_tokens(params, img, cfg, stacked), None
+        both = jnp.concatenate([img, grip], axis=0)
+        tok = vision_tokens(params, both, cfg, stacked)
+        b = img.shape[0]
+        return tok[:b], tok[b:]
+
+    def decode_tokens(params, stacked, tok_rgb, tok_grip, ids, mask, carry,
+                      thresholds_full, state=None):
+        """Fuse cached per-frame tokens (perceiver + window fold + state)
+        and run the dynamic-exit decode — the cheap tail re-run every step
+        under the frame cache."""
+        media = fuse_vision_tokens(params, tok_rgb, tok_grip, cfg, state,
+                                   stacked, window_size=enc_w)
+        x = embed_tokens(params["decoder"], ids, cfg.dtypes.cdt)
+        mloc = ids == cfg.media_token_id
+        return decode(params, stacked, media, x, mloc, mask, carry,
+                      thresholds_full, state)
+
+    return (jax.jit(step), exits, jax.jit(encode), jax.jit(decode),
+            jax.jit(encode_frame), jax.jit(decode_tokens))
 
 
 class ScanDeerPolicy:
@@ -401,9 +429,11 @@ class ScanDeerPolicy:
             self.params = dict(params)
             self.params["decoder"] = dec
         exit_ids = list(exit_ids or cfg.all_exit_ids())
-        (self._step, self.exits, self._encode,
-         self._decode) = build_scan_step(cfg, exit_ids, threshold_type,
-                                         max_layer, indexed_mm=indexed_mm)
+        (self._step, self.exits, self._encode, self._decode,
+         self._encode_frame,
+         self._decode_tokens) = build_scan_step(cfg, exit_ids, threshold_type,
+                                                max_layer,
+                                                indexed_mm=indexed_mm)
         self.steps_per_stage = steps_per_stage
         self.cur_step = 0
         self.set_thresholds(thresholds if thresholds is not None
@@ -454,6 +484,12 @@ class ScanDeerPolicy:
         state (--use_state models): per-frame proprio rows; threaded through
         the single program (round 1 forced these models onto the bucketed
         host-sequenced engine)."""
+        if state is not None and state.shape[0] != image.shape[0]:
+            raise ValueError(
+                f"state rows ({state.shape[0]}) must match the image batch "
+                f"({image.shape[0]}): window-folded models take one proprio "
+                "row per frame in the rolling window (the adapter's "
+                "state_queue, eval/rollout.py)")
         self._ensure_carry(input_ids.shape[0])
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
@@ -493,6 +529,22 @@ class ScanDeerPolicy:
         arm, grip, self.carry, exit_layer = self._decode(
             self.params, self.stacked, media, x, mloc, attention_mask,
             self.carry, self._stage_thresholds(), state)
+        self.last_exit_layer = int(exit_layer[0])
+        return self._postprocess(arm, grip)
+
+    def encode_frame(self, image, gripper):
+        """Per-frame ViT tokens (position-independent, cacheable): the
+        rolling frame cache's encode half (eval/caching.FrameCachePolicy)."""
+        return self._encode_frame(self.params, self.stacked, image, gripper)
+
+    def step_from_tokens(self, tok_rgb, tok_grip, input_ids, attention_mask,
+                         state=None) -> np.ndarray:
+        """One env step from a window of cached per-frame ViT tokens:
+        perceiver + window fold + dynamic-exit decode in one dispatch."""
+        self._ensure_carry(input_ids.shape[0])
+        arm, grip, self.carry, exit_layer = self._decode_tokens(
+            self.params, self.stacked, tok_rgb, tok_grip, input_ids,
+            attention_mask, self.carry, self._stage_thresholds(), state)
         self.last_exit_layer = int(exit_layer[0])
         return self._postprocess(arm, grip)
 

@@ -132,3 +132,49 @@ def test_loader_early_break_terminates_producer(synth):
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before, "producer threads leaked"
+
+
+def test_variable_window_training(synth):
+    """dif_ws (data.py:250-255,406-441): train windows drawn uniformly in
+    [min, max] clamped at episode boundaries; every sample padded to
+    max_window_size; validation windows hash-deterministic per index."""
+    cfg = CalvinDataConfig(dataset_dir=synth, window_size=8, dif_ws=True,
+                           var_min_window=5, var_max_window=8)
+    assert cfg.min_window_size == 5 and cfg.max_window_size == 8
+    ds = DiskCalvinDataset(cfg, validation=False)
+    # episodes of 20 frames -> 15 starts each (ep_len - min_ws)
+    assert len(ds) == 3 * 15
+
+    # train: window sizes vary but every sample is padded to max
+    seen = set()
+    for i in range(len(ds)):
+        seen.add(ds._window_size(i))
+        s = ds[i]
+        assert s["rgb_static"].shape[0] == 8
+        assert s["actions"].shape[0] == 8
+    assert len(seen) > 1 and seen <= set(range(5, 9))
+
+    # boundary clamp: the last start of an episode has only min_ws frames
+    # left -> window size is exactly min_ws, never crossing into the next
+    # episode (data.py:420-434)
+    last_start_idx = 14  # episode 0 spans lookup [0, 15)
+    assert ds._window_size(last_start_idx) == 5
+    # padded frames at the tail repeat the episode's LAST frame, not the
+    # next episode's first
+    s = ds[last_start_idx]
+    np.testing.assert_array_equal(s["rgb_static"][-1], s["rgb_static"][4])
+
+    # validation: deterministic per idx across epochs/instances
+    dsv = DiskCalvinDataset(cfg, validation=True)
+    sizes1 = [dsv._window_size(i) for i in range(len(dsv))]
+    dsv2 = DiskCalvinDataset(cfg, validation=True)
+    sizes2 = [dsv2._window_size(i) for i in range(len(dsv2))]
+    assert sizes1 == sizes2
+    assert len(set(sizes1)) > 1  # the hash actually varies (VERDICT r1 #3)
+
+    # loader end to end: batches come out at the padded max window
+    tok = HashTokenizer(vocab_size=128, max_length=8)
+    loader = CalvinLoader(ds, tok, batch_size=4, workers=1)
+    batch = next(iter(loader))
+    assert batch["rgb_static"].shape[1] == 8
+    assert batch["actions"].shape[1] == 8

@@ -14,12 +14,13 @@ from deer_vla_tpu.models.flamingo import (encode_vision, forward_train,
 from deer_vla_tpu.train.losses import multi_exit_loss
 
 
-def make(mode="post", use_hist=False, window=2):
+def make(mode="post", use_hist=False, window=2, use_state=False):
     cfg = deer_tiny()
     cfg = dataclasses.replace(cfg, fusion_mode=mode, use_hist=use_hist,
-                              window_size=window,
-                              head=dataclasses.replace(cfg.head,
-                                                       window_size=window))
+                              window_size=window, use_state=use_state,
+                              head=dataclasses.replace(
+                                  cfg.head, window_size=window,
+                                  use_state=use_state))
     params = init_deer(jax.random.PRNGKey(0), cfg)
     return cfg, params
 
@@ -234,8 +235,10 @@ def test_use_hist_serving_rollout():
     # (helpers.py:236-279), so media cannot move the ACTION yet)
 
 def test_window_folded_refusals():
-    """Batched lanes and state-threading refuse window-folded models with
-    clear errors; use_hist+vit_concat combined serving is rejected."""
+    """Batched lanes refuse window-folded models with clear errors;
+    mis-shaped proprio state (rows != frame window) is rejected loudly
+    instead of crashing in a reshape; use_hist+vit_concat combined serving
+    is rejected."""
     import pytest as _pytest
     from deer_vla_tpu.data.text import HashTokenizer
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
@@ -251,13 +254,40 @@ def test_window_folded_refusals():
     with _pytest.raises(NotImplementedError):
         pol.step_batch(img, img, jnp.asarray(ids),
                        jnp.ones((2, cfg.text_len), jnp.int32))
-    with _pytest.raises(NotImplementedError):
+    # one state row for a 2-frame window: clear ValueError, not a reshape
+    # blow-up inside the jitted program (round-1 deer_crash.jsonl family)
+    with _pytest.raises(ValueError, match="state rows"):
         pol.step(img, img, jnp.asarray(ids[:1]),
                  jnp.ones((1, cfg.text_len), jnp.int32),
                  state=jnp.zeros((1, 1, 1, 15)))
     cfg_both = dataclasses.replace(cfg, use_hist=True)
     with _pytest.raises(NotImplementedError):
         ScanDeerPolicy(params, cfg_both, thresholds=[0.05, 1e8])
+
+
+def test_vit_concat_state_serving():
+    """vit_concat + use_state serves through the while-loop engine with
+    per-frame state rows (the adapter's state_queue protocol); the head
+    consumes the LAST frame's row like training does."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = make("vit_concat", window=2, use_state=True)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    r = np.random.RandomState(0)
+    hw = cfg.vit.image_size
+    img = jnp.asarray(r.randn(2, 1, 1, 3, hw, hw), jnp.float32)
+    ids, mask = tok(["do the thing"])
+    state = jnp.asarray(r.randn(2, 1, 1, 15).astype(np.float32))
+    a = pol.step(img, img, jnp.asarray(ids), jnp.asarray(mask), state=state)
+    assert a.shape == (7,) and np.isfinite(a).all()
+    # state changes the action (the row actually reaches the program)
+    pol.reset()
+    b = pol.step(img, img, jnp.asarray(ids), jnp.asarray(mask),
+                 state=10.0 + state)
+    assert not np.allclose(a, b)
 
 def test_pre_mode_serving_rollout():
     """pre fusion (single perceiver over the token union) serves through the

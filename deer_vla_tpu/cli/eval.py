@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "previous action while the frame delta stays below "
                         "tau (eval/caching.py; approximate for LSTM carry)")
     p.add_argument("--action_cache_refresh", type=int, default=5)
+    p.add_argument("--frame_cache", action="store_true",
+                   help="window-folded serving (vit_concat/use_hist): cache "
+                        "per-frame ViT tokens on device and encode only the "
+                        "newest frame each step — exact actions, (W-1)/W "
+                        "less vision work (feature_cache analogue, "
+                        "eval_utils.py:371)")
     p.add_argument("--vision_cache_tau", type=float, default=0.0,
                    help=">0: visual-token caching — reuse ViT+perceiver "
                         "latents across near-identical frames (exact head "
@@ -223,6 +229,17 @@ def main(argv=None):
                                 max_layer=max_layer,
                                 steps_per_stage=args.steps_per_stage)
         policy.set_thresholds(controller.thresholds)
+        if args.frame_cache:
+            if not (cfg.fusion_mode == "vit_concat" or cfg.use_hist):
+                raise SystemExit("--frame_cache only applies to "
+                                 "window-folded models (vit_concat / "
+                                 "use_hist); other modes encode one frame "
+                                 "per step already")
+            if args.vision_cache_tau > 0:
+                raise SystemExit("--frame_cache and --vision_cache_tau are "
+                                 "mutually exclusive caching modes")
+            from deer_vla_tpu.eval.caching import FrameCachePolicy
+            policy = FrameCachePolicy(policy)
         if args.vision_cache_tau > 0:
             if cfg.use_state or cfg.head.use_state:
                 raise SystemExit(
@@ -233,6 +250,10 @@ def main(argv=None):
             policy = VisionCacheScanPolicy(policy,
                                            tau=args.vision_cache_tau)
     else:
+        if args.frame_cache:
+            raise SystemExit("--frame_cache needs the while-loop engine "
+                             "(deterministic head, no --multi_execution, "
+                             "thresholds set)")
         policy = DeerPolicy(params, cfg, controller=controller,
                             exit_id=args.exit_id,
                             threshold_type=args.threshold_type,

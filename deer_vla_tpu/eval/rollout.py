@@ -117,16 +117,23 @@ class CalvinPolicyAdapter:
         # reference's img_queue protocol, eval_utils.py:344-386; left-padded
         # with the episode's first frame).  use_hist additionally tiles the
         # goal text per frame (the pad_length text_queue, :366-378).
-        # NOTE: like the reference's uncached protocol, every step re-encodes
-        # all W frames; a rolling LATENT queue (feature_cache analogue,
-        # eval_utils.py:371) would cut steady-state vision work (W-1)/W —
-        # future optimization, needs an encode/decode split in the engine.
+        # The default protocol re-encodes all W frames per step (like the
+        # reference's uncached path); wrap the policy in
+        # eval/caching.FrameCachePolicy (--frame_cache) for the rolling
+        # device-side token queue that encodes only the newest frame
+        # (feature_cache analogue, eval_utils.py:371) — exact actions,
+        # (W-1)/W less vision work.
         cfg0 = policy.cfg
         self._window = (cfg0.window_size
                         if (cfg0.fusion_mode == "vit_concat"
                             or cfg0.use_hist) else 0)
         self._tile_text = cfg0.use_hist
-        if self._window:
+        # frame-cache policies (eval/caching.FrameCachePolicy) hold the
+        # token window on DEVICE: feed only the newest frame, keep the
+        # per-frame state queue and use_hist text tiling
+        self._img_window = (0 if getattr(policy, "feeds_single_frame", False)
+                            else self._window)
+        if self._img_window:
             # one program for both cameras' window stacking (an eager
             # per-step jnp.concatenate would be a tunnel round trip each)
             self._win_cat = jax.jit(
@@ -171,7 +178,7 @@ class CalvinPolicyAdapter:
         grip = self._prep(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None])
         img = img[:, None, None]   # (1, 1, 1, 3, 224, 224)
         grip = grip[:, None, None]
-        if self._window:
+        if self._img_window:
             # rolling W-frame window (left-padded with the first frame at
             # episode start, eval_utils.py:344-349); the engine folds the
             # window into the media tokens

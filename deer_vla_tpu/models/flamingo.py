@@ -131,14 +131,58 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
     forwards but ~10x fewer argument leaves per dispatch (see
     vit.stack_vit_blocks).
     """
+    grip_on = (cfg.use_gripper and vision_gripper is not None
+               and cfg.fusion_mode != "two_way")
+    if not grip_on:
+        tok_rgb = vision_tokens(params, vision_rgb, cfg, stacked)
+        tok_grip = None
+    elif cfg.fusion_mode == "pre" or not cfg.sep_resampler:
+        # both cameras share the ViT: run them as ONE doubled batch (2x MXU
+        # utilization at small batch; the reference runs two sequential
+        # encoder passes, flamingo_mpt.py:626-659)
+        both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
+        tok = vision_tokens(params, both, cfg, stacked)
+        b = vision_rgb.shape[0]
+        tok_rgb, tok_grip = tok[:b], tok[b:]
+    else:
+        tok_rgb = vision_tokens(params, vision_rgb, cfg, stacked)
+        tok_grip = vision_tokens(params, vision_gripper, cfg, stacked)
+    return fuse_vision_tokens(params, tok_rgb, tok_grip, cfg, state_tensor,
+                              stacked, window_size)
+
+
+def vision_tokens(params: dict, v: jnp.ndarray, cfg: DeerConfig,
+                  stacked: Optional[dict] = None) -> jnp.ndarray:
+    """ViT forward -> frozen token grid (B, T, F, v, d).
+
+    Per-frame and window-position-INDEPENDENT (use_hist frame embeddings
+    are added in fuse_vision_tokens), so these tokens are cacheable per
+    frame for window-folded serving: a rolling token queue re-encodes only
+    the newest frame (the reference's feature_cache idea,
+    eval_utils.py:371; see eval/caching.FrameCachePolicy)."""
+    stacked = stacked or {}
+    b, t, f = v.shape[:3]
+    flat = v.reshape((b * t * f,) + v.shape[3:]).astype(cfg.dtypes.cdt)
+    if "vit" in stacked:
+        _, tokens = vit_forward_stacked(params["vit"], stacked["vit"], flat,
+                                        cfg.vit)
+    else:
+        _, tokens = vit_forward(params["vit"], flat, cfg.vit)
+    tokens = jax.lax.stop_gradient(tokens)
+    return tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
+
+
+def fuse_vision_tokens(params: dict, tok_rgb: jnp.ndarray,
+                       tok_grip: Optional[jnp.ndarray], cfg: DeerConfig,
+                       state_tensor: Optional[jnp.ndarray] = None,
+                       stacked: Optional[dict] = None,
+                       window_size: int = 1) -> jnp.ndarray:
+    """frame embeddings + perceiver resample + fusion fold + state token,
+    from (possibly cached) ViT tokens.  encode_vision == fuse_vision_tokens
+    on vision_tokens output; split so window-folded serving can cache the
+    dominant per-frame ViT work and re-run only this cheap tail."""
     cdt = cfg.dtypes.cdt
     stacked = stacked or {}
-
-    def run_vit(flat):
-        if "vit" in stacked:
-            return vit_forward_stacked(params["vit"], stacked["vit"], flat,
-                                       cfg.vit)
-        return vit_forward(params["vit"], flat, cfg.vit)
 
     def run_perceiver(pkey, tok):
         if pkey in stacked:
@@ -146,22 +190,15 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
                                              tok, cfg.perceiver)
         return perceiver_forward(params[pkey], tok, cfg.perceiver)
 
-    def encode(v):
-        b, t, f = v.shape[:3]
-        flat = v.reshape((b * t * f,) + v.shape[3:]).astype(cdt)
-        _, tokens = run_vit(flat)
-        tokens = jax.lax.stop_gradient(tokens)
-        tokens = tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
+    def add_frame_embs(tokens):
         if cfg.use_hist and "frame_embs" in params:
             # (B*W, T, F, v, d) + frame_embs[w] per window position
             # (flamingo_mpt.py:713-721)
+            b = tokens.shape[0]
             fe = params["frame_embs"].astype(tokens.dtype)[:window_size]
             fe = jnp.tile(fe, (b // window_size, 1))  # (B*W, d)
             tokens = tokens + fe[:, None, None, None, :]
         return tokens
-
-    grip_on = (cfg.use_gripper and vision_gripper is not None
-               and cfg.fusion_mode != "two_way")
 
     def window_concat(lat):
         """(B*W, T, n, d) -> (B, T, n*W, d): fold the window into the media
@@ -171,46 +208,41 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
         return lat.transpose(0, 2, 1, 3, 4).reshape(
             bw // window_size, t, window_size * n, d)
 
-    if not grip_on:
-        lat = run_perceiver("perceiver", encode(vision_rgb))
+    tok_rgb = add_frame_embs(tok_rgb)
+    if tok_grip is not None:
+        tok_grip = add_frame_embs(tok_grip)
+
+    if tok_grip is None:
+        lat = run_perceiver("perceiver", tok_rgb)
         if cfg.fusion_mode == "vit_concat":
             lat = window_concat(lat)
         media = lat
     elif cfg.fusion_mode == "pre":
         # ViT tokens of both cameras concat on the token axis -> ONE
-        # perceiver resample over the union (flamingo_mpt.py:596-601);
-        # the ViT still runs as one doubled batch like the post path
-        both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
-        tok = encode(both)
-        b = vision_rgb.shape[0]
+        # perceiver resample over the union (flamingo_mpt.py:596-601)
         media = run_perceiver("perceiver",
-                              jnp.concatenate([tok[:b], tok[b:]], axis=3))
+                              jnp.concatenate([tok_rgb, tok_grip], axis=3))
     elif cfg.fusion_mode == "vit_concat":
         if cfg.sep_resampler:
-            rgb_lat = run_perceiver("perceiver", encode(vision_rgb))
-            grip_lat = run_perceiver("perceiver_gripper",
-                                     encode(vision_gripper))
+            rgb_lat = run_perceiver("perceiver", tok_rgb)
+            grip_lat = run_perceiver("perceiver_gripper", tok_grip)
         else:
-            # shared tower + resampler: one doubled-batch pass
-            both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
-            lat = run_perceiver("perceiver", encode(both))
-            b = vision_rgb.shape[0]
+            # shared resampler: one doubled-batch pass
+            lat = run_perceiver("perceiver",
+                                jnp.concatenate([tok_rgb, tok_grip], axis=0))
+            b = tok_rgb.shape[0]
             rgb_lat, grip_lat = lat[:b], lat[b:]
         media = jnp.concatenate([window_concat(rgb_lat),
                                  window_concat(grip_lat)], axis=2)
     elif not cfg.sep_resampler:
-        # 'post': both cameras share the ViT and the resampler: run them as
-        # ONE doubled batch (2x MXU utilization at small batch; the
-        # reference runs two sequential encoder+perceiver passes,
-        # flamingo_mpt.py:626-659)
-        both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
-        tok = encode(both)
-        lat = run_perceiver("perceiver", tok)
-        b = vision_rgb.shape[0]
+        # 'post': shared resampler, doubled batch, latents concat on tokens
+        lat = run_perceiver("perceiver",
+                            jnp.concatenate([tok_rgb, tok_grip], axis=0))
+        b = tok_rgb.shape[0]
         media = jnp.concatenate([lat[:b], lat[b:]], axis=2)
     else:
-        rgb_lat = run_perceiver("perceiver", encode(vision_rgb))
-        grip_lat = run_perceiver("perceiver_gripper", encode(vision_gripper))
+        rgb_lat = run_perceiver("perceiver", tok_rgb)
+        grip_lat = run_perceiver("perceiver_gripper", tok_grip)
         media = jnp.concatenate([rgb_lat, grip_lat], axis=2)
     if cfg.use_state and state_tensor is not None and "state_fc" in params:
         st_in = state_tensor

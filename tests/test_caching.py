@@ -140,3 +140,107 @@ def test_vision_cache_scan_engine(setup):
         a_c = cached.step(img, img, ids, mask)
     assert cached.encode_hits == 2  # encode ran once
     np.testing.assert_allclose(a_c, a_p, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# rolling per-frame token cache for window-folded serving (FrameCachePolicy)
+# ---------------------------------------------------------------------------
+
+
+def _window_folded(mode="vit_concat", use_hist=False, use_state=False,
+                   window=3):
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(
+        cfg, fusion_mode=mode, use_hist=use_hist, use_state=use_state,
+        window_size=window, media_token_id=tok.media_token_id,
+        head=dataclasses.replace(cfg.head, window_size=window,
+                                 use_state=use_state))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params, tok
+
+
+@pytest.mark.parametrize("mode,use_hist,use_state", [
+    ("vit_concat", False, False),
+    ("post", True, False),
+    ("vit_concat", False, True),
+], ids=["vit_concat", "use_hist", "vit_concat_state"])
+def test_frame_cache_equivalence(mode, use_hist, use_state):
+    """FrameCachePolicy (encode newest frame only, cached token window)
+    produces the same actions as the full re-encode protocol on a fixed
+    trajectory (VERDICT r2 item 7 'bit-equivalent' gate)."""
+    from collections import deque
+
+    from deer_vla_tpu.eval.caching import FrameCachePolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+
+    cfg, params, tok = _window_folded(mode, use_hist, use_state)
+    W = cfg.window_size
+    th = [0.05, 1e8]
+    base = ScanDeerPolicy(params, cfg, thresholds=list(th))
+    cached = FrameCachePolicy(ScanDeerPolicy(params, cfg,
+                                             thresholds=list(th)))
+
+    hw, s = cfg.vit.image_size, cfg.text_len
+    ids, mask = tok(["push the red block"])
+    if use_hist:
+        ids = np.tile(ids, (W, 1))
+        mask = np.tile(mask, (W, 1))
+    ids, mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    r = np.random.RandomState(3)
+    img_q, grip_q, st_q = (deque(maxlen=W), deque(maxlen=W), deque(maxlen=W))
+    for step in range(5):
+        img = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+        grip = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+        st = jnp.asarray(r.randn(1, 1, 1, 15).astype(np.float32))
+        if not img_q:
+            for _ in range(W):
+                img_q.append(img), grip_q.append(grip), st_q.append(st)
+        else:
+            img_q.append(img), grip_q.append(grip), st_q.append(st)
+        img_w = jnp.concatenate(list(img_q), 0)
+        grip_w = jnp.concatenate(list(grip_q), 0)
+        st_w = jnp.concatenate(list(st_q), 0) if use_state else None
+
+        base.set_timestep(step)
+        cached.set_timestep(step)
+        if use_state:
+            a_full = base.step(img_w, grip_w, ids, mask, state=st_w)
+            a_cache = cached.step(img, grip, ids, mask, state=st_w)
+        else:
+            a_full = base.step(img_w, grip_w, ids, mask)
+            a_cache = cached.step(img, grip, ids, mask)
+        np.testing.assert_allclose(a_cache, a_full, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"step {step}")
+        assert cached.last_exit_layer == base.last_exit_layer, step
+
+
+def test_frame_cache_through_adapter():
+    """The adapter detects feeds_single_frame: no host image window, same
+    actions as the windowed re-encode protocol end to end."""
+    from deer_vla_tpu.eval.caching import FrameCachePolicy
+    from deer_vla_tpu.eval.rollout import CalvinPolicyAdapter, DebugEnv
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+
+    cfg, params, tok = _window_folded("vit_concat", window=2)
+    th = [0.05, 1e8]
+    ad_full = CalvinPolicyAdapter(
+        ScanDeerPolicy(params, cfg, thresholds=list(th)), tok,
+        text_len=cfg.text_len)
+    ad_cache = CalvinPolicyAdapter(
+        FrameCachePolicy(ScanDeerPolicy(params, cfg, thresholds=list(th))),
+        tok, text_len=cfg.text_len)
+    assert ad_cache._img_window == 0 and ad_full._img_window == 2
+
+    env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size,
+                   dynamic=True)
+    o = env.reset()
+    ad_full.reset()
+    ad_cache.reset()
+    for step in range(4):
+        a1 = ad_full.step(o, "lift the blue block")
+        a2 = ad_cache.step(o, "lift the blue block")
+        np.testing.assert_allclose(a2, a1, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"step {step}")
+        o, *_ = env.step(a1)

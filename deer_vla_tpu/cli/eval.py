@@ -217,6 +217,11 @@ def main(argv=None):
         if cfg.head_type == "diffusion" and args.action_cache_tau > 0:
             raise SystemExit("--action_cache_tau does not compose with the "
                              "diffusion head's plan sampling")
+        if cfg.head_type == "diffusion" and args.multi_execution > 1:
+            raise SystemExit("--multi_execution has no effect with the "
+                             "diffusion head (it emits its own action "
+                             "plan); use --future_act_len to bound the "
+                             "executed plan length")
         if args.vision_cache_tau > 0:
             raise SystemExit("--vision_cache_tau currently serves the "
                              "deterministic LSTM head only")

@@ -157,14 +157,24 @@ class VisionCacheDeerPolicy(_VisionCacheBase):
     decoder buckets + head.  Head carries, exit decisions and actions follow
     the exact dynamic-exit protocol — only the vision conditioning is stale.
 
-    Implemented as composition around eval/policy.DeerPolicy's split
-    programs (encode_prefix is already a separate jit program there).
+    Composition around eval/policy.DeerPolicy's split programs: the decode
+    half IS DeerPolicy.step_from_encoded (one implementation; an earlier
+    duplicated tail here went stale and mishandled vit_concat state).
+
+    State models are refused: the proprio state_fc token is part of the
+    cached media latents and changes every step — serving them from a stale
+    cache would silently feed old proprio into the policy.
     """
 
     def __init__(self, inner, tau: float = 0.05):
         from deer_vla_tpu.eval.policy import DeerPolicy
         assert isinstance(inner, DeerPolicy), \
             "vision caching needs the bucketed DeerPolicy (split encode)"
+        if inner.cfg.use_state or inner.cfg.head.use_state:
+            raise NotImplementedError(
+                "--vision_cache_tau cannot serve state models: the proprio "
+                "token is part of the cached media latents and changes "
+                "every step")
         super().__init__(inner, tau)
 
     def _encode(self, image, gripper, input_ids, attention_mask, state):
@@ -174,65 +184,8 @@ class VisionCacheDeerPolicy(_VisionCacheBase):
 
     def _decode(self, cached, attention_mask, state):
         media, x0, mloc = cached
-        return self._step_from_encoded(media, x0, mloc, attention_mask, state)
-
-    def _step_from_encoded(self, media, x0, mloc, attention_mask, state):
-        """The bucket-sequencing tail of DeerPolicy.step, starting from
-        (media, x, media_locations)."""
-        inner = self.inner
-        from deer_vla_tpu.ops.lstm import zero_carry
-        if inner.carry is None:
-            inner.carry = zero_carry(inner.cfg.head.lstm_num_layers,
-                                     x0.shape[0], inner.cfg.head.hidden_size,
-                                     jnp.float32)
-        ctrl = inner.controller
-        adim = inner.cfg.head.out_features * inner.cfg.head.multi_step_action
-        prev_action = jnp.zeros((x0.shape[0], adim), jnp.float32)
-        reuse = ctrl is not None and ctrl.reuse_stage_exit()
-        chosen = None
-        x = x0
-        for k, (start, e, fn, fn_first) in enumerate(inner._segments):
-            run_fn = fn_first if (k == 0 and ctrl is not None) else fn
-            x, out, cand_carry, delta = run_fn(
-                inner._seg_params[k], x, attention_mask, media, mloc,
-                inner.carry, prev_action, state)
-            prev_action = out.actions[:, 0]
-            if ctrl is None:
-                chosen = (e, out, cand_carry)
-                break
-            if reuse:
-                if e >= min(ctrl.cur_exit_id, ctrl.effective_max):
-                    chosen = (e, out, cand_carry)
-                    break
-                continue
-            ctrl.record_action((np.asarray(out.actions[:, 0]),
-                                np.asarray(out.gripper_probs[:, 0])))
-            if ctrl.should_exit(e, float(delta)):
-                chosen = (e, out, cand_carry)
-                break
-        assert chosen is not None
-        exit_layer, out, cand_carry = chosen
-        inner.carry = cand_carry
-        inner.last_exit_layer = exit_layer
-        if ctrl is not None and reuse:
-            ctrl.cur_exit_id = exit_layer
-            ctrl.record_action((np.asarray(out.actions[:, 0]),
-                                np.asarray(out.gripper_probs[:, 0])))
-        k = inner.cfg.head.multi_step_action
-        arm = np.asarray(out.actions[0, 0], np.float32)
-        gp = np.asarray(out.gripper_probs[0, 0], np.float32).reshape(-1)
-        if k > 1:
-            grip = np.where(gp > 0.5, 1.0, -1.0).astype(np.float32)
-            plan = np.concatenate([arm.reshape(k, 6), grip[:, None]],
-                                  -1).astype(np.float32)
-            if inner.multi_execution > 1:
-                plan = np.repeat(plan, inner.multi_execution, axis=0)
-            return plan
-        grip = 1.0 if float(gp[0]) > 0.5 else -1.0
-        action = np.concatenate([arm, [grip]]).astype(np.float32)
-        if inner.multi_execution > 1:
-            return np.tile(action, (inner.multi_execution, 1))
-        return action
+        return self.inner.step_from_encoded(media, x0, mloc, attention_mask,
+                                            state)
 
 
 class FrameCachePolicy:

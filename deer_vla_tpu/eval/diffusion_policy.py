@@ -101,6 +101,12 @@ class DiffusionSamplerPolicy:
         plan = (plan[0, self.hist_len:] - self._offset) / self._scale
         if self.future_act_len > 0:
             plan = plan[:self.future_act_len]
+        else:
+            # execute only the SUPERVISED rows: training masks the loss to
+            # rows [hist, window) (train/losses.py cond/loss masks), so plan
+            # rows past window - hist are unsupervised U-Net output — never
+            # feed them to the env by default
+            plan = plan[:max(1, self.cfg.window_size - self.hist_len)]
         # gripper binarize (eval_utils.py:418-419)
         plan[..., -1] = np.where(plan[..., -1] > 0.5, 1.0, -1.0)
         plan = plan.astype(np.float32)

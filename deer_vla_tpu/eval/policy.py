@@ -162,8 +162,12 @@ class DeerPolicy:
                 # flamingo_mpt.py:700-740) and emits the last step's action.
                 if cfg.use_hist:
                     from deer_vla_tpu.models.heads import any_head_forward
+                    # state: full per-frame proprio rows, like training
+                    # (embed_state added per frame) and the while-loop
+                    # engine (scan_policy.py hstate)
                     o = any_head_forward(head, x_in.astype(jnp.float32), cfg,
-                                         window=self._enc_w, last_action=True)
+                                         state, window=self._enc_w,
+                                         last_action=True)
                     return o, c
                 return any_head_step(head, x_in.astype(jnp.float32), c,
                                      cfg, state)
@@ -217,6 +221,13 @@ class DeerPolicy:
                                              self.enc_stacked, image,
                                              gripper, input_ids,
                                              attention_mask, state)
+        return self.step_from_encoded(media, x, mloc, attention_mask, state)
+
+    def step_from_encoded(self, media, x, mloc, attention_mask,
+                          state: Optional[jnp.ndarray] = None) -> np.ndarray:
+        """The bucket-sequencing tail of step, from a (possibly cached)
+        encoded prefix — the single implementation the vision-cache wrapper
+        reuses (eval/caching.VisionCacheDeerPolicy)."""
         # stream count = text rows, except use_hist where text is per-frame
         streams = x.shape[0] // (self._enc_w if self.cfg.use_hist else 1)
         if self.carry is None:

@@ -29,26 +29,73 @@ from deer_vla_tpu.ops.layers import (init_layernorm, init_linear, layernorm,
 # ---------------------------------------------------------------------------
 
 
+def _dropout(x, rate, rng, train):
+    if not train or rate <= 0.0 or rng is None:
+        return x, rng
+    rng, sub = jax.random.split(rng)
+    keep = jax.random.bernoulli(sub, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0), rng
+
+
 def init_fc_decoder(key, cfg: HeadConfig, dtype=jnp.float32) -> dict:
-    k = jax.random.split(key, 4)
-    return {
+    """FCDecoder params (action_head.py:317-371).
+
+    use_state: the reference declares fc_state = MLPNohHead(7, 128) and
+    bumps in_features by 128 at init (:338-341) but its forward concatenates
+    the state embedding only AFTER the mlp+pool (:393-397) — the two are
+    inconsistent and the construction itself TypeErrors on MLPTanhHead's
+    missing dropout arg, i.e. the reference's fc+state path is dead code.
+    Here the WORKING semantics: fc_state(7 -> 1024 -> 512 -> 128) on the
+    proprio rows, concatenated to the pooled features, with the action /
+    gripper MLPs sized hidden+128."""
+    k = jax.random.split(key, 7)
+    import dataclasses
+    mcfg = (dataclasses.replace(cfg, hidden_size=cfg.hidden_size + 128)
+            if cfg.use_state else cfg)
+    p = {
         "fc1": init_linear(k[0], cfg.in_features, cfg.in_features // 2, dtype=dtype),
         "fc2": init_linear(k[1], cfg.in_features // 2, cfg.hidden_size, dtype=dtype),
-        "actions": _init_mlp_head(k[2], cfg, cfg.out_features * cfg.multi_step_action, dtype),
-        "gripper": _init_mlp_head(k[3], cfg, cfg.multi_step_action, dtype),
+        "actions": _init_mlp_head(k[2], mcfg, cfg.out_features * cfg.multi_step_action, dtype),
+        "gripper": _init_mlp_head(k[3], mcfg, cfg.multi_step_action, dtype),
     }
+    if cfg.use_state:
+        p["fc_state"] = {
+            "l1": init_linear(k[4], 7, 1024, dtype=dtype),
+            "l2": init_linear(k[5], 1024, 512, dtype=dtype),
+            "l3": init_linear(k[6], 512, 128, dtype=dtype),
+        }
+    return p
 
 
 def fc_decoder_forward(p: dict, feat: jnp.ndarray, cfg: HeadConfig,
-                       window: Optional[int] = None) -> HeadOutput:
+                       window: Optional[int] = None,
+                       state: Optional[jnp.ndarray] = None,
+                       dropout_rng=None, train: bool = False) -> HeadOutput:
     """feat: (B*W, lang_len, d).  MLP -> max-pool over tokens -> heads
-    (reference pools AFTER the mlp, action_head.py:387-388)."""
+    (reference pools AFTER the mlp, action_head.py:387-388).  Dropout
+    placement mirrors the reference mlp Sequential (:357-363: before fc1
+    and before fc2)."""
     w = window or cfg.window_size
-    h = linear(p["fc2"], jax.nn.relu(linear(p["fc1"], feat)))
+    h, dropout_rng = _dropout(feat, cfg.dropout, dropout_rng, train)
+    h = jax.nn.relu(linear(p["fc1"], h))
+    h, dropout_rng = _dropout(h, cfg.dropout, dropout_rng, train)
+    h = linear(p["fc2"], h)
     h = pool_tokens(h, "max")
     h = h.reshape(-1, w, h.shape[-1])
-    act = jnp.tanh(_mlp_head_forward(p["actions"], h, cfg))
-    glog = _mlp_head_forward(p["gripper"], h, cfg)
+    if cfg.use_state and state is not None and "fc_state" in p:
+        s = state.reshape(-1, state.shape[-1])
+        s7 = jnp.concatenate([s[:, :6], s[:, -1:]], -1).astype(h.dtype)
+        fs = p["fc_state"]
+        se = jax.nn.relu(linear(fs["l1"], s7))
+        se = jax.nn.relu(linear(fs["l2"], se))
+        se = linear(fs["l3"], se)
+        h = jnp.concatenate([h, se.reshape(-1, w, se.shape[-1])], -1)
+    rngs = (jax.random.split(dropout_rng, 2)
+            if dropout_rng is not None else (None, None))
+    act = jnp.tanh(_mlp_head_forward(p["actions"], h, cfg,
+                                     dropout_rng=rngs[0], train=train))
+    glog = _mlp_head_forward(p["gripper"], h, cfg, dropout_rng=rngs[1],
+                             train=train)
     return HeadOutput(act, jax.nn.sigmoid(glog), glog)
 
 
@@ -65,6 +112,9 @@ class GPTDecoderConfig:
     n_head: int = 8
     history_len: Optional[int] = None
     use_pe: bool = True
+    # GPT2Config defaults embd/attn/resid_pdrop = 0.1 (get_gpt_model builds
+    # the backbone with defaults, trajectory_gpt2.py:730-744)
+    dropout: float = 0.1
 
     @property
     def dim(self) -> int:
@@ -108,11 +158,19 @@ def _head_cfg_with_hidden(cfg: GPTDecoderConfig) -> HeadConfig:
 
 
 def _gpt_backbone(p: dict, x: jnp.ndarray, cfg: GPTDecoderConfig,
-                  valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x: (B, T, d) features; causal GPT-2 stack."""
+                  valid: Optional[jnp.ndarray] = None,
+                  dropout_rng=None, train: bool = False) -> jnp.ndarray:
+    """x: (B, T, d) features; causal GPT-2 stack.
+
+    Dropout mirrors GPT-2 (trajectory_gpt2.py:142-143,255-270,521): embd
+    after the position add, resid after each projection.  attn_pdrop (on
+    the softmax probabilities) is folded into a dropout on the attention
+    OUTPUT instead — the fused attention kernel doesn't expose probs; same
+    rate, TPU-native placement."""
     b, t, d = x.shape
     if p.get("wpe") is not None:
         x = x + p["wpe"][:t].astype(x.dtype)
+    x, dropout_rng = _dropout(x, cfg.dropout, dropout_rng, train)
     causal = jnp.tril(jnp.ones((t, t), bool))
     if valid is not None:  # mask invalid (not-yet-filled) history slots
         causal = causal & valid[:, None, :]
@@ -124,28 +182,38 @@ def _gpt_backbone(p: dict, x: jnp.ndarray, cfg: GPTDecoderConfig,
         q, k, v = jnp.split(linear(blk["qkv"], h), 3, axis=-1)
         q, k, v = (split_heads(z, cfg.n_head) for z in (q, k, v))
         a = merge_heads(dot_attention(q, k, v, bias=bias))
-        x = x + linear(blk["out"], a)
+        a, dropout_rng = _dropout(a, cfg.dropout, dropout_rng, train)
+        o = linear(blk["out"], a)
+        o, dropout_rng = _dropout(o, cfg.dropout, dropout_rng, train)
+        x = x + o
         h = layernorm(blk["ln_2"], x)
-        x = x + linear(blk["mlp_proj"],
-                       jax.nn.gelu(linear(blk["mlp_fc"], h), approximate=True))
+        m = linear(blk["mlp_proj"],
+                   jax.nn.gelu(linear(blk["mlp_fc"], h), approximate=True))
+        m, dropout_rng = _dropout(m, cfg.dropout, dropout_rng, train)
+        x = x + m
     return layernorm(p["ln_f"], x)
 
 
 def gpt_decoder_forward(p: dict, feat: jnp.ndarray, cfg: GPTDecoderConfig,
                         window: Optional[int] = None,
-                        last_action: bool = False) -> HeadOutput:
+                        last_action: bool = False,
+                        dropout_rng=None, train: bool = False) -> HeadOutput:
     """Window mode. feat: (B*W, lang_len, d)."""
     w = window or cfg.head.window_size
     x = pool_tokens(feat, cfg.head.pooling) if feat.ndim == 3 else feat
     x = x.reshape(-1, w, x.shape[-1])
     if "fc" in p:
         x = linear(p["fc"], x)
-    y = _gpt_backbone(p, x, cfg)
+    rngs = (jax.random.split(dropout_rng, 3)
+            if dropout_rng is not None else (None,) * 3)
+    y = _gpt_backbone(p, x, cfg, dropout_rng=rngs[0], train=train)
     if last_action:
         y = y[:, -1:, :]
     hcfg = _head_cfg_with_hidden(cfg)
-    act = jnp.tanh(_mlp_head_forward(p["actions"], y, hcfg))
-    glog = _mlp_head_forward(p["gripper"], y, hcfg)
+    act = jnp.tanh(_mlp_head_forward(p["actions"], y, hcfg,
+                                     dropout_rng=rngs[1], train=train))
+    glog = _mlp_head_forward(p["gripper"], y, hcfg, dropout_rng=rngs[2],
+                             train=train)
     return HeadOutput(act, jax.nn.sigmoid(glog), glog)
 
 

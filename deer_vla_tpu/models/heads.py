@@ -53,6 +53,11 @@ def check_head_type(cfg: DeerConfig) -> None:
             "head_type 'fc' requires --use_hist or --fusion_mode vit_concat "
             "(the FCDecoder has no temporal state; the window must already "
             "be folded into the features, flamingo_mpt.py:157-165)")
+    if cfg.head_type == "gpt" and (cfg.use_state or cfg.head.use_state):
+        raise NotImplementedError(
+            "head_type 'gpt' does not consume proprio state (the reference "
+            "GPTDecoder.forward takes no state argument and its use_state "
+            "init path is dead code); drop --use_state or pick another head")
     if cfg.head_type == "diffusion":
         hist = cfg.n_obs_steps - 1
         if not (0 <= hist < cfg.window_size):
@@ -123,14 +128,20 @@ def any_head_forward(p: dict, feat: jnp.ndarray, cfg: DeerConfig,
         y = head_features(p, feat, cfg.head, state, window=window)
         return y[:, -1:] if last_action else y
     if ht == "fc":
-        out = fc_decoder_forward(p, feat, cfg.head, window=window)
+        out = fc_decoder_forward(p, feat, cfg.head, window=window,
+                                 state=state, dropout_rng=dropout_rng,
+                                 train=train)
         if last_action:
             out = HeadOutput(out.actions[:, -1:], out.gripper_probs[:, -1:],
                              out.gripper_logits[:, -1:])
         return out
     if ht == "gpt":
+        # state is NOT consumed: the reference GPTDecoder.forward takes no
+        # state argument (action_head.py:678-710); check_head_type refuses
+        # gpt + use_state loudly instead of dropping proprio silently
         return gpt_decoder_forward(p, feat, gpt_head_config(cfg),
-                                   window=window, last_action=last_action)
+                                   window=window, last_action=last_action,
+                                   dropout_rng=dropout_rng, train=train)
     raise ValueError(ht)
 
 
@@ -151,7 +162,7 @@ def any_head_step(p: dict, feat: jnp.ndarray, carry, cfg: DeerConfig,
         z = jnp.zeros((y.shape[0], 1, 1), y.dtype)
         return HeadOutput(y[:, None, :], z, z), new_carry
     if ht == "fc":
-        out = fc_decoder_forward(p, feat, cfg.head, window=1)
+        out = fc_decoder_forward(p, feat, cfg.head, window=1, state=state)
         return out, ()
     if ht == "gpt":
         gcfg = gpt_head_config(cfg)

@@ -110,3 +110,56 @@ def test_diffusion_unet_and_sampler():
         p = optax.apply_updates(p, upd)
     l1 = float(lfn(p, jax.random.PRNGKey(3)))
     assert l1 < l0
+
+
+def test_fc_decoder_state_and_dropout():
+    """use_state: fc_state (7->1024->512->128) embedding concatenated to the
+    pooled features, action/gripper MLPs sized hidden+128 (working version
+    of the reference's dead fc+state path — see init_fc_decoder docstring);
+    dropout actually perturbs training-mode outputs."""
+    from deer_vla_tpu.models.alt_heads import (fc_decoder_forward,
+                                               init_fc_decoder)
+    cfg = small_head_cfg(use_state=True, dropout=0.3)
+    p = init_fc_decoder(jax.random.PRNGKey(0), cfg)
+    assert "fc_state" in p
+    assert p["actions"]["layers"][0]["w"].shape[0] == cfg.hidden_size + 128
+    r = np.random.RandomState(0)
+    feat = jnp.asarray(r.randn(8, 5, 16), jnp.float32)
+    state = jnp.asarray(r.randn(8, 1, 1, 15).astype(np.float32))
+    out = fc_decoder_forward(p, feat, cfg, state=state)
+    out2 = fc_decoder_forward(p, feat, cfg, state=10.0 + state)
+    assert not np.allclose(np.asarray(out.actions), np.asarray(out2.actions))
+    # eval mode is deterministic; train mode with rng differs (dropout live)
+    out3 = fc_decoder_forward(p, feat, cfg, state=state)
+    np.testing.assert_array_equal(np.asarray(out.actions),
+                                  np.asarray(out3.actions))
+    outd = fc_decoder_forward(p, feat, cfg, state=state,
+                              dropout_rng=jax.random.PRNGKey(7), train=True)
+    assert not np.allclose(np.asarray(out.actions), np.asarray(outd.actions))
+
+
+def test_gpt_decoder_dropout_and_state_refusal():
+    """GPT backbone dropout (GPT2 pdrop=0.1 defaults) is live in train mode
+    and off in eval; gpt + use_state is refused loudly (the reference
+    forward never consumes state)."""
+    import dataclasses as dc
+
+    from deer_vla_tpu.models.alt_heads import (GPTDecoderConfig,
+                                               gpt_decoder_forward,
+                                               init_gpt_decoder)
+    cfg = GPTDecoderConfig(head=small_head_cfg(), n_layer=2, n_head=2,
+                           dropout=0.2)
+    p = init_gpt_decoder(jax.random.PRNGKey(0), cfg)
+    feat = jnp.asarray(np.random.RandomState(0).randn(8, 5, 16), jnp.float32)
+    a = gpt_decoder_forward(p, feat, cfg)
+    b = gpt_decoder_forward(p, feat, cfg)
+    np.testing.assert_array_equal(np.asarray(a.actions), np.asarray(b.actions))
+    d = gpt_decoder_forward(p, feat, cfg, dropout_rng=jax.random.PRNGKey(3),
+                            train=True)
+    assert not np.allclose(np.asarray(a.actions), np.asarray(d.actions))
+
+    from deer_vla_tpu.core.config import deer_tiny
+    from deer_vla_tpu.models.heads import check_head_type
+    bad = dc.replace(deer_tiny(), head_type="gpt", use_state=True)
+    with pytest.raises(NotImplementedError, match="gpt"):
+        check_head_type(bad)

@@ -93,6 +93,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
     p.add_argument("--calib_batches", type=int, default=8)
+    p.add_argument("--calib_warm", type=int, default=0,
+                   help="window-folded models: warm the head carry with "
+                        "this many pseudo-history frames during "
+                        "calibration (reduces the zero-carry delta skew "
+                        "vs streamed serving; models/value_net.py)")
     p.add_argument("--batch_size_calvin", type=int, default=6)
     p.add_argument("--validation_set", action="store_true", default=True)
     p.add_argument("--tcp_rel", action="store_true",
@@ -189,7 +194,7 @@ def main(argv=None):
                 max_layer=max_layer, exit_dist=args.exit_dist,
                 model_name=args.model, threshold_type=args.threshold_type,
                 values=values, max_batches=args.calib_batches,
-                all_gather=all_gather_values)
+                all_gather=all_gather_values, warm_prefix=args.calib_warm)
             if cache:
                 save_calibration_values(cache, values,
                                         {"exit_ratio": args.exit_ratio})

@@ -25,7 +25,8 @@ from deer_vla_tpu.models.value_net import (generate_exit_deltas,
                                            solve_thresholds)
 
 
-def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2"):
+def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2",
+                  warm_prefix: int = 0):
     """One jitted program: backbone (all layers) + calibration deltas."""
     exit_list = list(cfg.all_exit_ids())
 
@@ -36,7 +37,8 @@ def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2"):
                             train=False)
         return generate_exit_deltas(
             params["extra_exit"], out.hidden_states, out.rand_layer_feat,
-            cfg, exit_list, threshold_type)
+            cfg, exit_list, threshold_type, warm_prefix=warm_prefix,
+            rng=rng)
 
     return delta_fn
 
@@ -44,13 +46,14 @@ def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2"):
 def generate_calibration_values(params: dict, cfg: DeerConfig,
                                 batches: Iterable[Dict[str, np.ndarray]],
                                 *, rng=None, threshold_type: str = "L2",
-                                max_batches: Optional[int] = None) -> np.ndarray:
+                                max_batches: Optional[int] = None,
+                                warm_prefix: int = 0) -> np.ndarray:
     """Run the calibration pass over a loader of raw batches.
 
     Returns (n_exit, n_samples) deltas, host numpy.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    delta_fn = make_delta_fn(cfg, threshold_type)
+    delta_fn = make_delta_fn(cfg, threshold_type, warm_prefix)
     outs = []
     for bi, batch in enumerate(batches):
         if max_batches is not None and bi >= max_batches:
@@ -91,7 +94,7 @@ def calibrate(params: dict, cfg: DeerConfig,
               model_name: str = "mpt_dolly_3b", threshold_type: str = "L2",
               values: Optional[np.ndarray] = None,
               all_gather: Optional[Callable[[np.ndarray], np.ndarray]] = None,
-              max_batches: Optional[int] = None
+              max_batches: Optional[int] = None, warm_prefix: int = 0
               ) -> Tuple[Dict[int, float], np.ndarray]:
     """Full set_threshold flow.  ``values`` short-circuits generation (the
     reference's ckpt['values'] cache); ``all_gather`` hooks multi-host
@@ -99,7 +102,7 @@ def calibrate(params: dict, cfg: DeerConfig,
     if values is None:
         values = generate_calibration_values(
             params, cfg, batches, threshold_type=threshold_type,
-            max_batches=max_batches)
+            max_batches=max_batches, warm_prefix=warm_prefix)
         if all_gather is not None:
             values = all_gather(values)
     ml = max_layer if max_layer is not None else cfg.n_layers

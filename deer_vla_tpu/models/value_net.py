@@ -57,13 +57,20 @@ def get_delta(a1: jnp.ndarray, a2: jnp.ndarray, threshold_type: str = "L2") -> j
 def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
                          rand_layer_feat: jnp.ndarray, cfg: DeerConfig,
                          exit_list: Sequence[int],
-                         threshold_type: str = "L2") -> jnp.ndarray:
+                         threshold_type: str = "L2",
+                         warm_prefix: int = 0,
+                         rng=None) -> jnp.ndarray:
     """Faithful port of ActionValueNet 'generate' mode.
 
     Args:
       hidden_states: (L, B*W, S, D) all layer outputs for a batch
       rand_layer_feat: (B*W, S, D) random-exit features (sampling strategy 1)
       exit_list: the exit layer ids (0 must not be in it, value_net.py:135)
+      warm_prefix: window-folded (w==1) models only — warm the head carry
+        with this many pseudo-history frames drawn from OTHER trajectories'
+        random-layer features before the evaluated position (needs ``rng``).
+        Reduces the zero-carry calibration skew noted below; off by default
+        (reference-faithful).
     Returns:
       deltas: (n_exit, B * n_seq_positions) where row k is the action gap
       between exit_list[k] and the previous entry of [0]+exit_list, evaluated
@@ -71,21 +78,37 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
     """
     assert 0 not in exit_list
     # vit_concat folds the window into the media tokens: hidden batch is
-    # per-trajectory, one action position, no history prefix.  CAVEAT: this
-    # calibrates with a zero LSTM state, while serving streams the carry
-    # across the episode — the delta distribution can be mildly skewed for
-    # vit_concat models (post-mode calibration warms the carry with random
-    # history prefixes; w=1 cannot).  Online BO (cli/bayes_opt.py) is the
-    # reference-faithful corrective if the exit mix matters.
+    # per-trajectory, one action position, no history prefix.  CAVEAT: by
+    # default this calibrates with a zero LSTM state, while serving streams
+    # the carry across the episode — the delta distribution can be mildly
+    # skewed for vit_concat models (post-mode calibration warms the carry
+    # with random history prefixes; w=1 cannot).  ``warm_prefix`` (cli.eval
+    # --calib_warm) applies the same decorrelated warm-up across batch rows;
+    # online BO (cli/bayes_opt.py) is the reference-faithful corrective if
+    # the exit mix matters.
     w = 1 if cfg.fusion_mode == "vit_concat" else cfg.window_size
     s, d = hidden_states.shape[2], hidden_states.shape[3]
     ids = [0] + list(exit_list)
     feats = [hidden_states[i].reshape(-1, w, s, d) for i in ids]  # (B, W, S, D) each
     rand = rand_layer_feat.reshape(-1, w, s, d)
 
+    warm = None
+    if w == 1 and warm_prefix > 0:
+        assert rng is not None, "warm_prefix needs an rng"
+        b = rand.shape[0]
+        # K independent batch permutations -> (B, K, S, D) pseudo-history of
+        # same-distribution features from other trajectories (the post-mode
+        # random-prior decorrelation idea, value_net.py:140-151)
+        perms = jnp.stack([jax.random.permutation(jax.random.fold_in(rng, k),
+                                                  b)
+                           for k in range(warm_prefix)], axis=1)  # (B, K)
+        warm = rand[:, 0][perms]  # (B, K, S, D)
+
     per_seq = []
     for seq_id in range(max(w // 2 - 1, 0), max(w - 1, 1)):
         prev = rand[:, :seq_id]  # (B, seq_id, S, D)
+        if warm is not None:
+            prev = jnp.concatenate([warm, prev], axis=1)
         acts = []
         for f in feats:
             last = f[:, seq_id:seq_id + 1]
@@ -96,7 +119,7 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
             out = any_head_forward(
                 extra_exit_params,
                 combined.reshape(-1, s, d), cfg,
-                window=seq_id + 1, last_action=True)
+                window=combined.shape[1], last_action=True)
             if cfg.head_type == "diffusion":
                 acts.append(out[:, 0])       # (B, hidden) feature
             else:

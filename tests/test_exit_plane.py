@@ -140,3 +140,40 @@ def test_fixed_exit_policy(tiny):
     assert a1.shape == (7,)
     assert a1[6] in (-1.0, 1.0)
     assert policy.last_exit_layer == 1
+
+
+def test_calib_warm_prefix_vit_concat():
+    """--calib_warm on a window-folded model: the warm-carry deltas differ
+    from the zero-carry ones (the skew it corrects is real), are
+    deterministic per rng, and feed the solver normally."""
+    import dataclasses
+
+    from deer_vla_tpu.data.debug_data import DebugBatcher
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.calibrate import generate_calibration_values
+
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, fusion_mode="vit_concat",
+                              media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+
+    def batches():
+        return DebugBatcher(cfg, tok, batch_size=2, num_batches=1,
+                            img_hw=cfg.vit.image_size,
+                            grip_hw=cfg.vit.image_size)
+
+    v0 = generate_calibration_values(params, cfg, batches(),
+                                     rng=jax.random.PRNGKey(5))
+    vw = generate_calibration_values(params, cfg, batches(),
+                                     rng=jax.random.PRNGKey(5),
+                                     warm_prefix=3)
+    vw2 = generate_calibration_values(params, cfg, batches(),
+                                      rng=jax.random.PRNGKey(5),
+                                      warm_prefix=3)
+    assert v0.shape == vw.shape and np.isfinite(vw).all()
+    assert not np.allclose(v0, vw)          # the carry state matters
+    np.testing.assert_array_equal(vw, vw2)  # deterministic per rng
+    th, _ = solve_thresholds(vw, 1.0, list(cfg.all_exit_ids()),
+                             cfg.n_layers - 1)
+    assert len(th) == len(list(cfg.all_exit_ids()))

@@ -21,12 +21,16 @@ def build_parser():
     p = argparse.ArgumentParser(description="DeeR-VLA TPU VL benchmark eval")
     p.add_argument("--task",
                    choices=["caption", "flickr", "vqa", "textvqa", "vizwiz",
-                            "okvqa", "classify"],
+                            "okvqa", "classify", "imagenet", "hateful_memes"],
                    default="caption",
                    help="caption=COCO-style json; flickr=karpathy-split json "
                         "scored by CIDEr-D; vqa/textvqa/vizwiz share the "
                         "official VQAEval accuracy (dataset-specific image "
-                        "naming); okvqa adds the stemmed-answer protocol")
+                        "naming); okvqa adds the stemmed-answer protocol; "
+                        "classify/imagenet rank class continuations by LM "
+                        "NLL (imagenet uses the upstream 'Output:' prompt); "
+                        "hateful_memes scores yes/no over the OCR prompt, "
+                        "headline ROC-AUC (evaluate.py:1154-1291)")
     p.add_argument("--save_predictions", default="",
                    help="write predictions json (VQA result format "
                         "[{answer, question_id}] / caption format "
@@ -36,6 +40,12 @@ def build_parser():
                         "[{file_name, label}]} (ImageNet/Flickr-style "
                         "zero-shot classification by LM score)")
     p.add_argument("--model", default="tiny")
+    p.add_argument("--eval_model", default="flamingo",
+                   choices=["flamingo", "blip"],
+                   help="pluggable eval-model family (upstream evaluate.py "
+                        "--model importlib selection): flamingo=the "
+                        "flagship DeeR stack; blip=the JAX BLIP captioner "
+                        "(models/blip.py)")
     p.add_argument("--evaluate_from_checkpoint", default="")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--tokenizer_path", default="")
@@ -137,16 +147,60 @@ def preprocess_images(ds, n, size, batch_size=32):
     return np.concatenate(outs, 0)
 
 
-def _run_classify(args, cfg, params, tok, img_dir, size):
-    """Zero-shot classification by LM score (classification_utils
-    equivalent): rank 'A photo of a <class>' continuations per image by
-    summed NLL, report top-1 accuracy."""
+def _run_hateful_memes(args, model, img_dir, size):
+    """Hateful-memes protocol (evaluate.py:1154-1291): per meme, rank
+    {'no','yes'} continuations of the OCR prompt by LM NLL; the headline
+    metric is ROC-AUC over the softmax probability of the positive class.
+    --annotations points at the standard jsonl ({img, text, label} rows)."""
     import os
     import numpy as np
-    import jax.numpy as jnp
-    from deer_vla_tpu.data.preprocess import clip_preprocess
     from deer_vla_tpu.data.vl_dataset import _load_image
-    from deer_vla_tpu.eval.vl_eval import classify_by_lm_score
+    from deer_vla_tpu.eval.vl_eval import roc_auc
+
+    if args.debug:
+        from PIL import Image
+        r = np.random.RandomState(args.seed)
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        for i in range(max(8, args.num_samples)):
+            fn = f"meme_{i}.png"
+            Image.fromarray(r.randint(0, 256, (32, 32, 3), np.uint8)).save(
+                os.path.join(img_dir, fn))
+            rows.append({"img": fn, "text": f"meme text {i % 4}",
+                         "label": i % 2})
+    else:
+        if not args.annotations:
+            raise SystemExit("--task hateful_memes needs --annotations "
+                             "<dev.jsonl> (or --debug)")
+        with open(args.annotations) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+
+    n = min(args.num_samples, len(rows))
+    gts, pred_scores = [], []
+    for row in rows[:n]:
+        img = _load_image(os.path.join(img_dir, row["img"]), size)
+        vision_one = model.preprocess(img[None])
+        nll = model.score_texts(
+            vision_one, ["no", "yes"],
+            prompt=model.get_hateful_memes_prompt(row["text"]))
+        logp = -np.asarray(nll, np.float64)
+        p_yes = float(np.exp(logp[1]) / np.exp(logp).sum())
+        pred_scores.append(p_yes)  # prob of the greater label ('yes')
+        gts.append(int(row["label"]))
+    result = {"task": "hateful_memes", "n": n, "metric": "roc_auc",
+              "score": roc_auc(gts, pred_scores)}
+    print(json.dumps(result))
+    return result
+
+
+def _run_classify(args, model, img_dir, size):
+    """Zero-shot classification by LM score (classification_utils
+    equivalent): rank class-name continuations per image by summed NLL,
+    report top-1 accuracy.  The imagenet task is the same ranking under the
+    upstream 'Output:' prompt (evaluate.py:639-679)."""
+    import os
+    import numpy as np
+    from deer_vla_tpu.data.vl_dataset import _load_image
 
     if args.debug:
         # synthetic fixture images are named {i}.jpg with class i % 5
@@ -155,21 +209,23 @@ def _run_classify(args, cfg, params, tok, img_dir, size):
                    for i in range(max(8, args.num_samples))]
     else:
         if not args.labels:
-            raise SystemExit("--task classify needs --labels <spec.json> "
+            raise SystemExit(f"--task {args.task} needs --labels <spec.json> "
                              "(or --debug for the synthetic fixture)")
         spec = json.load(open(args.labels))
         classes, samples = spec["classes"], spec["samples"]
 
     n = min(args.num_samples, len(samples))
+    # imagenet uses the upstream 'Output:' rank-classification prompt
+    # (eval/models/open_flamingo.py:330); classify keeps 'A photo of a'
+    prompt = (model.get_imagenet_prompt().rstrip()
+              if args.task == "imagenet" else "A photo of a")
     correct = 0
     for s in samples[:n]:
         img = _load_image(os.path.join(img_dir, s["file_name"]), size)
-        vis = np.asarray(clip_preprocess(jnp.asarray(img[None]), size))
-        pred, _ = classify_by_lm_score(params, cfg,
-                                       jnp.asarray(vis)[:, None, None],
-                                       classes, tok)
-        correct += int(pred == int(s["label"]))
-    result = {"task": "classify", "n": n, "metric": "top1_acc",
+        vision_one = model.preprocess(img[None])
+        scores = model.score_texts(vision_one, classes, prompt=prompt)
+        correct += int(int(np.argmin(scores)) == int(s["label"]))
+    result = {"task": args.task, "n": n, "metric": "top1_acc",
               "score": correct / max(n, 1), "n_classes": len(classes)}
     print(json.dumps(result))
     return result
@@ -179,39 +235,33 @@ def _run_classify(args, cfg, params, tok, img_dir, size):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import numpy as np
-    import jax.numpy as jnp
-    from deer_vla_tpu.cli.eval import load_model
-    from deer_vla_tpu.cli.train import make_tokenizer
-    from deer_vla_tpu.data.preprocess import clip_preprocess
-    from deer_vla_tpu.data.vl_dataset import CaptionDataset, VQADataset
-    from deer_vla_tpu.eval.vl_eval import (RICES, caption_bleu1,
-                                           greedy_generate, okvqa_accuracy,
+    from deer_vla_tpu.eval.eval_models import make_eval_model
+    from deer_vla_tpu.eval.vl_eval import (caption_bleu1, okvqa_accuracy,
                                            postprocess_vqa_generation,
-                                           vqa_accuracy)
-    import dataclasses
+                                           rices_retrieve, vqa_accuracy)
 
-    cfg, params = load_model(args)
-    tok = make_tokenizer(args, cfg)
-    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    model = make_eval_model(args)
 
-    img_dir, ann_p, q_p, a_p = resolve_paths(args, cfg)
+    img_dir, ann_p, q_p, a_p = resolve_paths(args, None)
 
-    size = cfg.vit.image_size
+    size = model.image_size
     is_caption = args.task in ("caption", "flickr")
-    if args.task == "classify":
-        return _run_classify(args, cfg, params, tok, img_dir, size)
+    if args.task in ("classify", "imagenet"):
+        return _run_classify(args, model, img_dir, size)
+    if args.task == "hateful_memes":
+        return _run_hateful_memes(args, model, img_dir, size)
     ds = build_dataset(args, size, img_dir, ann_p, q_p, a_p)
     n = min(args.num_samples, len(ds))
 
     rices_idx = None
     if args.rices:
-        imgs = preprocess_images(ds, n, size, args.batch_size)
-        ric = RICES(params, cfg)
-        if args.cached_features:
-            ric.load(args.cached_features)
-        else:
-            ric.build_index(imgs)
-        rices_idx = ric.retrieve(imgs, args.shots)
+        raw = np.stack([ds[i]["image"] for i in range(n)])
+        bs = args.batch_size
+        q = np.concatenate([model.embed_images(raw[i:i + bs])
+                            for i in range(0, n, bs)], 0)
+        feats = (np.load(args.cached_features)["features"]
+                 if args.cached_features else q)
+        rices_idx = rices_retrieve(q, feats, args.shots)
 
     scores = []
     cap_preds, cap_refs = [], []  # corpus-level CIDEr-D needs the full set
@@ -220,37 +270,14 @@ def main(argv=None):
         idxs = list(range(start, min(start + args.batch_size, n)))
         samples = [ds[i] for i in idxs]
         imgs = np.stack([s["image"] for s in samples])
-        vision = np.asarray(clip_preprocess(jnp.asarray(imgs), size))[:, None, None]
+        vision = model.preprocess(imgs)
         if is_caption:
-            prompts = [CaptionDataset.get_caption_prompt() for _ in samples]
+            prompts = [model.get_caption_prompt() for _ in samples]
         else:
-            prompts = [VQADataset.get_vqa_prompt(s["question"]) for s in samples]
-        ids, mask = tok(prompts)
-        # strip each row's trailing <eoc><eos> so generation continues the
-        # prompt.  With mixed-length prompts the batch is right-padded, so a
-        # flat [:, :-2] would only strip the longest row; strip per row at
-        # its true length instead.
-        ids = np.array(ids, copy=True)
-        mask = np.array(mask, copy=True)
-        for r, length in enumerate(mask.sum(-1)):
-            le = int(length)
-            if le >= 2:
-                ids[r, le - 2:le] = 0
-                mask[r, le - 2:le] = 0
-        ids, mask = ids[:, :-2], mask[:, :-2]  # now-dead tail columns
-        out = greedy_generate(params, cfg, jnp.asarray(vision), ids, mask,
-                              max_new_tokens=args.max_new_tokens,
-                              eos_id=getattr(tok, "eos_token_id", None))
-        for row, s in zip(out, samples):
-            toks = [int(t) for t in row]
-            eos = getattr(tok, "eos_token_id", None)
-            if eos is not None and eos in toks:
-                # greedy_generate pads the tail with eos; drop it so raw-id
-                # joins don't grow phantom tokens that pollute the metrics
-                toks = toks[:toks.index(eos)]
-            text = " ".join(str(t) for t in toks)  # hash-tok ids; HF decodes
-            if hasattr(tok, "tok"):
-                text = tok.tok.decode(toks, skip_special_tokens=True)
+            prompts = [model.get_vqa_prompt(s["question"]) for s in samples]
+        texts = model.get_outputs(vision, prompts,
+                                  max_new_tokens=args.max_new_tokens)
+        for text, s in zip(texts, samples):
             if is_caption:
                 refs = s.get("captions", [s["caption"]])
                 scores.append(caption_bleu1(text, refs))

@@ -166,9 +166,7 @@ class RICES:
         upstream reverses so the closest example is nearest the query)."""
         assert self.features is not None, "call build_index or load first"
         q = np.asarray(self._embed(self.params, jnp.asarray(query_images)))
-        sim = q @ self.features.T
-        top = np.argsort(-sim, axis=1)[:, :k]
-        return top[:, ::-1]
+        return rices_retrieve(q, self.features, k)
 
     def save(self, path: str) -> None:
         """Persist the feature index (scripts/cache_rices_features.py's
@@ -183,6 +181,40 @@ class RICES:
         deer-cache-features CLI; skips the per-eval ViT sweep."""
         self.features = np.load(path)["features"]
         return self.features
+
+
+def roc_auc(labels, scores) -> float:
+    """Binary ROC-AUC via the tie-averaged Mann-Whitney U rank statistic —
+    dependency-free sklearn.roc_auc_score equivalent (the upstream hateful-
+    memes headline metric, evaluate.py:1280-1291)."""
+    labels = np.asarray(labels).astype(bool)
+    scores = np.asarray(scores, np.float64)
+    n_pos = int(labels.sum())
+    n_neg = int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.5  # degenerate: undefined; chance by convention
+    order = np.argsort(scores, kind="mergesort")
+    s = scores[order]
+    ranks = np.empty(len(s), np.float64)
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    u = ranks[labels].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def rices_retrieve(query_feats: np.ndarray, index_feats: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Cosine top-k retrieval core (features pre-L2-normalized), most
+    similar LAST — shared by RICES and the pluggable eval models
+    (rices.py:95's sort + reverse)."""
+    sim = np.asarray(query_feats) @ np.asarray(index_feats).T
+    top = np.argsort(-sim, axis=1)[:, :k]
+    return top[:, ::-1]
 
 
 def _pooled(params, x, cfg):

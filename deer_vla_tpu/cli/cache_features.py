@@ -1,8 +1,8 @@
 """Cache RICES retrieval features — upstream
-open_flamingo/scripts/cache_rices_features.py equivalent: run the ViT tower
-over a dataset's images once and persist the L2-normalized feature index
-(npz) so repeated benchmark evals skip the embedding sweep
-(`deer-vl-eval --rices --cached_features <file>`).
+open_flamingo/scripts/cache_rices_features.py equivalent: run the eval
+model's vision tower over a dataset's images once and persist the
+L2-normalized feature index (npz) so repeated benchmark evals skip the
+embedding sweep (`deer-vl-eval --rices --cached_features <file>`).
 
 Example (synthetic smoke):
   python -m deer_vla_tpu.cli.cache_features --task caption --debug \
@@ -24,6 +24,10 @@ def build_parser():
                             "okvqa"],
                    default="caption")
     p.add_argument("--model", default="tiny")
+    p.add_argument("--eval_model", default="flamingo",
+                   choices=["flamingo", "blip"],
+                   help="which family embeds the index (must match the "
+                        "consumer eval run — the feature spaces differ)")
     p.add_argument("--evaluate_from_checkpoint", default="")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--tokenizer_path", default="")
@@ -42,28 +46,26 @@ def build_parser():
 @record
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import dataclasses
-    from deer_vla_tpu.cli.eval import load_model
-    from deer_vla_tpu.cli.train import make_tokenizer
-    from deer_vla_tpu.cli.vl_eval import (build_dataset, preprocess_images,
-                                          resolve_paths)
-    from deer_vla_tpu.eval.vl_eval import RICES
+    import numpy as np
+    from deer_vla_tpu.cli.vl_eval import build_dataset, resolve_paths
+    from deer_vla_tpu.eval.eval_models import make_eval_model
 
-    cfg, params = load_model(args)
-    tok = make_tokenizer(args, cfg)
-    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
-
-    size = cfg.vit.image_size
-    ds = build_dataset(args, size, *resolve_paths(args, cfg))
+    model = make_eval_model(args)
+    size = model.image_size
+    ds = build_dataset(args, size, *resolve_paths(args, None))
     n = min(args.num_samples, len(ds))
-    imgs = preprocess_images(ds, n, size, args.batch_size)
 
-    ric = RICES(params, cfg, batch_size=args.batch_size)
-    feats = ric.build_index(imgs)
+    bs = args.batch_size
+    raw = np.stack([ds[i]["image"] for i in range(n)])
+    feats = np.concatenate([model.embed_images(raw[i:i + bs])
+                            for i in range(0, n, bs)], 0)
     out = args.output if args.output.endswith(".npz") else args.output + ".npz"
-    ric.save(out)
-    result = {"task": args.task, "n": int(feats.shape[0]),
-              "dim": int(feats.shape[1]), "output": out}
+    # exact save path (an open handle stops np.savez appending '.npz')
+    with open(out, "wb") as f:
+        np.savez(f, features=feats)
+    result = {"task": args.task, "eval_model": model.name,
+              "n": int(feats.shape[0]), "dim": int(feats.shape[1]),
+              "output": out}
     print(json.dumps(result))
     return result
 

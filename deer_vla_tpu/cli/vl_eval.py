@@ -62,6 +62,14 @@ def build_parser():
                         "the RICES embedding sweep (upstream "
                         "cached_demonstration_features equivalent)")
     p.add_argument("--shots", type=int, default=2)
+    p.add_argument("--fewshot", action="store_true",
+                   help="build K-shot in-context prompts (K=--shots): demo "
+                        "examples with their ground-truth text are "
+                        "interleaved before the query (evaluate.py:1216-1239"
+                        " context join). Demos come from RICES neighbors "
+                        "when --rices is set, else seeded random draws; "
+                        "both exclude the query itself (the upstream pool "
+                        "is the train split)")
     p.add_argument("--max_layer", type=int, default=-1)
     p.add_argument("--debug", action="store_true",
                    help="synthetic images/annotations, no dataset needed")
@@ -254,6 +262,7 @@ def main(argv=None):
     n = min(args.num_samples, len(ds))
 
     rices_idx = None
+    demo_idx = None
     if args.rices:
         raw = np.stack([ds[i]["image"] for i in range(n)])
         bs = args.batch_size
@@ -262,6 +271,25 @@ def main(argv=None):
         feats = (np.load(args.cached_features)["features"]
                  if args.cached_features else q)
         rices_idx = rices_retrieve(q, feats, args.shots)
+    if args.fewshot:
+        if args.shots < 1 or n <= args.shots:
+            raise SystemExit("--fewshot needs 1 <= --shots < num samples")
+        if args.rices and args.cached_features:
+            raise SystemExit("--fewshot demos must be resolvable samples; "
+                             "--cached_features indexes a feature file "
+                             "whose source samples are not loaded here")
+        if args.rices:
+            # nearest neighbors, query itself excluded (the upstream
+            # retrieves from the train split so self never appears)
+            cand = rices_retrieve(q, feats, args.shots + 1)
+            demo_idx = np.stack(
+                [np.array([j for j in row if j != i][-args.shots:])
+                 for i, row in enumerate(cand)])
+        else:
+            r = np.random.RandomState(args.seed)
+            demo_idx = np.stack(
+                [r.choice(np.setdiff1d(np.arange(n), [i]), size=args.shots,
+                          replace=False) for i in range(n)])
 
     scores = []
     cap_preds, cap_refs = [], []  # corpus-level CIDEr-D needs the full set
@@ -269,14 +297,36 @@ def main(argv=None):
     for start in range(0, n, args.batch_size):
         idxs = list(range(start, min(start + args.batch_size, n)))
         samples = [ds[i] for i in idxs]
-        imgs = np.stack([s["image"] for s in samples])
-        vision = model.preprocess(imgs)
-        if is_caption:
-            prompts = [model.get_caption_prompt() for _ in samples]
+        if demo_idx is not None:
+            demos = [[ds[int(j)] for j in demo_idx[i]] for i in idxs]
+            if is_caption:
+                demo_texts = [[model.get_caption_prompt(d["caption"])
+                               for d in row] for row in demos]
+                finals = [model.get_caption_prompt() for _ in samples]
+            else:
+                demo_texts = [[model.get_vqa_prompt(
+                    d["question"], (d.get("answers") or [""])[0])
+                    for d in row] for row in demos]
+                finals = [model.get_vqa_prompt(s["question"])
+                          for s in samples]
+            prompts = [model.build_fewshot_prompt(dt, f)
+                       for dt, f in zip(demo_texts, finals)]
+            vision = model.build_fewshot_vision(
+                [[d["image"] for d in row] for row in demos],
+                [s["image"] for s in samples])
+            texts = model.get_outputs(vision, prompts,
+                                      max_new_tokens=args.max_new_tokens,
+                                      raw=True)
         else:
-            prompts = [model.get_vqa_prompt(s["question"]) for s in samples]
-        texts = model.get_outputs(vision, prompts,
-                                  max_new_tokens=args.max_new_tokens)
+            imgs = np.stack([s["image"] for s in samples])
+            vision = model.preprocess(imgs)
+            if is_caption:
+                prompts = [model.get_caption_prompt() for _ in samples]
+            else:
+                prompts = [model.get_vqa_prompt(s["question"])
+                           for s in samples]
+            texts = model.get_outputs(vision, prompts,
+                                      max_new_tokens=args.max_new_tokens)
         for text, s in zip(texts, samples):
             if is_caption:
                 refs = s.get("captions", [s["caption"]])
@@ -299,7 +349,8 @@ def main(argv=None):
     metric = {"caption": "bleu1", "flickr": "cider", "vqa": "vqa_acc",
               "textvqa": "textvqa_acc", "vizwiz": "vizwiz_acc",
               "okvqa": "okvqa_acc"}[args.task]
-    result = {"task": args.task, "n": n, "metric": metric}
+    result = {"task": args.task, "n": n, "metric": metric,
+              "shots": args.shots if args.fewshot else 0}
     if is_caption:
         from deer_vla_tpu.eval.vl_eval import cider_d
         result["cider"] = cider_d(cap_preds, cap_refs)

@@ -47,8 +47,25 @@ class BaseEvalModel:
         raise NotImplementedError
 
     def get_outputs(self, vision, prompts: Sequence[str],
-                    max_new_tokens: int = 10) -> List[str]:
-        """Greedy-decode a continuation per (image, prompt) row."""
+                    max_new_tokens: int = 10, raw: bool = False) -> List[str]:
+        """Greedy-decode a continuation per (image, prompt) row.  With
+        raw=True the prompts already carry the family's inline markers
+        (few-shot interleaved sequences) and are tokenized verbatim."""
+        raise NotImplementedError
+
+    def build_fewshot_prompt(self, demo_texts: Sequence[str],
+                             final_prompt: str) -> str:
+        """Compose a K-shot in-context prompt from completed demo texts
+        (each already containing its ground-truth continuation) + the
+        query prompt (upstream evaluate.py:939-957 context_text join).
+        The result goes through get_outputs(raw=True)."""
+        raise NotImplementedError
+
+    def build_fewshot_vision(self, demo_images: Sequence[Sequence[np.ndarray]],
+                             query_images: Sequence[np.ndarray]):
+        """Assemble per-row (demo images..., query image) into the family's
+        vision input.  Single-image families use the query image only (the
+        upstream BLIP-2 restriction, eval/models/blip.py:45-47)."""
         raise NotImplementedError
 
     def get_caption_prompt(self, caption: Optional[str] = None) -> str:
@@ -105,27 +122,63 @@ class FlamingoEvalModel(BaseEvalModel):
         # (B, 3, H, W) -> (B, T=1, F=1, 3, H, W) media layout
         return np.asarray(prep(jnp.asarray(images)))[:, None, None]
 
-    def get_outputs(self, vision, prompts, max_new_tokens=10):
+    def get_outputs(self, vision, prompts, max_new_tokens=10, raw=False):
         import jax.numpy as jnp
         from deer_vla_tpu.eval.vl_eval import greedy_generate
-        ids, mask = self.tok(prompts)
-        # strip each row's trailing <eoc><eos> at its true length so
-        # generation continues the prompt (mixed-length rows are
-        # right-padded — a flat [:, :-2] would only strip the longest row)
-        ids = np.array(ids, copy=True)
-        mask = np.array(mask, copy=True)
-        for r, length in enumerate(mask.sum(-1)):
-            le = int(length)
-            if le >= 2:
-                ids[r, le - 2:le] = 0
-                mask[r, le - 2:le] = 0
-        ids, mask = ids[:, :-2], mask[:, :-2]
+        eos = getattr(self.tok, "eos_token_id", None)
+        pad = getattr(self.tok, "pad_token_id", 0)
+        if raw:
+            # interleaved few-shot sequences with inline <image> /
+            # <|endofchunk|> markers; generous budget, HF truncation guards
+            words = max(len(p.split()) for p in prompts) + 1
+            ids, mask = self.tok.encode_raw(list(prompts),
+                                            min(512, 4 * words + 8))
+            ids = np.array(ids, copy=True)
+            mask = np.array(mask, copy=True)
+            # drop any trailing <eos> so generation continues the prompt
+            for r, length in enumerate(mask.sum(-1)):
+                le = int(length)
+                if eos is not None and le and ids[r, le - 1] == eos:
+                    ids[r, le - 1] = pad
+                    mask[r, le - 1] = 0
+            longest = max(int(mask.sum(-1).max()), 1)
+            ids, mask = ids[:, :longest], mask[:, :longest]
+        else:
+            ids, mask = self.tok(prompts)
+            # strip each row's trailing <eoc><eos> at its true length so
+            # generation continues the prompt (mixed-length rows are
+            # right-padded — a flat [:, :-2] would only strip the longest
+            # row)
+            ids = np.array(ids, copy=True)
+            mask = np.array(mask, copy=True)
+            for r, length in enumerate(mask.sum(-1)):
+                le = int(length)
+                if le >= 2:
+                    ids[r, le - 2:le] = 0
+                    mask[r, le - 2:le] = 0
+            ids, mask = ids[:, :-2], mask[:, :-2]
         out = greedy_generate(self.params, self.cfg, jnp.asarray(vision),
                               ids, mask, max_new_tokens=max_new_tokens,
-                              eos_id=getattr(self.tok, "eos_token_id", None))
-        return [_decode_row(self.tok, row,
-                            getattr(self.tok, "eos_token_id", None))
-                for row in out]
+                              eos_id=eos)
+        return [_decode_row(self.tok, row, eos) for row in out]
+
+    def build_fewshot_prompt(self, demo_texts, final_prompt) -> str:
+        # reference open_flamingo.py prompt templates join each completed
+        # demo as <image>...<|endofchunk|> before the query's open prompt
+        return ("".join(f"<image>{t}<|endofchunk|>" for t in demo_texts)
+                + f"<image>{final_prompt}")
+
+    def build_fewshot_vision(self, demo_images, query_images):
+        """Rows of K demo images + 1 query -> (B, K+1, 1, 3, H, W) media
+        (the gated-xattn media-time mask routes each text span to its
+        preceding image — models/gated_xattn.py)."""
+        b = len(query_images)
+        flat = np.concatenate(
+            [np.stack(list(demo_images[r]) + [query_images[r]])
+             for r in range(b)])
+        prep = self.preprocess(flat)  # (B*(K+1), 1, 1, 3, H, W)
+        k1 = prep.shape[0] // b
+        return prep[:, 0].reshape(b, k1, *prep.shape[2:])
 
     def get_caption_prompt(self, caption=None) -> str:
         from deer_vla_tpu.data.vl_dataset import CaptionDataset
@@ -200,14 +253,23 @@ class BlipEvalModel(BaseEvalModel):
         prep = _cached_jit(blip_preprocess, self.image_size)
         return np.asarray(prep(jnp.asarray(images)))
 
-    def get_outputs(self, vision, prompts, max_new_tokens=10):
+    def get_outputs(self, vision, prompts, max_new_tokens=10, raw=False):
         import jax.numpy as jnp
         from deer_vla_tpu.models.blip import blip_generate
+        # raw prompts carry no BLIP-specific markers — same tokenization
         ids, mask = self.tok(prompts)
         out = blip_generate(self.params, self.cfg, jnp.asarray(vision),
                             ids, mask, max_new_tokens=max_new_tokens)
         return [_decode_row(self.tok, row, self.cfg.text.sep_token_id)
                 for row in out]
+
+    def build_fewshot_prompt(self, demo_texts, final_prompt) -> str:
+        # text-only in-context examples: BLIP consumes one image per row
+        # (reference eval/models/blip.py:45-47 asserts exactly that)
+        return " ".join(list(demo_texts) + [final_prompt])
+
+    def build_fewshot_vision(self, demo_images, query_images):
+        return self.preprocess(np.stack(list(query_images)))
 
     # BLIP-2's single-image prompt formats (reference eval/models/blip.py:99-105)
     def get_vqa_prompt(self, question, answer=None) -> str:

@@ -132,6 +132,57 @@ def test_imagenet_rank_classification_cli():
     assert 0.0 <= res["score"] <= 1.0
 
 
+def test_fewshot_caption_flamingo_rices():
+    """K-shot in-context caption eval: RICES demos (self excluded),
+    interleaved <image>...<|endofchunk|> prompts, (B, K+1) media."""
+    from deer_vla_tpu.cli.vl_eval import main
+    res = main(["--task", "caption", "--debug", "--model", "tiny",
+                "--num_samples", "8", "--batch_size", "4",
+                "--max_new_tokens", "4", "--rices", "--fewshot",
+                "--shots", "2"])
+    assert res["shots"] == 2 and res["n"] == 8
+    assert 0.0 <= res["score"] <= 1.0
+
+
+def test_fewshot_vqa_blip_random_demos():
+    """BLIP is single-image: few-shot context folds to text-only demos."""
+    from deer_vla_tpu.cli.vl_eval import main
+    res = main(["--task", "vqa", "--debug", "--model", "tiny",
+                "--eval_model", "blip", "--num_samples", "8",
+                "--batch_size", "4", "--max_new_tokens", "4",
+                "--fewshot", "--shots", "2"])
+    assert res["shots"] == 2 and res["metric"] == "vqa_acc"
+
+
+def test_fewshot_prompt_composition():
+    from deer_vla_tpu.eval.eval_models import make_eval_model
+    f = make_eval_model(_args(model="tiny", eval_model="flamingo",
+                              debug=True))
+    p = f.build_fewshot_prompt(["A photo of a cat", "A photo of a dog"],
+                               "A photo of ")
+    assert p.count("<image>") == 3 and p.count("<|endofchunk|>") == 2
+    assert p.endswith("A photo of ")
+    b = make_eval_model(_args(model="tiny", eval_model="blip", debug=True))
+    q = b.build_fewshot_prompt(["A photo of a cat"], "A photo of ")
+    assert "<image>" not in q and q.endswith("A photo of ")
+
+
+def test_fewshot_vision_shapes():
+    import numpy as np
+    from deer_vla_tpu.eval.eval_models import make_eval_model
+    r = np.random.RandomState(0)
+    demos = [[r.randint(0, 256, (16, 16, 3), np.uint8) for _ in range(2)]
+             for _ in range(3)]
+    queries = [r.randint(0, 256, (16, 16, 3), np.uint8) for _ in range(3)]
+    f = make_eval_model(_args(model="tiny", eval_model="flamingo",
+                              debug=True))
+    v = f.build_fewshot_vision(demos, queries)
+    assert v.shape[:3] == (3, 3, 1)  # (B, K+1 media, F=1)
+    b = make_eval_model(_args(model="tiny", eval_model="blip", debug=True))
+    vb = b.build_fewshot_vision(demos, queries)
+    assert vb.shape[0] == 3 and vb.ndim == 4  # single image per row
+
+
 def test_blip_score_texts_prefers_forced_continuation():
     """The scorer must rank the candidate whose tokens the decoder is
     nudged toward (teacher-forced NLL contract) — validated by checking

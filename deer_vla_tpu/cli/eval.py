@@ -182,9 +182,27 @@ def main(argv=None):
             thresholds = controller.thresholds
         else:
             cache = args.value_cache or args.evaluate_from_checkpoint
+            folded = (cfg.fusion_mode == "vit_concat" or
+                      cfg.window_size == 1)
+            if args.calib_warm > 0 and not folded:
+                print(f"WARNING: --calib_warm={args.calib_warm} only "
+                      "applies to window-folded (w=1) calibration; this "
+                      "model calibrates with full training windows and the "
+                      "flag is a no-op (models/value_net.py warm_prefix)")
             values = None
             if cache and not args.recompute_values:
                 values = load_calibration_values(cache)
+                if values is not None:
+                    from deer_vla_tpu.train.checkpoint import \
+                        load_calibration_info
+                    cached_warm = int(load_calibration_info(cache)
+                                      .get("calib_warm", 0))
+                    want_warm = args.calib_warm if folded else 0
+                    if cached_warm != want_warm:
+                        print(f"values sidecar was calibrated with "
+                              f"calib_warm={cached_warm}; recomputing "
+                              f"with calib_warm={want_warm}")
+                        values = None
             batches = None
             if values is None:
                 batches = _calibration_batches(args, cfg, tok)
@@ -196,8 +214,10 @@ def main(argv=None):
                 values=values, max_batches=args.calib_batches,
                 all_gather=all_gather_values, warm_prefix=args.calib_warm)
             if cache:
-                save_calibration_values(cache, values,
-                                        {"exit_ratio": args.exit_ratio})
+                save_calibration_values(
+                    cache, values,
+                    {"exit_ratio": args.exit_ratio,
+                     "calib_warm": args.calib_warm if folded else 0})
             controller.set_thresholds(thresholds)
 
     use_fused = (args.engine == "fused" or

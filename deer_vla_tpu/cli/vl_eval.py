@@ -55,6 +55,13 @@ def build_parser():
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--max_new_tokens", type=int, default=10)
+    p.add_argument("--decode_engine", default="auto",
+                   choices=["auto", "recompute", "kv_cache"],
+                   help="flamingo generation engine: recompute re-runs the "
+                        "full buffer per token (best for tiny prompts); "
+                        "kv_cache prefills per-layer K/V once "
+                        "(eval/kv_decode.py — wins on long few-shot "
+                        "prompts); auto switches on buffer length")
     p.add_argument("--rices", action="store_true",
                    help="report RICES retrieval indices for shot selection")
     p.add_argument("--cached_features", default="",
@@ -138,21 +145,6 @@ def build_dataset(args, size, img_dir, ann_p, q_p, a_p):
         ds_name = "textvqa"  # fixture images are plain {i}.jpg
     return VQADataset(img_dir, q_p, a_p, dataset_name=ds_name,
                       image_size=size)
-
-
-def preprocess_images(ds, n, size, batch_size=32):
-    """Stack ds[0..n)'s images through ONE jitted batched clip_preprocess
-    (eager per-image dispatch is a per-op tunnel round trip on axon)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from deer_vla_tpu.data.preprocess import clip_preprocess
-    prep = jax.jit(lambda x: clip_preprocess(x, size))
-    outs = []
-    for s in range(0, n, batch_size):
-        raw = np.stack([ds[i]["image"] for i in range(s, min(s + batch_size, n))])
-        outs.append(np.asarray(prep(jnp.asarray(raw))))
-    return np.concatenate(outs, 0)
 
 
 def _run_hateful_memes(args, model, img_dir, size):

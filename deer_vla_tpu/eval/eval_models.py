@@ -104,10 +104,17 @@ class FlamingoEvalModel(BaseEvalModel):
 
     name = "flamingo"
 
-    def __init__(self, cfg, params, tok):
+    def __init__(self, cfg, params, tok, decode_engine: str = "auto"):
         self.cfg = cfg
         self.params = params
         self.tok = tok
+        # "recompute" re-runs the decoder over the whole buffer per token
+        # (optimal for tiny prompts); "kv_cache" prefills per-layer K/V
+        # once and attends new tokens against the cache (eval/kv_decode.py
+        # — wins once few-shot prompts grow); "auto" switches on buffer
+        # length
+        assert decode_engine in ("auto", "recompute", "kv_cache")
+        self.decode_engine = decode_engine
 
     @property
     def image_size(self) -> int:
@@ -157,9 +164,15 @@ class FlamingoEvalModel(BaseEvalModel):
                     ids[r, le - 2:le] = 0
                     mask[r, le - 2:le] = 0
             ids, mask = ids[:, :-2], mask[:, :-2]
-        out = greedy_generate(self.params, self.cfg, jnp.asarray(vision),
-                              ids, mask, max_new_tokens=max_new_tokens,
-                              eos_id=eos)
+        from deer_vla_tpu.eval.kv_decode import (greedy_generate_cached,
+                                                 supports_kv_cache)
+        total = ids.shape[1] + max_new_tokens
+        use_cache = supports_kv_cache(self.cfg) and (
+            self.decode_engine == "kv_cache" or
+            (self.decode_engine == "auto" and total >= 48))
+        generate = greedy_generate_cached if use_cache else greedy_generate
+        out = generate(self.params, self.cfg, jnp.asarray(vision),
+                       ids, mask, max_new_tokens=max_new_tokens, eos_id=eos)
         return [_decode_row(self.tok, row, eos) for row in out]
 
     def build_fewshot_prompt(self, demo_texts, final_prompt) -> str:
@@ -299,11 +312,13 @@ class BlipEvalModel(BaseEvalModel):
         (same contract as the flamingo scorer; reference
         blip.py get_rank_classifications)."""
         import jax.numpy as jnp
+        from deer_vla_tpu.eval.vl_eval import continuation_target_mask
         ids, mask = self.tok([f"{prompt} {t}" for t in texts])
         _, p_mask = self.tok([prompt] * len(texts))
-        p_len = p_mask.sum(1) - 1  # exclude the trailing [SEP]
-        pos = np.arange(ids.shape[1])[None]
-        target_mask = ((pos >= p_len[:, None]) & (mask > 0)).astype(np.int32)
+        # both BLIP tokenizers emit [DEC]-prefixed rows with NO trailing
+        # specials, so the continuation starts exactly at the prompt length
+        target_mask = continuation_target_mask(mask, p_mask,
+                                               trailing_specials=0)
         scorer = _cached_blip_scorer(self.cfg)
         pix = jnp.repeat(jnp.asarray(vision_one), len(texts), axis=0)
         return np.asarray(scorer(self.params, pix, jnp.asarray(ids),
@@ -329,18 +344,13 @@ def _cached_jit_embed_blip(cfg):
 @functools.lru_cache(maxsize=4)
 def _cached_blip_scorer(cfg):
     import jax
-    import jax.numpy as jnp
     from deer_vla_tpu.models.blip import text_decoder_forward, vision_forward
 
     def score(params, pix, ids, mask, target_mask):
+        from deer_vla_tpu.eval.vl_eval import summed_nll
         enc = vision_forward(params, pix, cfg.vision)
         logits = text_decoder_forward(params, ids, mask, enc, cfg.text)
-        logits = logits[:, :-1].astype(jnp.float32)
-        targets = ids[:, 1:]
-        logp = jax.nn.log_softmax(logits, -1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
-        valid = target_mask[:, 1:].astype(nll.dtype)
-        return (nll * valid).sum(-1)
+        return summed_nll(logits, ids, target_mask)
 
     return jax.jit(score)
 
@@ -379,7 +389,9 @@ def make_eval_model(args) -> BaseEvalModel:
         cfg, params = load_model(args)
         tok = make_tokenizer(args, cfg)
         cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
-        return FlamingoEvalModel(cfg, params, tok)
+        return FlamingoEvalModel(cfg, params, tok,
+                                 decode_engine=getattr(args, "decode_engine",
+                                                       "auto"))
     if name == "blip":
         import jax
         from deer_vla_tpu.models.blip import blip_base, blip_tiny, init_blip

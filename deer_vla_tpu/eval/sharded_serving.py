@@ -79,6 +79,23 @@ class ShardedBatchedPolicy:
             csh = NamedSharding(self.mesh, P(None, ("dp", "fsdp")))
             self._carry = jax.device_put(carry, csh)
 
+    def reset_streams(self, stream_mask) -> None:
+        """Per-stream episode reset — same contract as
+        ScanDeerPolicy.reset_streams (eval/batched_rollout.py:126 calls
+        this at every subtask begin); the refreshed carry keeps its
+        batch sharding."""
+        if self._carry is None:
+            return
+        import jax.numpy as jnp
+        from deer_vla_tpu.ops.lstm import zero_carry
+        m = jnp.asarray(np.asarray(stream_mask))
+        fresh = zero_carry(self.cfg.head.lstm_num_layers, m.shape[0],
+                           self.cfg.head.hidden_size, jnp.float32)
+        csh = NamedSharding(self.mesh, P(None, ("dp", "fsdp")))
+        self._carry = tuple(
+            jax.device_put(jnp.where(m[None, :, None], f, c), csh)
+            for f, c in zip(fresh, self._carry))
+
     def dispatch_batch(self, image, gripper, input_ids, attention_mask,
                        state: Optional[object] = None):
         """Async sharded step over B streams (B % mesh dp size == 0);

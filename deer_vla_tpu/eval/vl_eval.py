@@ -86,6 +86,30 @@ def greedy_generate(params: dict, cfg: DeerConfig, vision_x, prompt_ids,
 # ---------------------------------------------------------------------------
 
 
+def summed_nll(logits, ids, target_mask):
+    """Teacher-forced summed NLL of the target-masked tokens: logits
+    (B, S, V) predict ids shifted by one; target_mask marks the scored
+    positions.  Shared by the flamingo and BLIP rank-classification
+    scorers so their numerics cannot drift."""
+    logits = logits[:, :-1].astype(jnp.float32)
+    targets = ids[:, 1:]
+    logp = jax.nn.log_softmax(logits, -1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
+    valid = target_mask[:, 1:].astype(nll.dtype)
+    return (nll * valid).sum(-1)
+
+
+def continuation_target_mask(mask: np.ndarray, prompt_mask: np.ndarray,
+                             trailing_specials: int) -> np.ndarray:
+    """(B, S) mask of continuation positions: from each row's prompt
+    length (minus the tokenizer's trailing-special count — e.g. the
+    flamingo tokenizers append <|endofchunk|><eos>, BLIP's append
+    nothing) to its full valid length."""
+    p_len = np.asarray(prompt_mask).sum(1) - trailing_specials
+    pos = np.arange(np.asarray(mask).shape[1])[None]
+    return ((pos >= p_len[:, None]) & (np.asarray(mask) > 0)).astype(np.int32)
+
+
 @_functools.lru_cache(maxsize=8)
 def make_lm_scorer(cfg: DeerConfig):
     """jitted score(params, vision_x, ids, mask, target_mask) -> (B,) summed
@@ -98,12 +122,7 @@ def make_lm_scorer(cfg: DeerConfig):
         hidden, _ = decoder_forward(params["decoder"], ids, mask, media, cfg)
         logits = lm_logits(params["decoder"], hidden[-1], cfg.dtypes.cdt,
                            arch=cfg.mpt.arch)
-        logits = logits[:, :-1].astype(jnp.float32)
-        targets = ids[:, 1:]
-        logp = jax.nn.log_softmax(logits, -1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], -1)[..., 0]
-        valid = target_mask[:, 1:].astype(nll.dtype)
-        return (nll * valid).sum(-1)
+        return summed_nll(logits, ids, target_mask)
 
     return jax.jit(score)
 
@@ -121,9 +140,8 @@ def classify_by_lm_score(params: dict, cfg: DeerConfig, vision_x,
     ids, mask = text_fn(texts)
     _, p_mask = text_fn([prompt] * len(texts))
     ids, mask = fixed_length(ids, mask, tl, getattr(text_fn, "pad_token_id", 0))
-    p_len = p_mask.sum(1) - 2  # exclude the tokenizer's trailing <eoc><eos>
-    pos = np.arange(ids.shape[1])[None]
-    target_mask = ((pos >= p_len[:, None]) & (mask > 0)).astype(np.int32)
+    # the flamingo tokenizers append <|endofchunk|><eos> after the prompt
+    target_mask = continuation_target_mask(mask, p_mask, trailing_specials=2)
     n = len(texts)
     vis = jnp.repeat(vision_x, n, axis=0)
     scores = np.asarray(scorer(params, vis, jnp.asarray(ids),

@@ -288,6 +288,12 @@ def blip_generate(params: dict, cfg: BlipConfig, pixel_values,
     contract (modeling_blip.py forces input_ids[:, 0] = bos).  Returns the
     (B, max_new) generated ids, tail-padded with [SEP] after stop."""
     b, s = prompt_ids.shape
+    if s + max_new_tokens > cfg.text.max_positions:
+        raise ValueError(
+            f"BLIP decode buffer {s + max_new_tokens} (prompt {s} + "
+            f"{max_new_tokens} new) exceeds text.max_positions="
+            f"{cfg.text.max_positions}; shorten the prompt (fewer "
+            f"--shots / shorter demos) or use a larger-context config")
     ids = np.zeros((b, s + max_new_tokens), np.int32)
     mask = np.zeros((b, s + max_new_tokens), np.int32)
     ids[:, :s] = np.asarray(prompt_ids)

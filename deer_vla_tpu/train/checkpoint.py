@@ -134,6 +134,20 @@ def save_calibration_values(path: str, values: np.ndarray,
              info=json.dumps(info or {}))
 
 
+def load_calibration_info(path: str) -> Dict:
+    """Metadata recorded beside the cached values (exit_ratio, calib_warm)
+    — lets consumers detect a sidecar produced under different calibration
+    settings instead of silently reusing it."""
+    path = path[:-5] if path.endswith(".ckpt") else path
+    f = path + ".values.npz"
+    if not os.path.exists(f):
+        return {}
+    z = np.load(f, allow_pickle=False)
+    if "info" not in z.files:
+        return {}
+    return json.loads(str(z["info"]))
+
+
 def load_calibration_values(path: str) -> Optional[np.ndarray]:
     path = path[:-5] if path.endswith(".ckpt") else path
     f = path + ".values.npz"

@@ -183,6 +183,70 @@ def test_fewshot_vision_shapes():
     assert vb.shape[0] == 3 and vb.ndim == 4  # single image per row
 
 
+def test_blip_generate_overflow_is_actionable():
+    """Prompts past text.max_positions must raise a clear error, not an
+    opaque broadcast failure (few-shot demos can overflow the tiny
+    context)."""
+    import jax
+    from deer_vla_tpu.models.blip import blip_generate, blip_tiny, init_blip
+    cfg = blip_tiny()
+    params = jax.jit(lambda k: init_blip(k, cfg))(jax.random.PRNGKey(0))
+    s = cfg.text.max_positions  # prompt alone fills the context
+    ids = np.full((1, s), 5, np.int32)
+    ids[0, 0] = cfg.text.bos_token_id
+    pix = np.zeros((1, 3, cfg.vision.image_size, cfg.vision.image_size),
+                   np.float32)
+    with pytest.raises(ValueError, match="max_positions"):
+        blip_generate(params, cfg, pix, ids, np.ones_like(ids),
+                      max_new_tokens=4)
+
+
+def test_blip_score_mask_covers_exactly_the_continuation():
+    """Regression: the target mask must start AT the prompt length (BLIP
+    tokenizers append no trailing specials) — scoring a candidate must not
+    include the last prompt token's NLL."""
+    from deer_vla_tpu.eval.vl_eval import continuation_target_mask
+    from deer_vla_tpu.eval.eval_models import BlipHashTokenizer
+    from deer_vla_tpu.models.blip import blip_tiny
+    cfg = blip_tiny()
+    tok = BlipHashTokenizer(cfg.text.vocab_size, cfg.text.bos_token_id,
+                            cfg.text.sep_token_id, cfg.text.pad_token_id)
+    ids, mask = tok(["a photo of a cat"])
+    _, p_mask = tok(["a photo of a"])
+    tm = continuation_target_mask(mask, p_mask, trailing_specials=0)
+    # prompt = [DEC] + 4 words -> continuation is exactly the 1 'cat' token
+    assert tm[0].sum() == 1 and tm[0, 5] == 1
+    # flamingo convention: 2 trailing specials after the prompt
+    tm2 = continuation_target_mask(mask, p_mask, trailing_specials=2)
+    assert tm2[0].sum() == 3  # eats back into <eoc><eos> positions
+
+
+def test_calibration_info_sidecar_roundtrip(tmp_path):
+    from deer_vla_tpu.train.checkpoint import (load_calibration_info,
+                                               load_calibration_values,
+                                               save_calibration_values)
+    p = str(tmp_path / "m_0.ckpt")
+    vals = np.random.RandomState(0).randn(3, 16).astype(np.float32)
+    save_calibration_values(p, vals, {"exit_ratio": 0.8, "calib_warm": 4})
+    info = load_calibration_info(p)
+    assert info == {"exit_ratio": 0.8, "calib_warm": 4}
+    np.testing.assert_allclose(load_calibration_values(p), vals)
+    assert load_calibration_info(str(tmp_path / "missing.ckpt")) == {}
+
+
+def test_decode_engine_selection_same_output():
+    """--decode_engine kv_cache must produce the same CLI result as the
+    recompute engine (token-exact parity is pinned in test_kv_decode.py;
+    this covers the routing)."""
+    from deer_vla_tpu.cli.vl_eval import main
+    base = ["--task", "caption", "--debug", "--model", "tiny",
+            "--num_samples", "4", "--batch_size", "2",
+            "--max_new_tokens", "4"]
+    r1 = main(base + ["--decode_engine", "recompute"])
+    r2 = main(base + ["--decode_engine", "kv_cache"])
+    assert r1["score"] == r2["score"] and r1["cider"] == r2["cider"]
+
+
 def test_blip_score_texts_prefers_forced_continuation():
     """The scorer must rank the candidate whose tokens the decoder is
     nudged toward (teacher-forced NLL contract) — validated by checking

@@ -72,3 +72,31 @@ def test_sharded_refusals(setup):
     with pytest.raises(NotImplementedError):
         ShardedBatchedPolicy(
             ScanDeerPolicy(params_wf, cfg_wf, thresholds=[0.05, 1e8]), mesh)
+
+
+def test_sharded_reset_streams_matches_single(setup):
+    """batched_rollout calls reset_streams at every subtask begin
+    (eval/batched_rollout.py:126); the sharded wrapper must support it
+    and keep the refreshed carry batch-sharded."""
+    cfg, params = setup
+    mesh = make_mesh(dp=4, fsdp=2, tp=1)
+    th = [0.05, 1e8]
+    single = ScanDeerPolicy(params, cfg, thresholds=list(th))
+    sharded = ShardedBatchedPolicy(
+        ScanDeerPolicy(params, cfg, thresholds=list(th)), mesh)
+    B = 8
+    img, grip, ids, mask = _batch(cfg, B, seed=0)
+    single.step_batch(img, grip, ids, mask)
+    sharded.step_batch(img, grip, ids, mask)
+    # reset streams 0 and 3 only, then step again: actions must agree
+    m = np.zeros(B, bool)
+    m[[0, 3]] = True
+    single.reset_streams(m)
+    sharded.reset_streams(m)
+    leaf = jax.tree_util.tree_leaves(sharded._carry)[0]
+    assert len(leaf.sharding.device_set) == 8  # sharding preserved
+    img2, grip2, ids2, mask2 = _batch(cfg, B, seed=1)
+    a1, e1 = single.step_batch(img2, grip2, ids2, mask2)
+    a2, e2 = sharded.step_batch(img2, grip2, ids2, mask2)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_allclose(a2, a1, rtol=1e-5, atol=1e-5)

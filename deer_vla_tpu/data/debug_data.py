@@ -54,12 +54,20 @@ class DebugBatcher:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         r = np.random.RandomState(self.seed + self.epoch)
         w = self.cfg.window_size
+        # multi_step_action k>1: the real collation emits (B, w, k, 7)
+        # labels restacked from a (w + k - 1)-frame window
+        # (data/calvin.py collate = reference data.py:796-812) — the debug
+        # batches must match or the loss shapes diverge
+        k = self.cfg.head.multi_step_action
         for _ in range(self.num_batches):
             texts = [INSTRUCTIONS[TASKS[r.randint(len(TASKS))]]
                      for _ in range(self.batch_size)]
             ids, mask = self.text_fn(texts)
-            acts = np.clip(r.randn(self.batch_size, w, 7).astype(np.float32) * 0.3, -1, 1)
+            acts = np.clip(r.randn(self.batch_size, w + k - 1, 7)
+                           .astype(np.float32) * 0.3, -1, 1)
             acts[..., 6] = np.sign(acts[..., 6]) + (acts[..., 6] == 0)
+            if k != 1:
+                acts = np.stack([acts[:, i:i + k] for i in range(w)], axis=1)
             yield {
                 "rgb_static": r.randint(0, 256, (self.batch_size, w, self.img_hw,
                                                  self.img_hw, 3), np.uint8),

@@ -149,6 +149,28 @@ def test_multi_step_action_loss(setup):
     assert np.isfinite(float(loss))
     assert m["per_exit_loss"].shape[0] == len(cfg.exit_layer_ids()) + 3
 
+def test_debug_batcher_multi_step_shapes(setup):
+    """Regression: DebugBatcher must emit (B, W, k, 7) labels for k>1 like
+    the real collation (data/calvin.py; reference data.py:796-812) — it used
+    to emit (B, W, 7) and crash the loss with a 6k-vs-6 broadcast."""
+    from deer_vla_tpu.data.debug_data import DebugBatcher
+    from deer_vla_tpu.data.text import HashTokenizer
+    cfg0, tcfg, _ = setup
+    cfg = dataclasses.replace(
+        cfg0, head=dataclasses.replace(cfg0.head, multi_step_action=3))
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    batch = next(iter(DebugBatcher(cfg, tok, batch_size=2, num_batches=1,
+                                   img_hw=cfg.vit.image_size,
+                                   grip_hw=cfg.vit.image_size)))
+    w = cfg.window_size
+    assert batch["actions"].shape == (2, w, 3, 7)
+    assert batch["rgb_static"].shape[1] == w
+    # gripper channel stays in {-1, +1} after the window restack
+    assert set(np.unique(batch["actions"][..., 6])) <= {-1.0, 1.0}
+    # window slices overlap: label t, step j+1 == label t+1, step j
+    assert np.allclose(batch["actions"][:, 0, 1], batch["actions"][:, 1, 0])
+
+
 def test_save_every_iter(tmp_path):
     """save_every_iter > 0 writes a mid-epoch checkpoint before the epoch
     completes (train_utils.py:626-628 equivalent)."""

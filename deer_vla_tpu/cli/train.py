@@ -49,6 +49,31 @@ def build_parser() -> argparse.ArgumentParser:
                         "tokens, last-step-only loss (flamingo_mpt.py:700)")
     # action-head family (reference --decoder_type/--head_type,
     # train_calvin_post_strategy.py:308,317)
+    # action-head architecture knobs (reference train flags :313-338; all
+    # default to None = keep the model-config defaults)
+    p.add_argument("--exit_dropout", type=float, default=None,
+                   help="exit-head MLP dropout (reference default 0.4)")
+    p.add_argument("--lstm_dropout", type=float, default=None,
+                   help="between-LSTM-layer dropout (reference default 0.3)")
+    p.add_argument("--dropout_mode", default=None,
+                   choices=["layerwise", "last", "wo_last"])
+    p.add_argument("--mlp_num_hidden_layers", type=int, default=None,
+                   help="exit-head MLP hidden layers (reference flag "
+                        "default 2; module default 3)")
+    p.add_argument("--lstm_num_layers", type=int, default=None)
+    p.add_argument("--mlp_layernorm", action="store_true")
+    p.add_argument("--lstm_layernorm", action="store_true")
+    p.add_argument("--pooling", default=None, choices=["max", "mean"],
+                   help="language-token pooling before the head")
+    p.add_argument("--single_exit", action="store_true",
+                   help="train only the final head (the reference's default "
+                        "when --multi_exit is absent); DeeR training keeps "
+                        "multi-exit on, which is our default")
+    p.add_argument("--bin_coef", type=float, default=None,
+                   help="gripper-BCE weight override; default keeps the "
+                        "reference rule (0.05 real data, else 0.01 — "
+                        "train_utils.py:314-316; the reference --bin_coef "
+                        "flag only renames the checkpoint)")
     p.add_argument("--head_type", default="deterministic",
                    choices=["deterministic", "fc", "gpt", "diffusion"])
     p.add_argument("--hidden_size", type=int, default=None,
@@ -147,7 +172,22 @@ def make_model_config(args):
         w = cfg.window_size if args.model == "tiny" else args.window_size
         updates["n_obs_steps"] = min(getattr(args, "n_obs_steps", 6), w)
         updates["diff_horizon"] = max(updates["diff_horizon"], w)
+    if getattr(args, "single_exit", False):
+        updates["multi_exit"] = False
     head_updates = {}
+    for flag, field in (("exit_dropout", "dropout"),
+                        ("lstm_dropout", "lstm_dropout"),
+                        ("dropout_mode", "dropout_mode"),
+                        ("mlp_num_hidden_layers", "mlp_num_hidden_layers"),
+                        ("lstm_num_layers", "lstm_num_layers"),
+                        ("pooling", "pooling")):
+        v = getattr(args, flag, None)
+        if v is not None:
+            head_updates[field] = v
+    if getattr(args, "mlp_layernorm", False):
+        head_updates["mlp_layernorm"] = True
+    if getattr(args, "lstm_layernorm", False):
+        head_updates["lstm_layernorm"] = True
     if args.multi_step_action != 1:
         head_updates["multi_step_action"] = args.multi_step_action
     if args.use_state:
@@ -232,7 +272,7 @@ def main(argv=None):
         world_size=jax.process_count(),
         rgb_pad=args.rgb_pad, gripper_pad=args.gripper_pad,
         traj_cons=args.traj_cons, real_data=args.real_data,
-        tcp_rel=args.tcp_rel,
+        bin_coef=args.bin_coef, tcp_rel=args.tcp_rel,
         logging_steps=args.logging_steps, seed=args.seed,
         save_every_iter=args.save_every_iter)
 

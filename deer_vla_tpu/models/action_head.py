@@ -96,14 +96,20 @@ def _mlp_head_forward(p: dict, x: jnp.ndarray, cfg: HeadConfig, *,
             x = jnp.where(keep, x / (1.0 - cfg.dropout), 0.0)
         return x
 
-    if cfg.dropout_mode == "layerwise":
+    # dropout_mode (action_head.py:84-133): 'layerwise' = dropout before
+    # every hidden linear AND after the last hidden ReLU; 'last' = only after
+    # the final hidden ReLU; 'wo_last' = before every hidden linear but NOT
+    # after the last ReLU (the reference's elif-chain fallback layout).
+    if cfg.dropout_mode in ("layerwise", "wo_last"):
         x = maybe_dropout(x, 0)
     for i in range(n - 1):
         x = linear(p["layers"][i], x)
         if p["lns"][i] is not None:
             x = layernorm(p["lns"][i], x)
         x = jax.nn.relu(x)
-        if cfg.dropout_mode == "layerwise" or (cfg.dropout_mode == "last" and i == n - 2):
+        if (cfg.dropout_mode == "layerwise"
+                or (cfg.dropout_mode == "wo_last" and i < n - 2)
+                or (cfg.dropout_mode == "last" and i == n - 2)):
             x = maybe_dropout(x, i + 1)
     return linear(p["layers"][-1], x)
 

@@ -56,6 +56,9 @@ class TrainConfig:
     gripper_pad: int = 4
     traj_cons: bool = True
     real_data: bool = False
+    # gripper-BCE weight; None = the reference rule (0.05 for real data,
+    # else 0.01 — train_utils.py:314-316)
+    bin_coef: Optional[float] = None
     save_every_epoch: bool = True
     # >0: also checkpoint every N optimizer steps within an epoch
     # (--save_every_iter, train_utils.py:626-628)
@@ -209,6 +212,8 @@ class Trainer:
             params = fit_action_normalizer(params, loader)
         self.params = params
         steps_per_epoch = len(loader)
+        bin_coef = (tcfg.bin_coef if tcfg.bin_coef is not None
+                    else (0.05 if tcfg.real_data else 0.01))
         self._phases = {}
         for phase, lr, warm, sched, n_ep in (
                 ("joint", tcfg.joint_lr, tcfg.joint_warmup_steps,
@@ -227,13 +232,13 @@ class Trainer:
                 from deer_vla_tpu.train.train_step import make_cotrain_step
                 step = make_cotrain_step(
                     cfg, opt, phase=phase,
-                    bin_coef=0.05 if tcfg.real_data else 0.01,
+                    bin_coef=bin_coef,
                     vl_weight=vl_weight,
                     grad_accum=tcfg.gradient_accumulation_steps)
             else:
                 step = make_train_step(
                     cfg, opt, phase=phase,
-                    bin_coef=0.05 if tcfg.real_data else 0.01,
+                    bin_coef=bin_coef,
                     grad_accum=tcfg.gradient_accumulation_steps)
             self._phases[phase] = (opt, step)
         self.state: Optional[TrainState] = None

@@ -201,10 +201,14 @@ def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dic
     from deer_vla_tpu.train.optimizer import make_optimizer
     from deer_vla_tpu.train.train_step import init_train_state, make_train_step
 
+    import dataclasses
     cfg = MODEL_REGISTRY["mpt_dolly_3b"](max_layer=12)
+    # B=6/W=12 activations at 3B don't fit 16GB without remat — same
+    # trade the --remat train flag makes (jax.checkpoint per layer)
+    cfg = dataclasses.replace(cfg, remat_layers=True)
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     mask = trainable_mask(params, cfg, "joint")
-    params = jax.jit(cast_frozen_to_bf16)(params, mask)
+    params = jax.jit(lambda p: cast_frozen_to_bf16(p, mask))(params)
     opt = make_optimizer(params, cfg, phase="joint", learning_rate=1e-4,
                          warmup_steps=0, total_steps=1000, trainable=mask)
     step = make_train_step(cfg, opt, phase="joint")
@@ -247,10 +251,14 @@ def main():
     result = run_model(BENCH_MODEL)
     if BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_TRAIN",
                                                         "1") != "0":
-        try:
-            result["detail"]["train_3b"] = run_train_bench()
-        except Exception as e:  # best-effort: never sink the serving line
-            result["detail"]["train_3b"] = {"error": repr(e)[:200]}
+        # B=6 (the reference per-GPU unit) is ~78MB over this chip's 15.75G
+        # HBM even with remat; step down until the program fits
+        for tb in (6, 4, 2):
+            try:
+                result["detail"]["train_3b"] = run_train_bench(batch_size=tb)
+                break
+            except Exception as e:  # best-effort: never sink the serving line
+                result["detail"]["train_3b"] = {"error": repr(e)[:200]}
     # the sharded-config claim needs a number attached (VERDICT r2 item 10):
     # fold a truncated-9B measurement into the same driver artifact line
     if BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_9B",

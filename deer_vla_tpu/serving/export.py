@@ -1,0 +1,125 @@
+"""AOT export of the fused dynamic-exit serving step (jax.export).
+
+The reference's deployment story is a Python checkpoint load through the
+full model stack (eval_calvin.py:543-577) — every serving host needs the
+model code, torch, and a warm trace.  TPU-native serving wants an
+ahead-of-time artifact: here the while-loop engine's fused step
+(eval/scan_policy.build_scan_step) is lowered once to StableHLO and
+serialized; a serving host deserializes the bytes and runs them against
+checkpoint weights without ever tracing Python model code.  Cross-platform
+lowering means a CPU dev box can emit a TPU artifact.
+
+Artifact layout: ``<path>`` (serialized jax.export bytes) +
+``<path>.json`` (DeerConfig echo, batch/window geometry, exit ids,
+argument order) — the same sidecar idea as train/checkpoint.py.
+
+Weights stay OUT of the artifact: the exported program takes the packed
+serving param trees as arguments, so one artifact serves every checkpoint
+of the same config, and weight updates don't invalidate the program.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deer_vla_tpu.core.config import DeerConfig
+from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+from deer_vla_tpu.ops.lstm import zero_carry
+
+
+def _specs(tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), tree)
+
+
+def _arg_shapes(policy: ScanDeerPolicy, batch_size: int):
+    """Abstract argument values for the fused step, in signature order
+    (params, stacked, img, grip, ids, mask, carry, thresholds, state)."""
+    cfg = policy.cfg
+    enc_w = (cfg.window_size
+             if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
+    rows = batch_size * enc_w
+    text_rows = rows if cfg.use_hist else batch_size
+    hw = cfg.vit.image_size
+    img = jax.ShapeDtypeStruct((rows, 1, 1, 3, hw, hw), jnp.float32)
+    ids = jax.ShapeDtypeStruct((text_rows, cfg.text_len), jnp.int32)
+    mask = jax.ShapeDtypeStruct((text_rows, cfg.text_len), jnp.int32)
+    carry = _specs(zero_carry(cfg.head.lstm_num_layers, batch_size,
+                              cfg.head.hidden_size, jnp.float32))
+    th = jax.ShapeDtypeStruct((cfg.n_layers,), jnp.float32)
+    state = None
+    if cfg.use_state or cfg.head.use_state:
+        state = jax.ShapeDtypeStruct((rows, 1, 1, cfg.state_dim), jnp.float32)
+    return (_specs(policy.params), _specs(policy.stacked), img, img, ids,
+            mask, carry, th, state)
+
+
+def export_policy(params: dict, cfg: DeerConfig, *, batch_size: int = 1,
+                  platforms: Tuple[str, ...] = ("tpu",),
+                  threshold_type: str = "L2",
+                  max_layer: Optional[int] = None,
+                  exit_ids: Optional[List[int]] = None):
+    """Lower the fused dynamic-exit step to a serialized artifact.
+
+    Returns (blob: bytes, meta: dict).  ``platforms`` may include platforms
+    other than the current one (cross-lowering); a loaded artifact runs on
+    any platform it was exported for.
+    """
+    policy = ScanDeerPolicy(params, cfg, exit_ids=exit_ids,
+                            threshold_type=threshold_type,
+                            max_layer=max_layer)
+    args = _arg_shapes(policy, batch_size)
+    exp = jax.export.export(policy._step, platforms=list(platforms))(*args)
+    blob = exp.serialize()
+    meta = {
+        "config": json.loads(cfg.to_json()),
+        "batch_size": batch_size,
+        "platforms": list(platforms),
+        "threshold_type": threshold_type,
+        "max_layer": max_layer,
+        "exits": [int(e) for e in policy.exits],
+        "arg_order": ["params", "stacked", "image", "gripper", "input_ids",
+                      "attention_mask", "carry", "thresholds_full", "state"],
+        "jax_version": jax.__version__,
+    }
+    return blob, meta
+
+
+def save_exported(path: str, blob: bytes, meta: dict) -> None:
+    with open(path, "wb") as f:
+        f.write(blob)
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_exported(path: str):
+    """Returns (jax.export.Exported, meta dict)."""
+    with open(path, "rb") as f:
+        exp = jax.export.deserialize(f.read())
+    with open(path + ".json") as f:
+        meta = json.load(f)
+    return exp, meta
+
+
+class ExportedScanPolicy(ScanDeerPolicy):
+    """ScanDeerPolicy whose fused step comes from a deserialized artifact —
+    the serving-host side.  The Python engine code is still used for the
+    cheap host logic (carry management, threshold staging, postprocess);
+    the model program itself is the AOT StableHLO, so no retrace can ever
+    change what runs in production."""
+
+    def __init__(self, artifact_path: str, params: dict, cfg: DeerConfig,
+                 **kw):
+        exp, meta = load_exported(artifact_path)
+        super().__init__(params, cfg, **kw)
+        if [int(e) for e in self.exits] != list(meta["exits"]):
+            raise ValueError(
+                f"artifact exits {meta['exits']} != config exits "
+                f"{self.exits} — wrong checkpoint/config for this artifact")
+        self._step = exp.call
+        self.meta = meta

@@ -88,26 +88,27 @@ def run_model(bench_model: str) -> dict:
 
     from deer_vla_tpu.ops.lstm import zero_carry
 
-    def time_depth(k, iters=30, warmup=5):
+    def time_depth(k, iters=30, warmup=5, p=None):
         """Device-pipelined timing: chain `iters` fused steps through the
         on-device carry WITHOUT reading the action back each step, then sync
         once.  This measures the framework's per-action device cost; the
         host-readback-per-step cost (pure transport, huge variance on
         tunneled chips) is reported separately as sync_step_ms."""
+        p = p or policy
         th = full_thresholds(k)
         carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
                            jnp.float32)
         for i in range(warmup):
-            arm, gp, carry, el = policy._step(policy.params, policy.stacked,
-                                              img_pool[i % N_POOL], grip,
-                                              ids, mask, carry, th)
+            arm, gp, carry, el = p._step(p.params, p.stacked,
+                                         img_pool[i % N_POOL], grip,
+                                         ids, mask, carry, th)
         jax.block_until_ready((arm, gp, carry, el))
         assert int(el[0]) == exits[k], (int(el[0]), exits[k])
         t0 = time.perf_counter()
         for i in range(iters):
-            arm, gp, carry, el = policy._step(policy.params, policy.stacked,
-                                              img_pool[i % N_POOL], grip,
-                                              ids, mask, carry, th)
+            arm, gp, carry, el = p._step(p.params, p.stacked,
+                                         img_pool[i % N_POOL], grip,
+                                         ids, mask, carry, th)
         jax.block_until_ready((arm, gp, carry, el))
         return (time.perf_counter() - t0) / iters
 
@@ -132,6 +133,10 @@ def run_model(bench_model: str) -> dict:
     expected_t = float((probs * per_depth_t).sum())
     aps = 1.0 / expected_t
     aps_full = 1.0 / per_depth_t[-1]
+    # measure the sync step NOW, while only `policy` holds device memory —
+    # the batched and int8 engines below each stack their own weight trees
+    # and the three together (plus fp32 params) don't fit a 16GB chip
+    sync_step_ms = round(1000 * time_sync_step(), 2)
     avg_exit_layer = float((probs * (np.array(exits) + 1)).sum())
 
     # batched serving throughput: 32 parallel streams through the SAME
@@ -169,6 +174,44 @@ def run_model(bench_model: str) -> dict:
                                               idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
+        # free the batched engine's stacked tree before the int8 engine
+        # stacks its own (HBM headroom, see sync_step note above)
+        del bp, imgB_pool, carryB, armB, gpB, elB
+
+    # weight-only int8 serving (--quantize int8, ops/quant.py): same engine,
+    # int8 decoder/encoder stacks.  One extra compile; the per-depth sweep
+    # reuses the program with runtime thresholds.  Same-process ratio vs the
+    # bf16 curve above (measured 1.10-1.15x, action drift <= 1e-4 at 3B).
+    int8_detail = {}
+    if os.environ.get("DEER_BENCH_INT8", "1") != "0" and BENCH_MODEL != "mpt_9b":
+        try:
+            q8 = ScanDeerPolicy(params, cfg, quantize="int8",
+                                thresholds=[1e8] * len(exits))
+            # interleaved A/B per depth: the chip is time-shared, so the
+            # bf16 reference is RE-timed adjacent to each int8 point
+            # instead of reusing the minutes-old curve above (a concurrent
+            # host load once turned a 1.19x win into a bogus 0.7x)
+            per_depth_q8, per_depth_fp2 = [], []
+            for k in range(len(exits)):
+                per_depth_fp2.append(time_depth(k))
+                per_depth_q8.append(time_depth(k, p=q8))
+            per_depth_q8 = np.array(per_depth_q8)
+            per_depth_fp2 = np.array(per_depth_fp2)
+            aps_q8 = 1.0 / float((probs * per_depth_q8).sum())
+            int8_detail = {
+                "actions_per_sec": round(aps_q8, 2),
+                "full_depth_actions_per_sec":
+                    round(1.0 / per_depth_q8[-1], 2),
+                "speedup_vs_bf16": round(
+                    float((probs * per_depth_fp2).sum())
+                    / float((probs * per_depth_q8).sum()), 3),
+                "per_depth_ms": [round(1000 * t, 2) for t in per_depth_q8],
+                "bf16_adjacent_per_depth_ms":
+                    [round(1000 * t, 2) for t in per_depth_fp2],
+            }
+            del q8
+        except Exception as e:
+            int8_detail = {"error": repr(e)[:200]}
 
     short = "3b" if BENCH_MODEL == "mpt_dolly_3b" else BENCH_MODEL
     result = {
@@ -181,11 +224,13 @@ def run_model(bench_model: str) -> dict:
             "batched32_full_depth_actions_per_sec": round(batched_aps, 2),
             "avg_exit_layer": round(avg_exit_layer, 2),
             "per_depth_ms": [round(1000 * t, 2) for t in per_depth_t],
-            "sync_step_ms": round(1000 * time_sync_step(), 2),
+            "sync_step_ms": sync_step_ms,
             "execution_model": "while_loop_single_program",
             "backend": jax.default_backend(),
         },
     }
+    if int8_detail:
+        result["detail"]["int8"] = int8_detail
     return result
 
 

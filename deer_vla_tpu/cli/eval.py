@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="direct thresholds (BO mode), last should be 1e5")
     p.add_argument("--exit_id", type=int, default=None,
                    help="fixed exit layer (static eval, disables dynamic exit)")
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="weight-only quantized serving (while-loop engine "
+                        "only): int8 decoder/encoder stacks halve the "
+                        "weight HBM traffic of the B=1 step; embeddings "
+                        "and the action head stay full precision "
+                        "(ops/quant.py)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "bucketed"],
                    help="dynamic-exit execution model: fused = one XLA "
@@ -250,6 +256,11 @@ def main(argv=None):
         if args.vision_cache_tau > 0:
             raise SystemExit("--vision_cache_tau currently serves the "
                              "deterministic LSTM head only")
+    if args.quantize != "none" and not (use_fused and controller is not None):
+        raise SystemExit("--quantize serves through the while-loop engine "
+                         "only (dynamic exit, deterministic head, no "
+                         "--multi_execution/--use_action_ensemble); it does "
+                         "not apply to this configuration")
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
@@ -257,7 +268,8 @@ def main(argv=None):
         from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
         policy = ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
                                 max_layer=max_layer,
-                                steps_per_stage=args.steps_per_stage)
+                                steps_per_stage=args.steps_per_stage,
+                                quantize=args.quantize)
         policy.set_thresholds(controller.thresholds)
         if args.frame_cache:
             if not (cfg.fusion_mode == "vit_concat" or cfg.use_hist):
@@ -337,7 +349,8 @@ def main(argv=None):
         bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
             ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
                            max_layer=max_layer,
-                           steps_per_stage=args.steps_per_stage)
+                           steps_per_stage=args.steps_per_stage,
+                           quantize=args.quantize)
         if not isinstance(policy, ScanDeerPolicy):
             bpolicy.set_thresholds(controller.thresholds)
         if args.debug or not args.calvin_conf_path:

@@ -403,12 +403,23 @@ class ScanDeerPolicy:
                  thresholds: Optional[List[float]] = None,
                  threshold_type: str = "L2", max_layer: Optional[int] = None,
                  steps_per_stage: int = 1, drop_unstacked: bool = False,
-                 indexed_mm: bool = False, pack: bool = True):
+                 indexed_mm: bool = False, pack: bool = True,
+                 quantize: Optional[str] = None):
         check_serving_supported(cfg, allow_window_folded=True)
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg,
                                             include_encoders=pack)
+        self.quantize = quantize
+        if quantize and quantize != "none":
+            # weight-only int8 serving (ops/quant.py): halves the decoder /
+            # encoder weight HBM traffic of the bandwidth-bound B=1 step;
+            # embeddings and the action head stay full precision.  The
+            # exit-threshold calibration runs on the fp model — the delta
+            # distribution shift is small (per-channel symmetric) and BO
+            # absorbs the rest, same as the warm-carry skew (--calib_warm).
+            from deer_vla_tpu.ops.quant import quantize_serving_stacked
+            self.stacked = quantize_serving_stacked(self.stacked, quantize)
         if pack:
             # serving default: encoder layers ride the stacked tree and the
             # params argument shrinks to the ~60 leaves the step reads —

@@ -136,10 +136,14 @@ def mpt_block_forward_stacked(stacked: dict, i, x: jnp.ndarray,
     weight HBM traffic of the bandwidth-bound streaming step); layernorm
     scales/biases are tiny and sliced normally.
     """
-    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul
+    from deer_vla_tpu.ops.pallas.indexed_matmul import (indexed_matmul,
+                                                        indexed_matmul_q8)
 
     def imm(p: dict, h):
-        y = indexed_matmul(h, p["w"], i)
+        if "q" in p:  # weight-only int8 stack (ops/quant.py)
+            y = indexed_matmul_q8(h, p["q"], p["s"], i)
+        else:
+            y = indexed_matmul(h, p["w"], i)
         if "b" in p and p["b"] is not None:
             y = y + jax.lax.dynamic_index_in_dim(
                 p["b"], i, 0, keepdims=False).astype(y.dtype)

@@ -63,7 +63,14 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"].astype(x.dtype))
+    if "q" in p:
+        # weight-only int8 (ops/quant.py): the int8->compute-dtype cast and
+        # the per-output-channel scale both fuse into the dot, so the
+        # weight's HBM traffic is the int8 bytes.  (x @ q) * s == x @ (q*s)
+        # exactly for per-column s, and keeps the dequant out of HBM.
+        y = jnp.dot(x, p["q"].astype(x.dtype)) * p["s"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype))
     if "b" in p and p["b"] is not None:
         y = y + p["b"].astype(x.dtype)
     return y

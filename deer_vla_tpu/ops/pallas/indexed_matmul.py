@@ -87,6 +87,99 @@ def _xla_fallback(x, w, idx):
     return jnp.dot(x, wi.astype(x.dtype))
 
 
+# ---------------------------------------------------------------------------
+# weight-only int8 variant (ops/quant.py layout: q (L, K, N) int8,
+# s (L, N) fp32 per-output-channel scales)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_q8(idx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # int8 tile -> compute dtype in VMEM (HBM only ever sees int8 bytes),
+    # fp32 accumulation on the MXU
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w_ref[0].astype(x_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[0, 0].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "block_n"))
+def _run_q8(x, wq, s, idx, block_k: int, block_n: int):
+    m, kdim = x.shape
+    nl, _, n = wq.shape
+    nk = pl.cdiv(kdim, block_k)
+    nn = pl.cdiv(n, block_n)
+    # scales ride as (L, 1, N): every block dim is either 1 == the array dim
+    # or a lane-aligned slice, satisfying the Mosaic block-shape rule
+    s3 = s.reshape(nl, 1, n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nn, nk),
+        in_specs=[
+            pl.BlockSpec((m, block_k), lambda j, k, idx: (0, k)),
+            pl.BlockSpec((1, block_k, block_n),
+                         lambda j, k, idx: (idx[0], k, j)),
+            pl.BlockSpec((1, 1, block_n), lambda j, k, idx: (idx[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda j, k, idx: (0, j)),
+        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_q8, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * kdim * n,
+            bytes_accessed=kdim * n + m * kdim * x.dtype.itemsize + n * 4,
+            transcendentals=0),
+    )(idx.reshape(1).astype(jnp.int32), x, wq, s3)
+
+
+def _xla_fallback_q8(x, wq, s, idx):
+    wi = jax.lax.dynamic_index_in_dim(wq, idx, axis=0, keepdims=False)
+    si = jax.lax.dynamic_index_in_dim(s, idx, axis=0, keepdims=False)
+    return jnp.dot(x, wi.astype(x.dtype)) * si.astype(x.dtype)
+
+
+def indexed_matmul_q8(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray, idx,
+                      *, block_k: int = 1024, block_n: int = 512,
+                      backend: Optional[str] = None) -> jnp.ndarray:
+    """``(x (..., K) @ wq (L, K, N) [idx]) * s (L, N) [idx] -> (..., N)``
+    with int8 weights: the layer's weight bytes stream HBM->VMEM as int8
+    (half the bf16 kernel's traffic on a bandwidth-bound step), dequant
+    happens on-chip fused with the dot."""
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    if backend != "pallas":
+        return _xla_fallback_q8(x, wq, s, jnp.asarray(idx))
+    x2 = x.reshape(-1, kdim)
+    m = x2.shape[0]
+    tile_m = 16 if x2.dtype == jnp.bfloat16 else 8
+    mp = _round_up(m, tile_m)
+    n = wq.shape[2]
+    bk = min(block_k, kdim)
+    bn = min(block_n, n)
+    if kdim % bk or n % bn or kdim != wq.shape[1]:
+        return _xla_fallback_q8(x, wq, s, jnp.asarray(idx))
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    y = _run_q8(x2, wq, s.astype(jnp.float32), jnp.asarray(idx), bk, bn)
+    if mp != m:
+        y = y[:m]
+    return y.reshape(*lead, n)
+
+
 def indexed_matmul(x: jnp.ndarray, w: jnp.ndarray, idx,
                    *, block_k: int = 1024, block_n: int = 512,
                    backend: Optional[str] = None) -> jnp.ndarray:

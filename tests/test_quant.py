@@ -1,0 +1,145 @@
+"""Weight-only int8 serving quantization (ops/quant.py): scheme error
+bounds, the linear/indexed-matmul consumers, and the while-loop engine's
+--quantize int8 path end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.models.flamingo import init_deer
+from deer_vla_tpu.ops.layers import linear
+from deer_vla_tpu.ops.quant import (dequantize_weight, quantize_tree,
+                                    quantize_weight, tree_bytes)
+
+
+def test_quantize_roundtrip_error_bound():
+    """|w - q*s| <= s/2 elementwise (round-to-nearest, symmetric)."""
+    r = np.random.RandomState(0)
+    for shape in [(64, 96), (3, 64, 96)]:
+        w = jnp.asarray(r.randn(*shape).astype(np.float32))
+        q, s = quantize_weight(w)
+        assert q.dtype == jnp.int8 and s.dtype == jnp.float32
+        assert q.shape == w.shape and s.shape == shape[:-2] + shape[-1:]
+        deq = dequantize_weight(q, s)
+        err = np.abs(np.asarray(w) - np.asarray(deq))
+        bound = np.asarray(s)[..., None, :] / 2 + 1e-7
+        assert (err <= np.broadcast_to(bound, err.shape)).all()
+        # the max |w| per column is exactly representable
+        assert np.abs(np.asarray(q)).max() == 127
+
+
+def test_linear_quantized_close():
+    r = np.random.RandomState(1)
+    p = {"w": jnp.asarray(r.randn(128, 64).astype(np.float32)) * 0.05,
+         "b": jnp.asarray(r.randn(64).astype(np.float32))}
+    x = jnp.asarray(r.randn(4, 128).astype(np.float32))
+    y = linear(p, x)
+    q, s = quantize_weight(p["w"])
+    yq = linear({"q": q, "s": s, "b": p["b"]}, x)
+    # per-channel int8 on a 128-dim contraction: sub-percent relative error
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(y),
+                               rtol=0, atol=0.02)
+
+
+def test_indexed_matmul_q8_fallback_matches_dequant():
+    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul_q8
+    r = np.random.RandomState(2)
+    w = jnp.asarray(r.randn(3, 128, 256).astype(np.float32))
+    x = jnp.asarray(r.randn(8, 128).astype(np.float32))
+    q, s = quantize_weight(w)
+    for i in range(3):
+        got = indexed_matmul_q8(x, q, s, i, backend="xla")
+        want = jnp.dot(x, dequantize_weight(q[i], s[i]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_tree_targets_only_w():
+    tree = {"wqkv": {"w": jnp.ones((2, 16, 16))},
+            "ln": {"scale": jnp.ones((16,)), "bias": jnp.zeros((16,))},
+            "gate": jnp.zeros((1,)),
+            "nested": [{"w": jnp.ones((8, 8)), "b": jnp.zeros((8,))}]}
+    out = quantize_tree(tree)
+    assert set(out["wqkv"]) == {"q", "s"}
+    assert out["ln"]["scale"].dtype != jnp.int8
+    assert set(out["nested"][0]) == {"q", "s", "b"}
+    assert tree_bytes(out) < tree_bytes(tree)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    cfg = deer_tiny()
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _inputs(cfg, seed=0):
+    r = np.random.RandomState(seed)
+    hw, sl = cfg.vit.image_size, cfg.text_len
+    img = r.randn(1, 1, 1, 3, hw, hw).astype(np.float32)
+    grip = r.randn(1, 1, 1, 3, hw, hw).astype(np.float32)
+    ids = np.full((1, sl), 7, np.int32)
+    ids[0, 0] = cfg.media_token_id
+    return img, grip, ids, np.ones((1, sl), np.int32)
+
+
+def test_scan_policy_int8_close_and_smaller(tiny_setup):
+    """--quantize int8 engine: actions stay close to the fp engine at a
+    forced depth, the carry threads, and the packed tree actually shrank."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = tiny_setup
+    fp = ScanDeerPolicy(params, cfg)
+    q8 = ScanDeerPolicy(params, cfg, quantize="int8")
+    assert tree_bytes(q8.stacked) < 0.62 * tree_bytes(fp.stacked)
+    # full depth forced on both (threshold-crossing order could differ)
+    th = [-1e8] * (len(fp.exits) - 1) + [1e8]
+    fp.set_thresholds(list(th)), q8.set_thresholds(list(th))
+    for i in range(3):
+        img, grip, ids, mask = _inputs(cfg, seed=i)
+        a = fp.step(img, grip, ids, mask)
+        b = q8.step(img, grip, ids, mask)
+        assert fp.last_exit_layer == q8.last_exit_layer
+        assert np.isfinite(b).all()
+        # tanh-bounded actions; tiny random model + int8 everywhere ->
+        # loose-but-meaningful closeness (catches wrong scales/transposes,
+        # which produce O(1) garbage)
+        assert np.abs(a - b).max() < 0.25, (a, b)
+        assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.9
+
+
+def test_scan_policy_int8_dynamic_exit_runs(tiny_setup):
+    """Dynamic thresholds: int8 engine exits at a valid layer and streams."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = tiny_setup
+    q8 = ScanDeerPolicy(params, cfg, quantize="int8",
+                        thresholds=[1e8, 1e8])
+    for i in range(2):
+        img, grip, ids, mask = _inputs(cfg, seed=10 + i)
+        act = q8.step(img, grip, ids, mask)
+        assert act.shape == (7,)
+        assert q8.last_exit_layer in q8.exits
+
+
+def test_quantized_stacked_block_forward_close(tiny_setup):
+    """mpt_block_forward_stacked over an int8 stack (the imm path's XLA
+    fallback + the sliced linear path) vs the fp stacked forward."""
+    from deer_vla_tpu.eval.scan_policy import stack_decoder_layers
+    from deer_vla_tpu.models.mpt import make_attn_bias, mpt_block_forward_stacked
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+    cfg, params = tiny_setup
+    stacked = stack_decoder_layers(params, cfg)
+    q8 = quantize_serving_stacked(stacked, "int8")
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(1, cfg.text_len, cfg.mpt.d_model)
+                    .astype(np.float32)) * 0.1
+    mask = jnp.ones((1, cfg.text_len), jnp.int32)
+    bias = make_attn_bias(mask, cfg.mpt, jnp.float32)
+    for i in [0, cfg.n_layers - 1]:
+        y = mpt_block_forward_stacked(stacked["blocks"], i, x, bias, cfg.mpt)
+        yq = mpt_block_forward_stacked(q8["blocks"], i, x, bias, cfg.mpt)
+        assert np.isfinite(np.asarray(yq)).all()
+        rel = (np.abs(np.asarray(y - yq)).max()
+               / (np.abs(np.asarray(y)).max() + 1e-9))
+        assert rel < 0.05, rel

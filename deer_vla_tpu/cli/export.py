@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--threshold_type", default="L2")
     p.add_argument("--max_layer", type=int, default=-1)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--quantize", default="none", choices=["none", "int8"],
+                   help="bake the weight-only int8 stacked layout "
+                        "(ops/quant.py) into the artifact; the serving "
+                        "host quantizes checkpoint weights to match")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--check", action="store_true",
                    help="reload + run one step vs the live engine")
@@ -52,11 +56,13 @@ def main(argv=None):
                                              export_policy, save_exported)
 
     cfg, params = load_model(args)
+    quantize = None if args.quantize == "none" else args.quantize
     blob, meta = export_policy(
         params, cfg, batch_size=args.batch,
         platforms=tuple(args.platforms),
         threshold_type=args.threshold_type,
-        max_layer=args.max_layer if args.max_layer > 0 else None)
+        max_layer=args.max_layer if args.max_layer > 0 else None,
+        quantize=quantize)
     save_exported(args.out, blob, meta)
     print(json.dumps({"out": args.out, "bytes": len(blob),
                       "exits": meta["exits"],
@@ -70,7 +76,8 @@ def main(argv=None):
             return 0
         from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
         kw = dict(threshold_type=args.threshold_type,
-                  max_layer=args.max_layer if args.max_layer > 0 else None)
+                  max_layer=args.max_layer if args.max_layer > 0 else None,
+                  quantize=quantize)
         live = ScanDeerPolicy(params, cfg, **kw)
         aot = ExportedScanPolicy(args.out, params, cfg, **kw)
         r = np.random.RandomState(0)

@@ -63,16 +63,20 @@ def export_policy(params: dict, cfg: DeerConfig, *, batch_size: int = 1,
                   platforms: Tuple[str, ...] = ("tpu",),
                   threshold_type: str = "L2",
                   max_layer: Optional[int] = None,
-                  exit_ids: Optional[List[int]] = None):
+                  exit_ids: Optional[List[int]] = None,
+                  quantize: Optional[str] = None):
     """Lower the fused dynamic-exit step to a serialized artifact.
 
     Returns (blob: bytes, meta: dict).  ``platforms`` may include platforms
     other than the current one (cross-lowering); a loaded artifact runs on
-    any platform it was exported for.
+    any platform it was exported for.  ``quantize="int8"`` bakes the
+    weight-only int8 stacked layout (ops/quant.py) into the program's
+    argument shapes — the artifact then expects int8 stacks and the host
+    side (ExportedScanPolicy) quantizes the checkpoint to match.
     """
     policy = ScanDeerPolicy(params, cfg, exit_ids=exit_ids,
                             threshold_type=threshold_type,
-                            max_layer=max_layer)
+                            max_layer=max_layer, quantize=quantize)
     args = _arg_shapes(policy, batch_size)
     exp = jax.export.export(policy._step, platforms=list(platforms))(*args)
     blob = exp.serialize()
@@ -82,6 +86,7 @@ def export_policy(params: dict, cfg: DeerConfig, *, batch_size: int = 1,
         "platforms": list(platforms),
         "threshold_type": threshold_type,
         "max_layer": max_layer,
+        "quantize": quantize,
         "exits": [int(e) for e in policy.exits],
         "arg_order": ["params", "stacked", "image", "gripper", "input_ids",
                       "attention_mask", "carry", "thresholds_full", "state"],
@@ -116,6 +121,13 @@ class ExportedScanPolicy(ScanDeerPolicy):
     def __init__(self, artifact_path: str, params: dict, cfg: DeerConfig,
                  **kw):
         exp, meta = load_exported(artifact_path)
+        # the artifact's argument layout is authoritative: an int8 export
+        # needs the host to quantize the checkpoint stacks identically
+        kw.setdefault("quantize", meta.get("quantize"))
+        if kw.get("quantize") != meta.get("quantize"):
+            raise ValueError(
+                f"artifact was exported with quantize={meta.get('quantize')!r}"
+                f" but the host requested {kw.get('quantize')!r}")
         super().__init__(params, cfg, **kw)
         if [int(e) for e in self.exits] != list(meta["exits"]):
             raise ValueError(

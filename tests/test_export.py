@@ -87,6 +87,40 @@ def test_export_exit_mismatch_rejected(setup, tmp_path):
         ExportedScanPolicy(path, params, cfg)
 
 
+def test_export_int8_roundtrip_bit_exact(setup, tmp_path):
+    """quantize='int8' export: the artifact bakes the int8 stacked layout;
+    the reloaded program is bit-exact vs the live int8 engine, and a host
+    that requests a mismatched quantize mode is rejected."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = setup
+    blob, meta = export_policy(params, cfg, batch_size=1, platforms=("cpu",),
+                               quantize="int8")
+    assert meta["quantize"] == "int8"
+    path = str(tmp_path / "q8.aot")
+    save_exported(path, blob, meta)
+
+    live = ScanDeerPolicy(params, cfg, quantize="int8")
+    aot = ExportedScanPolicy(path, params, cfg)  # quantize from meta
+    th = [-1e8] * (len(live.exits) - 1) + [1e8]  # full depth
+    live.set_thresholds(list(th)), aot.set_thresholds(list(th))
+    for step_i in range(3):
+        img, grip, ids, mask = _inputs(cfg, seed=step_i)
+        a_live = live.step(img, grip, ids, mask)
+        a_aot = aot.step(img, grip, ids, mask)
+        np.testing.assert_array_equal(a_live, a_aot)
+    assert aot.last_exit_layer == live.last_exit_layer
+
+    with pytest.raises(ValueError, match="quantize"):
+        ExportedScanPolicy(path, params, cfg, quantize=None)
+    # fp artifact rejects an int8 host request the same way
+    blob_fp, meta_fp = export_policy(params, cfg, batch_size=1,
+                                     platforms=("cpu",))
+    path_fp = str(tmp_path / "fp.aot")
+    save_exported(path_fp, blob_fp, meta_fp)
+    with pytest.raises(ValueError, match="quantize"):
+        ExportedScanPolicy(path_fp, params, cfg, quantize="int8")
+
+
 def test_export_cli_check(tmp_path):
     """End-to-end: train-free tiny model through the CLI with --check
     (exports, reloads, compares vs the live engine)."""

@@ -49,11 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exit_id", type=int, default=None,
                    help="fixed exit layer (static eval, disables dynamic exit)")
     p.add_argument("--quantize", default="none", choices=["none", "int8"],
-                   help="weight-only quantized serving (while-loop engine "
-                        "only): int8 decoder/encoder stacks halve the "
-                        "weight HBM traffic of the B=1 step; embeddings "
-                        "and the action head stay full precision "
-                        "(ops/quant.py)")
+                   help="weight-only quantized serving: int8 "
+                        "decoder/encoder weights halve the weight HBM "
+                        "traffic of the B=1 step; embeddings and the "
+                        "action heads stay full precision (ops/quant.py). "
+                        "Serves both the while-loop engine and the "
+                        "host-bucketed DeerPolicy (alt heads, "
+                        "--multi_execution)")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "bucketed"],
                    help="dynamic-exit execution model: fused = one XLA "
@@ -256,11 +258,6 @@ def main(argv=None):
         if args.vision_cache_tau > 0:
             raise SystemExit("--vision_cache_tau currently serves the "
                              "deterministic LSTM head only")
-    if args.quantize != "none" and not (use_fused and controller is not None):
-        raise SystemExit("--quantize serves through the while-loop engine "
-                         "only (dynamic exit, deterministic head, no "
-                         "--multi_execution/--use_action_ensemble); it does "
-                         "not apply to this configuration")
     if use_fused and controller is not None:
         # while-loop engine: one program per action, compile time constant
         # in depth (the lax.cond-chain engine in eval/fused_policy.py is the
@@ -300,7 +297,8 @@ def main(argv=None):
                             exit_id=args.exit_id,
                             threshold_type=args.threshold_type,
                             use_action_ensemble=args.use_action_ensemble,
-                            multi_execution=args.multi_execution)
+                            multi_execution=args.multi_execution,
+                            quantize=args.quantize)
         if args.vision_cache_tau > 0:
             from deer_vla_tpu.eval.caching import VisionCacheDeerPolicy
             policy = VisionCacheDeerPolicy(policy, tau=args.vision_cache_tau)

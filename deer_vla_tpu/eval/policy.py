@@ -54,7 +54,8 @@ class DeerPolicy:
                  exit_id: Optional[int] = None,
                  threshold_type: str = "L2",
                  use_action_ensemble: bool = False,
-                 multi_execution: int = 1):
+                 multi_execution: int = 1,
+                 quantize: Optional[str] = None):
         from deer_vla_tpu.eval.scan_policy import check_serving_supported
         check_serving_supported(cfg, allow_window_folded=True,
                                 allow_any_head=True)
@@ -62,6 +63,19 @@ class DeerPolicy:
             raise NotImplementedError(
                 "action ensembling averages exit ACTIONS; the diffusion "
                 "head's exits emit conditioning features")
+        self.quantize = quantize
+        if quantize and quantize != "none":
+            # weight-only int8 (ops/quant.py), same scheme as the while-loop
+            # engine: decoder blocks + gated x-attn go int8 (the segment
+            # programs' weight HBM traffic); heads, embeddings (wte,
+            # patch_embed) and the unstacked encoder leaves stay full
+            # precision.  Consumed transparently by ops.layers.linear's
+            # q/s layout through mpt_block_forward / gated x-attn.
+            from deer_vla_tpu.ops.quant import quantize_tree
+            dec = params["decoder"]
+            params = dict(params, decoder=dict(
+                dec, blocks=quantize_tree(dec["blocks"]),
+                xattn=quantize_tree(dec["xattn"])))
         self.params = params
         self.cfg = cfg
         self.controller = controller
@@ -101,6 +115,10 @@ class DeerPolicy:
                                                    stack_encoder_layers)
         self.enc_params = prune_encoder_params(params)
         self.enc_stacked = stack_encoder_layers(params, cfg.dtypes.cdt)
+        if self.quantize and self.quantize != "none":
+            from deer_vla_tpu.ops.quant import quantize_serving_stacked
+            self.enc_stacked = quantize_serving_stacked(self.enc_stacked,
+                                                        self.quantize)
 
         # window-folded serving (vit_concat / use_hist): the adapter feeds a
         # rolling W-frame window per step; encode_vision folds it into the

@@ -122,6 +122,56 @@ def test_scan_policy_int8_dynamic_exit_runs(tiny_setup):
         assert q8.last_exit_layer in q8.exits
 
 
+def test_deer_policy_int8_close(tiny_setup):
+    """--quantize int8 on the host-bucketed engine: actions stay close to
+    the fp bucketed engine at a forced full depth, and the decoder block
+    weights actually went int8 while heads/embeddings stayed fp."""
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.models.value_net import ExitController
+    cfg, params = tiny_setup
+    exits = list(cfg.all_exit_ids())
+
+    def ctrl():
+        c = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)
+        c.set_thresholds({e: t for e, t in
+                          zip(exits, [-1.0] * (len(exits) - 1) + [1e8])})
+        return c
+
+    fp = DeerPolicy(params, cfg, controller=ctrl())
+    q8 = DeerPolicy(params, cfg, controller=ctrl(), quantize="int8")
+    qb = q8.params["decoder"]["blocks"][0]["wqkv"]
+    assert set(qb) >= {"q", "s"} and qb["q"].dtype == jnp.int8
+    # nothing outside decoder blocks/xattn went int8 (heads, wte, encoders)
+    non_dec = {k: v for k, v in q8.params.items() if k != "decoder"}
+    assert not any(getattr(x, "dtype", None) == jnp.int8
+                   for x in jax.tree_util.tree_leaves(non_dec))
+    assert getattr(q8.params["decoder"]["wte"]["w"], "dtype") != jnp.int8
+    assert tree_bytes(q8.params["decoder"]["blocks"]) < \
+        0.62 * tree_bytes(fp.params["decoder"]["blocks"])
+    for t in range(3):
+        img, grip, ids, mask = _inputs(cfg, seed=t)
+        fp.set_timestep(t), q8.set_timestep(t)
+        a = fp.step(img, grip, ids, mask)
+        b = q8.step(img, grip, ids, mask)
+        assert fp.last_exit_layer == q8.last_exit_layer
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() < 0.25, (a, b)
+
+
+def test_deer_policy_int8_gpt_head(tiny_setup):
+    """Alt heads route through the bucketed engine; int8 decoder weights
+    must compose with a GPT head (head stays fp)."""
+    import dataclasses
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    cfg, _ = tiny_setup
+    cfg = dataclasses.replace(cfg, head_type="gpt")
+    params = init_deer(jax.random.PRNGKey(1), cfg)
+    q8 = DeerPolicy(params, cfg, exit_id=cfg.n_layers - 1, quantize="int8")
+    img, grip, ids, mask = _inputs(cfg, seed=0)
+    act = q8.step(img, grip, ids, mask)
+    assert act.shape == (7,) and np.isfinite(act).all()
+
+
 def test_quantized_stacked_block_forward_close(tiny_setup):
     """mpt_block_forward_stacked over an int8 stack (the imm path's XLA
     fallback + the sliced linear path) vs the fp stacked forward."""

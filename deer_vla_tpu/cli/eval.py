@@ -240,10 +240,11 @@ def main(argv=None):
         # plans into the rollout queue), and vision caching composes with
         # BOTH engines (split encode/decode programs).
     if cfg.head_type != "deterministic":
-        # fc/gpt/diffusion heads serve through the bucketed engine (the jit
-        # engines hardcode the LSTM head); cli routes like the reference
-        # selects decoder_type at construction (eval_calvin.py:520,528)
-        use_fused = False
+        # fc/gpt/diffusion heads serve through the while-loop engine (the
+        # head routing in models/heads.any_head_step is traced into the
+        # single program) or the bucketed DeerPolicy for --multi_execution /
+        # --use_action_ensemble; cli routes like the reference selects
+        # decoder_type at construction (eval_calvin.py:520,528)
         if args.lanes > 1:
             raise SystemExit(f"--lanes does not serve head_type "
                              f"{cfg.head_type!r}; run without --lanes")

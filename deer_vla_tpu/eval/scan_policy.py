@@ -23,9 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from deer_vla_tpu.core.config import DeerConfig
-from deer_vla_tpu.models.action_head import head_step
 from deer_vla_tpu.models.flamingo import (encode_vision, fuse_vision_tokens,
                                           vision_tokens)
+from deer_vla_tpu.models.heads import (any_head_forward, any_head_step,
+                                       any_zero_carry, head_action_width)
 from deer_vla_tpu.models.gated_xattn import gated_xattn_forward
 from deer_vla_tpu.models.mpt import embed_tokens, make_attn_bias, \
     mpt_block_forward, mpt_block_forward_stacked
@@ -125,8 +126,8 @@ def check_serving_supported(cfg: DeerConfig,
     if cfg.head_type != "deterministic" and not allow_any_head:
         raise NotImplementedError(
             f"this engine hardcodes the LSTM head; head_type "
-            f"{cfg.head_type!r} serves through DeerPolicy (cli.eval routes "
-            "it automatically)")
+            f"{cfg.head_type!r} serves through ScanDeerPolicy or "
+            "DeerPolicy (cli.eval routes it automatically)")
 
 
 def prune_serving_params(params: dict, cfg: DeerConfig) -> dict:
@@ -219,9 +220,13 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         b = x.shape[0] // (enc_w if cfg.use_hist else 1)  # enc_w from closure
         is_exit_arr = jnp.asarray(is_exit)
         # multi_step_action k>1: arm width 6k, gripper width k (flat head
-        # output, action_head.py:443-444); the exit delta spans the full plan
-        adim = cfg.head.out_features * cfg.head.multi_step_action
-        gdim = cfg.head.multi_step_action
+        # output, action_head.py:443-444); the exit delta spans the full
+        # plan.  Alt heads (models/heads.py routing): the diffusion head's
+        # 'action' slot carries the (hidden,) conditioning feature and its
+        # gripper slot is a zero scalar (any_head_step contract).
+        adim = head_action_width(cfg)
+        gdim = (1 if cfg.head_type == "diffusion"
+                else cfg.head.multi_step_action)
 
         # head-side proprio rows: use_hist heads consume the full per-frame
         # window; vit_concat heads take the LAST frame's row (training
@@ -232,19 +237,36 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             hstate = state.reshape((b, enc_w) + state.shape[1:])[:, -1]
 
         if cfg.use_hist:
-            from deer_vla_tpu.models.action_head import head_forward
-
             def eval_head(x_in):
-                out = head_forward(head, x_in.astype(jnp.float32), cfg.head,
-                                   hstate, window=enc_w, last_action=True)
-                return out.actions[:, 0].astype(jnp.float32), \
-                    out.gripper_probs[:, 0].astype(jnp.float32), carry
+                o = any_head_forward(head, x_in.astype(jnp.float32), cfg,
+                                     hstate, window=enc_w, last_action=True)
+                if cfg.head_type == "diffusion":
+                    # features (B, 1, hidden), no gripper, carry untouched
+                    arm = o[:, 0].astype(jnp.float32)
+                    return arm, jnp.zeros((arm.shape[0], 1), jnp.float32), \
+                        carry
+                return o.actions[:, 0].astype(jnp.float32), \
+                    o.gripper_probs[:, 0].astype(jnp.float32), carry
         else:
             def eval_head(x_in):
-                out, cand = head_step(head, x_in.astype(jnp.float32), carry,
-                                      cfg.head, hstate)
+                out, cand = any_head_step(head, x_in.astype(jnp.float32),
+                                          carry, cfg, hstate)
                 return out.actions[:, 0].astype(jnp.float32), \
                     out.gripper_probs[:, 0].astype(jnp.float32), cand
+
+        def mask_carry(take, cand, best):
+            """Per-stream carry commit for the chosen exit.  The carry
+            layout is head-type specific (models/heads.any_zero_carry):
+            LSTM-style tuples of (L, B, H) for deterministic/diffusion,
+            GPTCarry(buffer (B, W, D), count scalar) for gpt (the count
+            advances identically on every candidate), () for fc."""
+            if cfg.head_type == "fc":
+                return best
+            if cfg.head_type == "gpt":
+                buf = jnp.where(take[:, None, None], cand[0], best[0])
+                return type(cand)(buf, cand[1])
+            return tuple(jnp.where(take[None, :, None], c, bc)
+                         for c, bc in zip(cand, best))
 
         use_imm = indexed_mm and cfg.mpt.arch == "mpt"
 
@@ -304,8 +326,7 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             best_arm, best_grip, best_carry, exit_layer = state_vals
             best_arm = jnp.where(take[:, None], arm, best_arm)
             best_grip = jnp.where(take[:, None], grip, best_grip)
-            best_carry = tuple(jnp.where(take[None, :, None], c, bc)
-                               for c, bc in zip(cand, best_carry))
+            best_carry = mask_carry(take, cand, best_carry)
             exit_layer = jnp.where(take, i, exit_layer)
             return best_arm, best_grip, best_carry, exit_layer
 
@@ -405,7 +426,8 @@ class ScanDeerPolicy:
                  steps_per_stage: int = 1, drop_unstacked: bool = False,
                  indexed_mm: bool = False, pack: bool = True,
                  quantize: Optional[str] = None):
-        check_serving_supported(cfg, allow_window_folded=True)
+        check_serving_supported(cfg, allow_window_folded=True,
+                                allow_any_head=True)
         self.params = params
         self.cfg = cfg
         self.stacked = stack_decoder_layers(params, cfg,
@@ -513,10 +535,14 @@ class ScanDeerPolicy:
         if self.cfg.use_hist:
             b //= self.cfg.window_size  # text is per-frame in hist mode
         if self.carry is None:
-            self.carry = zero_carry(self.cfg.head.lstm_num_layers, b,
-                                    self.cfg.head.hidden_size, jnp.float32)
+            self.carry = any_zero_carry(self.cfg, b)
 
     def _postprocess(self, arm, grip) -> np.ndarray:
+        if self.cfg.head_type == "diffusion":
+            # the chosen exit's conditioning feature; the DDPM sampler
+            # wrapper (eval/diffusion_policy.DiffusionSamplerPolicy) maps
+            # it to an action plan — same contract as DeerPolicy
+            return np.asarray(arm[0], np.float32)
         k = self.cfg.head.multi_step_action
         a = np.asarray(arm[0])
         gp = np.asarray(grip[0]).reshape(-1)
@@ -606,6 +632,11 @@ class ScanDeerPolicy:
         """Per-stream episode reset for step_batch."""
         if self.carry is None:
             return
+        if self.cfg.head_type != "deterministic":
+            # LSTM-carry layout only; cli.eval keeps --lanes off alt heads
+            raise NotImplementedError(
+                "per-stream reset in batched mode serves the deterministic "
+                "head only (the gpt carry's step count is batch-global)")
         m = jnp.asarray(stream_mask)
         fresh = zero_carry(self.cfg.head.lstm_num_layers, m.shape[0],
                            self.cfg.head.hidden_size, jnp.float32)

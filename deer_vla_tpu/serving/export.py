@@ -29,7 +29,6 @@ import numpy as np
 
 from deer_vla_tpu.core.config import DeerConfig
 from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
-from deer_vla_tpu.ops.lstm import zero_carry
 
 
 def _specs(tree):
@@ -49,8 +48,8 @@ def _arg_shapes(policy: ScanDeerPolicy, batch_size: int):
     img = jax.ShapeDtypeStruct((rows, 1, 1, 3, hw, hw), jnp.float32)
     ids = jax.ShapeDtypeStruct((text_rows, cfg.text_len), jnp.int32)
     mask = jax.ShapeDtypeStruct((text_rows, cfg.text_len), jnp.int32)
-    carry = _specs(zero_carry(cfg.head.lstm_num_layers, batch_size,
-                              cfg.head.hidden_size, jnp.float32))
+    from deer_vla_tpu.models.heads import any_zero_carry
+    carry = _specs(any_zero_carry(cfg, batch_size))
     th = jax.ShapeDtypeStruct((cfg.n_layers,), jnp.float32)
     state = None
     if cfg.use_state or cfg.head.use_state:

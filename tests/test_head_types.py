@@ -128,6 +128,69 @@ def test_gpt_head_serves_dynamic_exit():
     assert np.all(np.isfinite(a2))
 
 
+@pytest.mark.parametrize("head_type,kw,th", [
+    ("gpt", {}, [0.05, 1e8]),        # data-dependent exit
+    ("gpt", {}, [-1.0, 1e8]),        # full depth
+    ("fc", {"fusion_mode": "vit_concat"}, [-1.0, 1e8]),
+    ("diffusion", {}, [-1.0, 1e8]),
+])
+def test_scan_engine_matches_bucketed_per_head(head_type, kw, th):
+    """Alt heads through the while-loop engine (any_head_step traced into
+    the single program): exits and outputs must match the host-bucketed
+    engine step for step, carries threading independently in each."""
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.value_net import ExitController
+    cfg = tiny_cfg(head_type, **kw)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    exits = list(cfg.all_exit_ids())
+
+    ctrl = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)
+    ctrl.set_thresholds({e: t for e, t in zip(exits, th)})
+    bucketed = DeerPolicy(params, cfg, controller=ctrl)
+    scan = ScanDeerPolicy(params, cfg, thresholds=list(th))
+
+    enc_w = cfg.window_size if cfg.fusion_mode == "vit_concat" else 1
+    hw, s = cfg.vit.image_size, cfg.text_len
+    for t in range(3):
+        r = np.random.RandomState(100 + t)
+        img = jnp.asarray(r.randn(enc_w, 1, 1, 3, hw, hw), jnp.float32)
+        grip = jnp.asarray(r.randn(enc_w, 1, 1, 3, hw, hw), jnp.float32)
+        ids = np.full((1, s), 7, np.int32)
+        ids[0, 0] = cfg.media_token_id
+        ids = jnp.asarray(ids)
+        mask = jnp.ones((1, s), jnp.int32)
+        bucketed.set_timestep(t)
+        a_b = bucketed.step(img, grip, ids, mask)
+        a_s = scan.step(img, grip, ids, mask)
+        assert scan.last_exit_layer == bucketed.last_exit_layer, \
+            f"step {t}: scan {scan.last_exit_layer} vs " \
+            f"{bucketed.last_exit_layer}"
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_b),
+                                   rtol=2e-4, atol=2e-4)
+    if head_type == "gpt":
+        assert int(scan.carry.count) == 3  # history advanced once per step
+
+
+def test_diffusion_scan_engine_through_sampler():
+    """DiffusionSamplerPolicy over the while-loop engine: identical plans
+    to the bucketed-engine path (same features -> same DDPM sample)."""
+    from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg = tiny_cfg("diffusion")
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    th = [-1.0, 1e8]
+    pol_b = DiffusionSamplerPolicy(
+        DeerPolicy(params, cfg, exit_id=cfg.n_layers - 1), params, seed=0)
+    scan = ScanDeerPolicy(params, cfg, thresholds=list(th))
+    pol_s = DiffusionSamplerPolicy(scan, params, seed=0)
+    img, grip, ids, mask = _policy_inputs(cfg)
+    plan_b = pol_b.step(img, grip, ids, mask)
+    plan_s = pol_s.step(img, grip, ids, mask)
+    np.testing.assert_allclose(plan_s, plan_b, rtol=2e-4, atol=2e-4)
+
+
 def test_diffusion_sampler_policy_plans():
     from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
     from deer_vla_tpu.eval.policy import DeerPolicy

@@ -78,6 +78,11 @@ def build_core(args):
 
     thresholds = _resolve_thresholds(args, policy)
     policy.set_thresholds(thresholds)
+    if cfg.head_type == "diffusion":
+        # DDPM sampling wrapper: exit features -> (k, 7) action plans
+        # (clients receive the plan; eval_utils.py:388-419 use_diff branch)
+        from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
+        policy = DiffusionSamplerPolicy(policy, params, seed=args.seed)
     return DeerActionServer(policy, tok, max_streams=args.max_streams,
                             tcp_rel=args.tcp_rel), cfg
 

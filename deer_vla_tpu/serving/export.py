@@ -31,6 +31,21 @@ from deer_vla_tpu.core.config import DeerConfig
 from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
 
 
+# custom pytree containers crossing the artifact boundary (carry types)
+# must be registered with jax.export's serializer; idempotent-guarded so
+# repeated imports/reloads don't raise
+def _register_carry_types():
+    from deer_vla_tpu.models.alt_heads import GPTCarry
+    try:
+        jax.export.register_namedtuple_serialization(
+            GPTCarry, serialized_name="deer_vla_tpu.GPTCarry")
+    except ValueError:
+        pass  # already registered
+
+
+_register_carry_types()
+
+
 def _specs(tree):
     return jax.tree_util.tree_map(
         lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), tree)

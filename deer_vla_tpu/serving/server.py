@@ -81,11 +81,24 @@ class DeerActionServer:
         self._tcp_rel = tcp_rel
         self.max_streams = max_streams
         self._streams: Dict[str, object] = {}
+        self._counts: Dict[str, int] = {}
         self._lock = threading.Lock()
         self.total_steps = 0
         self.started = time.time()
 
     # -- stream management --------------------------------------------------
+
+    @staticmethod
+    def _clone_policy(p):
+        """Per-stream policy view: shallow copies share weights, stacked
+        trees and compiled programs; wrapper policies (DiffusionSampler,
+        caching wrappers) additionally get a cloned INNER policy so stream
+        carries never alias.  reset() reassigns all per-stream state."""
+        q = copy.copy(p)
+        if hasattr(p, "policy"):
+            q.policy = DeerActionServer._clone_policy(p.policy)
+        q.reset()
+        return q
 
     def _get(self, name: str):
         if not isinstance(name, str) or not name:
@@ -95,20 +108,23 @@ class DeerActionServer:
             if len(self._streams) >= self.max_streams:
                 raise ServeError(
                     f"stream limit {self.max_streams} reached; close one")
-            policy = copy.copy(self._base)
-            policy.reset()
-            ad = self._adapter_cls(policy, self._text_fn,
+            ad = self._adapter_cls(self._clone_policy(self._base),
+                                   self._text_fn,
                                    text_len=self._base.cfg.text_len,
                                    tcp_rel=self._tcp_rel)
+            self._counts[name] = 0
             self._streams[name] = ad
         return ad
 
     # -- endpoints ----------------------------------------------------------
 
     def healthz(self) -> dict:
+        exits = getattr(self._base, "exits", None)
+        if exits is None:  # wrapper policies (DiffusionSampler) hold the
+            exits = getattr(getattr(self._base, "policy", None), "exits", [])
         return {
             "ok": True,
-            "exits": [int(e) for e in getattr(self._base, "exits", [])],
+            "exits": [int(e) for e in exits],
             "n_layers": self._base.cfg.n_layers,
             "head_type": self._base.cfg.head_type,
             "quantize": getattr(self._base, "quantize", None),
@@ -121,12 +137,13 @@ class DeerActionServer:
         with self._lock:
             ad = self._get(payload.get("stream", ""))
             ad.reset()
-            ad.policy.set_timestep(0)
+            self._counts[payload["stream"]] = 0
         return {"ok": True}
 
     def close(self, payload: dict) -> dict:
         with self._lock:
             gone = self._streams.pop(payload.get("stream", ""), None)
+            self._counts.pop(payload.get("stream", ""), None)
         return {"ok": True, "existed": gone is not None}
 
     def step(self, payload: dict) -> dict:
@@ -139,13 +156,15 @@ class DeerActionServer:
         if payload.get("robot_obs") is not None:
             obs["robot_obs"] = np.asarray(payload["robot_obs"], np.float32)
         with self._lock:
-            ad = self._get(payload.get("stream", ""))
+            name = payload.get("stream", "")
+            ad = self._get(name)
+            # stage reuse (steps_per_stage) keys off the per-stream step
+            # counter; the rollout loop advances it via set_timestep
+            # (eval_utils.py:663) — the server mirrors that per stream
+            ad.policy.set_timestep(self._counts[name])
             t0 = time.perf_counter()
             action = ad.step(obs, instruction)
-            # stage reuse (steps_per_stage) keys off the per-stream step
-            # counter (scan_policy.cur_step); the rollout loop advances it
-            # via set_timestep — the server advances it here
-            ad.policy.cur_step += 1
+            self._counts[name] += 1
             self.total_steps += 1
             dt = time.perf_counter() - t0
             exit_layer = ad.current_exit_layer

@@ -121,6 +121,26 @@ def test_export_int8_roundtrip_bit_exact(setup, tmp_path):
         ExportedScanPolicy(path_fp, params, cfg, quantize="int8")
 
 
+def test_export_gpt_head_roundtrip(tmp_path):
+    """Alt-head export: the gpt head's rolling-history carry rides the
+    artifact's argument specs (any_zero_carry); round-trip bit-exact."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg = dataclasses.replace(deer_tiny(), head_type="gpt")
+    params = init_deer(jax.random.PRNGKey(3), cfg)
+    blob, meta = export_policy(params, cfg, batch_size=1, platforms=("cpu",))
+    path = str(tmp_path / "gpt.aot")
+    save_exported(path, blob, meta)
+    live = ScanDeerPolicy(params, cfg, thresholds=[-1e8, 1e8])
+    aot = ExportedScanPolicy(path, params, cfg)
+    aot.set_thresholds([-1e8, 1e8])
+    for step_i in range(3):
+        img, grip, ids, mask = _inputs(cfg, seed=step_i)
+        np.testing.assert_array_equal(live.step(img, grip, ids, mask),
+                                      aot.step(img, grip, ids, mask))
+    assert int(aot.carry.count) == 3
+    assert aot.last_exit_layer == live.last_exit_layer
+
+
 def test_export_cli_check(tmp_path):
     """End-to-end: train-free tiny model through the CLI with --check
     (exports, reloads, compares vs the live engine)."""

@@ -153,6 +153,43 @@ def test_protocol_errors(served):
     assert len(out["action"]) == 7
 
 
+def test_server_diffusion_head_streams():
+    """Diffusion-head serving: per-stream clones must not alias the inner
+    engine's carry or the sampler's action history; clients get (k, 7)
+    plans."""
+    import dataclasses
+    from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, head_type="diffusion",
+                              media_token_id=tok.media_token_id,
+                              diff_timesteps=5, diff_horizon=4,
+                              n_obs_steps=2, diff_down_dims=(8, 16))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    scan = ScanDeerPolicy(params, cfg, thresholds=[-1.0, 1e8])
+    base = DiffusionSamplerPolicy(scan, params, seed=0)
+    core = DeerActionServer(base, tok, max_streams=4)
+
+    p1 = _step_payload(cfg, "s1", seed=1)
+    p2 = _step_payload(cfg, "s2", seed=2)
+    out1 = core.step(p1)
+    out2 = core.step(p2)
+    plan1 = np.asarray(out1["action"])
+    assert plan1.shape == (cfg.diff_horizon - (cfg.n_obs_steps - 1), 7)
+    assert np.isfinite(plan1).all()
+    # stream isolation: the two adapters wrap distinct sampler + engine
+    ads = core._streams
+    assert ads["s1"].policy is not ads["s2"].policy
+    assert ads["s1"].policy.policy is not ads["s2"].policy.policy
+    assert ads["s1"].policy.policy is not base.policy
+    # replay s1's first step on a fresh stream -> identical plan
+    out1b = core.step(dict(_step_payload(cfg, "s1b", seed=1)))
+    np.testing.assert_allclose(np.asarray(out1b["action"]), plan1,
+                               atol=1e-6)
+    assert out2["exit_layer"] == scan.exits[-1]
+
+
 def test_serve_cli_with_artifact(tmp_path):
     """cli/serve builds the core from a checkpoint-free tiny model + AOT
     artifact; served step equals the live-engine step (export parity)."""

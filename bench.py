@@ -181,12 +181,21 @@ def run_model(bench_model: str) -> dict:
     # weight-only int8 serving (--quantize int8, ops/quant.py): same engine,
     # int8 decoder/encoder stacks.  One extra compile; the per-depth sweep
     # reuses the program with runtime thresholds.  Same-process ratio vs the
-    # bf16 curve above (measured 1.10-1.15x, action drift <= 1e-4 at 3B).
+    # bf16 curve above (measured 1.10-1.19x, action drift <= 1e-4 at 3B).
     int8_detail = {}
-    if os.environ.get("DEER_BENCH_INT8", "1") != "0" and BENCH_MODEL != "mpt_9b":
+    if os.environ.get("DEER_BENCH_INT8", "1") != "0":
         try:
-            q8 = ScanDeerPolicy(params, cfg, quantize="int8",
-                                thresholds=[1e8] * len(exits))
+            from types import SimpleNamespace
+
+            from deer_vla_tpu.ops.quant import quantize_serving_stacked
+
+            # quantize the LIVE policy's packed tree and reuse its jitted
+            # step (it retraces for the int8 layout) — no second stacking
+            # pass, so this fits the 9B config's HBM headroom too
+            q8 = SimpleNamespace(
+                params=policy.params,
+                stacked=quantize_serving_stacked(policy.stacked, "int8"),
+                _step=policy._step)
             # interleaved A/B per depth: the chip is time-shared, so the
             # bf16 reference is RE-timed adjacent to each int8 point
             # instead of reusing the minutes-old curve above (a concurrent

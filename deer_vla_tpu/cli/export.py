@@ -39,6 +39,13 @@ def build_parser():
                    help="bake the weight-only int8 stacked layout "
                         "(ops/quant.py) into the artifact; the serving "
                         "host quantizes checkpoint weights to match")
+    p.add_argument("--bundle", action="store_true",
+                   help="also write <out>.weights: the packed serving "
+                        "weight trees, making the artifact fully "
+                        "self-contained (serving/export.BundledScanPolicy "
+                        "runs it with no checkpoint and no model-building "
+                        "Python; with --quantize int8 the weights ship "
+                        "quantized, ~2x smaller)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--check", action="store_true",
                    help="reload + run one step vs the live engine")
@@ -57,14 +64,25 @@ def main(argv=None):
 
     cfg, params = load_model(args)
     quantize = None if args.quantize == "none" else args.quantize
-    blob, meta = export_policy(
+    out = export_policy(
         params, cfg, batch_size=args.batch,
         platforms=tuple(args.platforms),
         threshold_type=args.threshold_type,
         max_layer=args.max_layer if args.max_layer > 0 else None,
-        quantize=quantize)
-    save_exported(args.out, blob, meta)
+        quantize=quantize, return_policy=args.bundle)
+    if args.bundle:
+        import os
+
+        from deer_vla_tpu.serving.export import save_bundle
+        blob, meta, policy = out
+        save_bundle(args.out, blob, meta, policy)
+        wbytes = os.path.getsize(args.out + ".weights")
+    else:
+        blob, meta = out
+        save_exported(args.out, blob, meta)
+        wbytes = 0
     print(json.dumps({"out": args.out, "bytes": len(blob),
+                      "weight_bytes": wbytes,
                       "exits": meta["exits"],
                       "platforms": meta["platforms"]}))
 

@@ -31,6 +31,10 @@ def build_parser():
     p.add_argument("--artifact", default="",
                    help="AOT StableHLO serving artifact (deer-export); the "
                         "model program then never traces on this host")
+    p.add_argument("--bundle", default="",
+                   help="self-contained bundle (deer-export --bundle): "
+                        "artifact + packed weights — no checkpoint and no "
+                        "model-building Python on this host")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_streams", type=int, default=64)
@@ -57,24 +61,44 @@ def build_core(args):
     """Engine + tokenizer + server core (separated for tests)."""
     import dataclasses
 
-    from deer_vla_tpu.cli.eval import load_model
     from deer_vla_tpu.cli.train import make_tokenizer
-    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     from deer_vla_tpu.serving.server import DeerActionServer
 
-    cfg, params = load_model(args)
-    tok = make_tokenizer(args, cfg)
-    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
-    max_layer = args.max_layer if args.max_layer > 0 else None
-    quantize = None if args.quantize == "none" else args.quantize
-
-    kw = dict(threshold_type=args.threshold_type, max_layer=max_layer,
-              steps_per_stage=args.steps_per_stage, quantize=quantize)
-    if args.artifact:
-        from deer_vla_tpu.serving.export import ExportedScanPolicy
-        policy = ExportedScanPolicy(args.artifact, params, cfg, **kw)
+    params = None
+    if args.bundle:
+        # fully self-contained: AOT program + packed weights; the tokenizer
+        # is rebuilt from the bundled config (same vocab contract as
+        # cli.train.make_tokenizer)
+        from deer_vla_tpu.serving.export import BundledScanPolicy
+        policy = BundledScanPolicy(args.bundle,
+                                   steps_per_stage=args.steps_per_stage)
+        cfg = policy.cfg
+        tok = make_tokenizer(args, cfg)
+        if tok.media_token_id != cfg.media_token_id:
+            raise SystemExit(
+                f"bundle media_token_id {cfg.media_token_id} != tokenizer's "
+                f"{tok.media_token_id}: serve with the tokenizer the model "
+                "was trained with (--tokenizer_path)")
+        if cfg.head_type == "diffusion":
+            raise SystemExit("diffusion-head serving needs the U-Net "
+                             "params; serve from the checkpoint instead "
+                             "of a bundle")
     else:
-        policy = ScanDeerPolicy(params, cfg, **kw)
+        from deer_vla_tpu.cli.eval import load_model
+        from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+        cfg, params = load_model(args)
+        tok = make_tokenizer(args, cfg)
+        cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+        max_layer = args.max_layer if args.max_layer > 0 else None
+        quantize = None if args.quantize == "none" else args.quantize
+
+        kw = dict(threshold_type=args.threshold_type, max_layer=max_layer,
+                  steps_per_stage=args.steps_per_stage, quantize=quantize)
+        if args.artifact:
+            from deer_vla_tpu.serving.export import ExportedScanPolicy
+            policy = ExportedScanPolicy(args.artifact, params, cfg, **kw)
+        else:
+            policy = ScanDeerPolicy(params, cfg, **kw)
 
     thresholds = _resolve_thresholds(args, policy)
     policy.set_thresholds(thresholds)
@@ -125,7 +149,8 @@ def main(argv=None):
     print(json.dumps({"serving": f"http://{host}:{port}",
                       "exits": core.healthz()["exits"],
                       "head_type": cfg.head_type,
-                      "aot": bool(args.artifact)}), flush=True)
+                      "aot": bool(args.artifact or args.bundle)}),
+          flush=True)
     if args.oneshot_healthz:
         print(json.dumps(core.healthz()))
         httpd.server_close()

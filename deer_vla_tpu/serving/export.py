@@ -78,7 +78,8 @@ def export_policy(params: dict, cfg: DeerConfig, *, batch_size: int = 1,
                   threshold_type: str = "L2",
                   max_layer: Optional[int] = None,
                   exit_ids: Optional[List[int]] = None,
-                  quantize: Optional[str] = None):
+                  quantize: Optional[str] = None,
+                  return_policy: bool = False):
     """Lower the fused dynamic-exit step to a serialized artifact.
 
     Returns (blob: bytes, meta: dict).  ``platforms`` may include platforms
@@ -106,6 +107,8 @@ def export_policy(params: dict, cfg: DeerConfig, *, batch_size: int = 1,
                       "attention_mask", "carry", "thresholds_full", "state"],
         "jax_version": jax.__version__,
     }
+    if return_policy:  # for save_bundle: the packed trees just exported
+        return blob, meta, policy
     return blob, meta
 
 
@@ -123,6 +126,91 @@ def load_exported(path: str):
     with open(path + ".json") as f:
         meta = json.load(f)
     return exp, meta
+
+
+# ---------------------------------------------------------------------------
+# self-contained bundles: artifact + the exact packed weight trees
+# ---------------------------------------------------------------------------
+#
+# ExportedScanPolicy still rebuilds the weight trees from a checkpoint
+# (init_deer + overlay + stacking) — model-building Python.  A BUNDLE ships
+# the policy's packed (params, stacked) trees next to the artifact so a
+# serving host reconstructs the EXACT argument pytrees (the AOT program
+# validates treedefs strictly — tuple vs list matters, hence the explicit
+# structure spec instead of msgpack's container coercion).
+
+
+def _flatten_with_spec(node, leaves: list):
+    if node is None:
+        return {"t": "none"}
+    if isinstance(node, dict):
+        return {"t": "dict",
+                "items": {k: _flatten_with_spec(v, leaves)
+                          for k, v in node.items()}}
+    if isinstance(node, (list, tuple)):
+        t = "list" if isinstance(node, list) else "tuple"
+        if hasattr(node, "_fields"):  # namedtuple carries never ship in
+            raise TypeError(f"unsupported container {type(node)} in bundle")
+        return {"t": t,
+                "items": [_flatten_with_spec(v, leaves) for v in node]}
+    leaves.append(np.asarray(node))
+    return {"t": "leaf", "i": len(leaves) - 1}
+
+
+def _rebuild_from_spec(spec, leaves):
+    t = spec["t"]
+    if t == "none":
+        return None
+    if t == "dict":
+        return {k: _rebuild_from_spec(v, leaves)
+                for k, v in spec["items"].items()}
+    if t == "list":
+        return [_rebuild_from_spec(v, leaves) for v in spec["items"]]
+    if t == "tuple":
+        return tuple(_rebuild_from_spec(v, leaves) for v in spec["items"])
+    return jnp.asarray(leaves[str(spec["i"])])
+
+
+def save_bundle(path: str, blob: bytes, meta: dict, policy) -> None:
+    """Artifact + meta (save_exported) + ``<path>.weights`` holding the
+    policy's packed (params, stacked) argument trees."""
+    from flax import serialization
+    save_exported(path, blob, meta)
+    leaves: list = []
+    spec = {"params": _flatten_with_spec(policy.params, leaves),
+            "stacked": _flatten_with_spec(policy.stacked, leaves)}
+    payload = {"spec": json.dumps(spec),
+               "leaves": {str(i): x for i, x in enumerate(leaves)}}
+    with open(path + ".weights", "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+class BundledScanPolicy(ScanDeerPolicy):
+    """The fully self-contained serving host: AOT program + packed weight
+    trees from a bundle — no checkpoint, no init_deer, no tracing.  Shares
+    every host-side method with ScanDeerPolicy (stepping, thresholds,
+    stage reuse, postprocess); only construction differs."""
+
+    def __init__(self, path: str, steps_per_stage: int = 1):
+        from flax import serialization
+
+        from deer_vla_tpu.core.config import DeerConfig
+        exp, meta = load_exported(path)
+        with open(path + ".weights", "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        spec = json.loads(payload["spec"])
+        self.params = _rebuild_from_spec(spec["params"], payload["leaves"])
+        self.stacked = _rebuild_from_spec(spec["stacked"], payload["leaves"])
+        self.cfg = DeerConfig.from_json(json.dumps(meta["config"]))
+        self.exits = [int(e) for e in meta["exits"]]
+        self.quantize = meta.get("quantize")
+        self.meta = meta
+        self._step = exp.call
+        self.steps_per_stage = steps_per_stage
+        self.cur_step = 0
+        self.set_thresholds([1e8] * len(self.exits))
+        self.last_exit_layer = -1
+        self.reset()
 
 
 class ExportedScanPolicy(ScanDeerPolicy):

@@ -141,6 +141,47 @@ def test_export_gpt_head_roundtrip(tmp_path):
     assert aot.last_exit_layer == live.last_exit_layer
 
 
+@pytest.mark.parametrize("quantize", [None, "int8"])
+def test_bundle_roundtrip_no_model_python(setup, tmp_path, quantize):
+    """Self-contained bundle: artifact + packed weight trees; the loaded
+    BundledScanPolicy runs with no checkpoint and no init_deer, bit-exact
+    vs the live engine (incl. the int8 layout, ~2x smaller weights)."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.serving.export import BundledScanPolicy, save_bundle
+    cfg, params = setup
+    blob, meta, policy = export_policy(params, cfg, batch_size=1,
+                                       platforms=("cpu",), quantize=quantize,
+                                       return_policy=True)
+    path = str(tmp_path / f"b_{quantize}.step")
+    save_bundle(path, blob, meta, policy)
+    assert os.path.exists(path + ".weights")
+
+    live = ScanDeerPolicy(params, cfg, quantize=quantize)
+    bundled = BundledScanPolicy(path)
+    assert bundled.quantize == quantize
+    th = [-1e8] * (len(live.exits) - 1) + [1e8]
+    live.set_thresholds(list(th)), bundled.set_thresholds(list(th))
+    for step_i in range(3):
+        img, grip, ids, mask = _inputs(cfg, seed=step_i)
+        np.testing.assert_array_equal(live.step(img, grip, ids, mask),
+                                      bundled.step(img, grip, ids, mask))
+    assert bundled.last_exit_layer == live.last_exit_layer
+
+
+def test_bundle_int8_weights_smaller(setup, tmp_path):
+    cfg, params = setup
+    sizes = {}
+    for q in (None, "int8"):
+        from deer_vla_tpu.serving.export import save_bundle
+        blob, meta, policy = export_policy(params, cfg, batch_size=1,
+                                           platforms=("cpu",), quantize=q,
+                                           return_policy=True)
+        p = str(tmp_path / f"s_{q}.step")
+        save_bundle(p, blob, meta, policy)
+        sizes[q] = os.path.getsize(p + ".weights")
+    assert sizes["int8"] < 0.7 * sizes[None]
+
+
 def test_export_cli_check(tmp_path):
     """End-to-end: train-free tiny model through the CLI with --check
     (exports, reloads, compares vs the live engine)."""

@@ -34,6 +34,76 @@ def run_eval(eval_args) -> tuple:
 from deer_vla_tpu.utils.errors import record
 
 
+def run_parallel_bo(args, base, init_th, init_len, init_exit, bounds,
+                    score):
+    """q candidates per GP round, ALL evaluated in ONE batched rollout:
+    lanes split into q blocks, each block running its candidate's
+    thresholds through the engine's (B, n_layers) per-stream threshold
+    array (eval/batched_rollout.py candidates=).  The reference evaluates
+    each candidate as a separate serial torchrun eval
+    (bayesian_optimization.py:130-144) — here one device program advances
+    every candidate's streams together."""
+    import dataclasses
+    import json as _json
+    import os
+
+    import jax
+
+    from deer_vla_tpu.cli.eval import _make_calvin_env, load_model
+    from deer_vla_tpu.cli.train import make_tokenizer
+    from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
+    from deer_vla_tpu.eval.rollout import (DebugEnv, DebugTaskOracle,
+                                           make_debug_sequences)
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.utils.gp_opt import gp_minimize_lite_batch
+
+    q = args.parallel
+    b = q * args.lanes_per_candidate
+    cfg, params = load_model(args)
+    tok = make_tokenizer(args, cfg)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    policy = ScanDeerPolicy(params, cfg,
+                            max_layer=args.max_layer if args.max_layer > 0
+                            else None)
+    if args.debug or not args.calvin_conf_path:
+        envs = [DebugEnv(img_hw=cfg.vit.image_size,
+                         grip_hw=cfg.vit.image_size) for _ in range(b)]
+        oracle = DebugTaskOracle(threshold=0.05)
+        sequences = make_debug_sequences(args.num_seq)
+        annotations = {}
+        ep_len = 40
+    else:
+        env0, oracle, sequences, annotations = _make_calvin_env(args)
+        envs = [env0] + [_make_calvin_env(args)[0] for _ in range(b - 1)]
+        ep_len = 360
+    sequences = sequences[:args.num_seq]
+
+    n_free = len(init_th) - 1
+
+    def objective_batch(points):
+        cands = [list(p) + [1e5] for p in points]
+        reports = evaluate_policy_batched(
+            policy, envs, sequences, annotations, oracle, tok,
+            text_len=cfg.text_len, ep_len=ep_len, n_layers=cfg.n_layers,
+            pipeline=args.pipeline, candidates=cands)
+        out = []
+        for th, rep in zip(cands, reports):
+            s = score(rep["avg_seq_len"], rep["avg_exit_layer"] - 1)
+            print(f"BO eval thresholds={['%.5f' % t for t in th]} "
+                  f"len={rep['avg_seq_len']:.4f} "
+                  f"exit={rep['avg_exit_layer'] - 1:.3f} score={s:.4f}")
+            out.append(s)
+        return out
+
+    result = gp_minimize_lite_batch(
+        objective_batch, bounds, q=q, x0=[init_th[:n_free]],
+        y0=[score(init_len, init_exit)], n_calls=args.n_calls,
+        acq_func=args.acq_func, random_state=args.seed)
+    print("Optimal thresholds:", [round(t, 6) for t in result.x] + [1e5])
+    print("Best score:", result.fun)
+    return result
+
+
 @record
 def main(argv=None):
     p = argparse.ArgumentParser()
@@ -46,6 +116,18 @@ def main(argv=None):
     p.add_argument("--debug", action="store_true")
     p.add_argument("--t0_box", type=float, default=0.02)
     p.add_argument("--t_box", type=float, default=0.002)
+    p.add_argument("--parallel", type=int, default=1,
+                   help=">1: evaluate this many BO candidates per GP round "
+                        "in ONE batched rollout (constant-liar q-batch "
+                        "acquisition; lanes split across candidates)")
+    p.add_argument("--lanes_per_candidate", type=int, default=4)
+    p.add_argument("--pipeline", type=int, default=1)
+    p.add_argument("--model", default="tiny")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--max_layer", type=int, default=-1)
+    p.add_argument("--tokenizer_path", default="")
+    p.add_argument("--calvin_conf_path", default="")
+    p.add_argument("--eval_sequences", default="")
     args = p.parse_args(argv)
 
     base = []
@@ -71,6 +153,10 @@ def main(argv=None):
 
     def score(avg_len, avg_exit):
         return -avg_len + max(0.0, avg_exit - budget)  # :19-24
+
+    if args.parallel > 1:
+        return run_parallel_bo(args, base, init_th, init_len, init_exit,
+                               bounds, score)
 
     def objective(ts):
         th = list(ts) + [1e5]

@@ -58,7 +58,8 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                             *, text_len: int = 32, ep_len: int = EP_LEN,
                             preprocess: Optional[Callable] = None,
                             n_layers: Optional[int] = None,
-                            pipeline: int = 1) -> Dict:
+                            pipeline: int = 1,
+                            candidates: Optional[List] = None):
     """Run all ``sequences`` over ``len(envs)`` parallel streams.
 
     policy: ScanDeerPolicy (step_batch/reset_streams; dispatch_batch/
@@ -68,6 +69,14 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                 clip_preprocess at the policy's image size.
     pipeline: number of lane groups whose host work overlaps the other
               groups' device programs (1 = fully sequential harness).
+    candidates: parallel multi-candidate mode (the parallel-BO substrate):
+              a list of K per-exit threshold rows.  Lanes split into K
+              contiguous blocks; block k's streams run candidates[k]'s
+              thresholds via the engine's (B, n_layers) runtime threshold
+              array, and EVERY candidate evaluates ALL ``sequences``.
+              Returns a list of K reports instead of one (the reference
+              evaluates BO candidates as serial full eval runs,
+              bayesian_optimization.py:130-144).
     """
     import jax
     from deer_vla_tpu.data.preprocess import clip_preprocess
@@ -78,6 +87,15 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         prep = jax.jit(lambda x: clip_preprocess(x, size))
     else:
         prep = preprocess
+
+    n_cand = len(candidates) if candidates else 1
+    if candidates:
+        if b % n_cand:
+            raise ValueError(f"{b} lanes not divisible by {n_cand} "
+                             "candidates")
+
+    def cand_of(lane: int) -> int:
+        return lane * n_cand // b
 
     n_groups = max(1, min(pipeline, b))
     # equal group sizes keep every group on ONE compiled batch shape (the
@@ -91,23 +109,28 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
     gpol = [policy] + [copy.copy(policy) for _ in range(n_groups - 1)]
     for p in gpol:
         p.reset()
+    if candidates:
+        for g, p in enumerate(gpol):
+            p.set_thresholds_batch([candidates[cand_of(i)]
+                                    for i in lanes[g]])
 
     streams: List[_Stream] = [None] * b  # type: ignore[list-item]
     for g, ls in enumerate(lanes):
         for local, idx in enumerate(ls):
             streams[idx] = _Stream(idx, g, local)
-    pending = list(range(len(sequences)))
-    results: Dict[int, int] = {}
-    s_exits: List[int] = []
-    f_exits: List[int] = []
-    s_steps: List[int] = []
+    pending = [list(range(len(sequences))) for _ in range(n_cand)]
+    results: List[Dict[int, int]] = [{} for _ in range(n_cand)]
+    s_exits: List[List[int]] = [[] for _ in range(n_cand)]
+    f_exits: List[List[int]] = [[] for _ in range(n_cand)]
+    s_steps: List[List[int]] = [[] for _ in range(n_cand)]
     pad_id = getattr(text_fn, "pad_token_id", 0)
 
     def assign(stream: _Stream) -> bool:
-        if not pending:
+        q = pending[cand_of(stream.idx)]
+        if not q:
             stream.active = False
             return False
-        stream.seq_i = pending.pop(0)
+        stream.seq_i = q.pop(0)
         initial_state, chain = sequences[stream.seq_i]
         stream.chain = list(chain)
         stream.subtask_i = 0
@@ -126,7 +149,7 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         gpol[stream.group].reset_streams(np.arange(gb) == stream.local)
 
     def _finish_sequence(stream: _Stream):
-        results[stream.seq_i] = stream.successes
+        results[cand_of(stream.idx)][stream.seq_i] = stream.successes
         assign(stream)
 
     for st in streams:
@@ -203,8 +226,8 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                     st.start_info, info, {subtask}))
                 if done:
                     st.successes += 1
-                    s_exits.extend(st.exit_layers)
-                    s_steps.append(st.step)
+                    s_exits[cand_of(st.idx)].extend(st.exit_layers)
+                    s_steps[cand_of(st.idx)].append(st.step)
                     st.subtask_i += 1
                     if st.subtask_i >= len(st.chain):
                         _finish_sequence(st)
@@ -212,7 +235,7 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                         _begin_subtask(st)
                     valid[i] = False
                 elif st.step >= ep_len:
-                    f_exits.extend(st.exit_layers)
+                    f_exits[cand_of(st.idx)].extend(st.exit_layers)
                     _finish_sequence(st)
                     valid[i] = False
 
@@ -232,7 +255,11 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
             if group_active(g):
                 handles[g] = dispatch(g)
 
-    ordered = [results[i] for i in sorted(results)]
     nl = n_layers or policy.cfg.n_layers
-    return summarize(ordered, s_exits, f_exits, s_steps, [],
-                     [sequences[i] for i in sorted(results)], nl)
+    reports = []
+    for c in range(n_cand):
+        ordered = [results[c][i] for i in sorted(results[c])]
+        reports.append(summarize(
+            ordered, s_exits[c], f_exits[c], s_steps[c], [],
+            [sequences[i] for i in sorted(results[c])], nl))
+    return reports if candidates else reports[0]

@@ -319,7 +319,10 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
 
             ref_k = jax.lax.cond(is_first, pseudo, lambda _: ref, None)
             delta = get_delta(arm, ref_k, threshold_type)  # (B,)
-            take = (~done) & (delta <= thresholds_full[i])
+            # thresholds_full: (n_layers,) shared, or (B, n_layers) for
+            # per-stream thresholds (multi-candidate batched serving /
+            # parallel BO) — [..., i] covers both layouts
+            take = (~done) & (delta <= thresholds_full[..., i])
             return arm, grip, cand, take, jnp.where(done[:, None], ref, arm)
 
         def commit(state_vals, arm, grip, cand, take, i):
@@ -482,6 +485,22 @@ class ScanDeerPolicy:
         for e, t in zip(self.exits, thresholds):
             full[e] = t
         full[self.exits[-1]] = 1e30  # last exit always fires
+        self.thresholds = jnp.asarray(full)
+
+    def set_thresholds_batch(self, rows) -> None:
+        """Per-stream threshold rows for batched multi-candidate serving
+        (parallel BO, eval/batched_rollout.py candidates=): one per-exit
+        threshold list/dict per stream -> a (B, n_layers) runtime array
+        (the while-loop compares thresholds[..., i], so the same compiled
+        program serves shared and per-stream layouts)."""
+        full = np.full((len(rows), self.cfg.n_layers), -1e30, np.float32)
+        for r, th in enumerate(rows):
+            if isinstance(th, dict):
+                th = [th[e] for e in self.exits]
+            assert len(th) == len(self.exits), (len(th), self.exits)
+            for e, t in zip(self.exits, th):
+                full[r, e] = t
+            full[r, self.exits[-1]] = 1e30  # last exit always fires
         self.thresholds = jnp.asarray(full)
 
     def reset(self):

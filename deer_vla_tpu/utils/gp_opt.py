@@ -101,3 +101,88 @@ def gp_minimize_lite(objective: Callable[[Sequence[float]], float],
     i = int(np.argmin(y))
     return GPResult(x=list(X[i]), fun=y[i],
                     x_iters=[list(x) for x in X], func_vals=list(y))
+
+
+def _acq_scores(cand, Xa, yn, length, acq_func, noise):
+    """Posterior + acquisition over ``cand`` given observations (Xa, yn)."""
+    K = _matern52(Xa, Xa, length) + noise * np.eye(len(Xa))
+    try:
+        L = np.linalg.cholesky(K)
+    except np.linalg.LinAlgError:
+        L = np.linalg.cholesky(K + 1e-4 * np.eye(len(Xa)))
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+    Ks = _matern52(cand, Xa, length)
+    mu = Ks @ alpha
+    v = np.linalg.solve(L, Ks.T)
+    sigma = np.sqrt(np.maximum(1.0 - np.sum(v * v, axis=0), 1e-12))
+    best = yn.min()
+    if acq_func == "LCB":
+        return -(mu - 1.96 * sigma)
+    if acq_func == "PI":
+        return norm.cdf((best - mu) / sigma)
+    z = (best - mu) / sigma
+    return sigma * (z * norm.cdf(z) + norm.pdf(z))  # EI
+
+
+def gp_minimize_lite_batch(objective_batch: Callable[[List[List[float]]],
+                                                     Sequence[float]],
+                           bounds: Sequence[Tuple[float, float]],
+                           *, q: int,
+                           x0: Optional[Sequence[Sequence[float]]] = None,
+                           y0: Optional[Sequence[float]] = None,
+                           n_calls: int = 20,
+                           acq_func: str = "EI", random_state: int = 1,
+                           noise: float = 1e-6,
+                           n_candidates: int = 4096) -> GPResult:
+    """q-batch GP minimization: ``objective_batch`` evaluates q points AT
+    ONCE (the parallel-BO rollout evaluates q threshold candidates in one
+    batched program).  Batch proposals use the constant-liar heuristic:
+    after greedily picking an acquisition argmax, the point is added to the
+    working posterior with the incumbent-best value so the next pick seeks
+    a DIFFERENT region (skopt's strategy='cl_min' equivalent).  n_calls
+    counts single-point evaluations, so the loop runs ~n_calls/q rounds."""
+    rng = np.random.RandomState(random_state)
+    lo = np.array([b[0] for b in bounds])
+    hi = np.array([b[1] for b in bounds])
+    span = np.maximum(hi - lo, 1e-12)
+    length = span * 0.25
+
+    X: List[np.ndarray] = [np.asarray(x, float) for x in (x0 or [])]
+    y: List[float] = [float(v) for v in (y0 or [])]
+    assert len(X) == len(y)
+    evals_left = n_calls
+
+    def eval_batch(points):
+        nonlocal evals_left
+        vals = [float(v) for v in objective_batch([list(p) for p in points])]
+        assert len(vals) == len(points)
+        X.extend(np.asarray(p, float) for p in points)
+        y.extend(vals)
+        evals_left -= len(points)
+
+    if not X and evals_left > 0:
+        # seed round: center + random q-1 (one batched evaluation)
+        seed_pts = [lo + 0.5 * span] + \
+            [lo + rng.rand(len(bounds)) * span for _ in range(q - 1)]
+        eval_batch(seed_pts[:evals_left])
+
+    while evals_left > 0:
+        Xa = np.stack(X)
+        ya = np.asarray(y)
+        ymu, ystd = ya.mean(), max(ya.std(), 1e-12)
+        yn = list((ya - ymu) / ystd)
+        Xw = [x for x in Xa]
+        picks = []
+        for _ in range(min(q, evals_left)):
+            cand = lo + rng.rand(n_candidates, len(bounds)) * span
+            score = _acq_scores(cand, np.stack(Xw), np.asarray(yn), length,
+                                acq_func, noise)
+            pick = cand[int(np.argmax(score))]
+            picks.append(pick)
+            Xw.append(pick)
+            yn.append(min(yn))  # constant liar: assume it wins
+        eval_batch(picks)
+
+    i = int(np.argmin(y))
+    return GPResult(x=list(X[i]), fun=y[i],
+                    x_iters=[list(x) for x in X], func_vals=list(y))

@@ -49,6 +49,7 @@ class _Stream:
         self.step = 0
         self.successes = 0
         self.exit_layers: List[int] = []
+        self.last_exit = -1   # per-stream stage reuse (steps_per_stage)
         self.start_info: Optional[Dict] = None
         self.active = False
 
@@ -144,6 +145,7 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
     def _begin_subtask(stream: _Stream):
         stream.step = 0
         stream.exit_layers = []
+        stream.last_exit = -1
         stream.start_info = envs[stream.idx].get_info()
         gb = len(lanes[stream.group])
         gpol[stream.group].reset_streams(np.arange(gb) == stream.local)
@@ -170,7 +172,31 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
     def group_active(g: int) -> bool:
         return any(streams[i].active for i in lanes[g])
 
+    # per-stream stage reuse (--steps_per_stage, value_net.py:284-286):
+    # mid-stage streams force their previous exit layer through the
+    # (B, n_layers) runtime threshold rows, rebuilt on host per dispatch
+    # from the pristine per-group base (shared or candidate thresholds)
+    sps = int(getattr(policy, "steps_per_stage", 1) or 1)
+    nl_full = policy.cfg.n_layers
+    if sps > 1:
+        base_rows = []
+        for g in range(n_groups):
+            base = np.asarray(gpol[g].thresholds, np.float32)
+            base_rows.append(np.tile(base, (len(lanes[g]), 1))
+                             if base.ndim == 1 else base.copy())
+
+    def _stage_rows(g: int) -> np.ndarray:
+        rows = base_rows[g].copy()
+        for local, i in enumerate(lanes[g]):
+            st = streams[i]
+            if st.active and st.step % sps != 0 and st.last_exit >= 0:
+                rows[local] = np.full(nl_full, -1e30, np.float32)
+                rows[local, st.last_exit] = 1e30
+        return rows
+
     def dispatch(g: int):
+        if sps > 1:
+            gpol[g].set_threshold_array(_stage_rows(g))
         imgs, grips, idss, masks = [], [], [], []
         for i in lanes[g]:
             st = streams[i]
@@ -219,6 +245,7 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                     continue
                 if j == 0:
                     st.exit_layers.append(int(exit_layers[local]))
+                    st.last_exit = int(exit_layers[local])
                 obs, _, _, info = envs[st.idx].step(plans[local, j])
                 st.step += 1
                 subtask = st.chain[st.subtask_i]

@@ -503,6 +503,13 @@ class ScanDeerPolicy:
             full[r, self.exits[-1]] = 1e30  # last exit always fires
         self.thresholds = jnp.asarray(full)
 
+    def set_threshold_array(self, arr) -> None:
+        """Raw (n_layers,) or (B, n_layers) runtime threshold array, laid
+        out exactly as set_thresholds builds it — the batched harness uses
+        this for per-stream stage reuse (force-exit rows rebuilt per
+        dispatch on host)."""
+        self.thresholds = jnp.asarray(np.asarray(arr, np.float32))
+
     def reset(self):
         self.carry = None
         self.cur_step = 0

@@ -13,7 +13,11 @@ adapter view.
 Protocol (JSON bodies; images are base64 raw bytes + shape):
 
   GET  /healthz            -> {ok, model, exits, streams, steps}
-  POST /v1/reset           {"stream": "arm0"}            (new subtask)
+  POST /v1/reset           {"stream": "arm0",
+                            "thresholds": [per-exit floats]?}
+                           (new subtask; optional per-stream threshold
+                            override — clients with different compute/SLA
+                            budgets share one engine)
   POST /v1/step            {"stream": "arm0",
                             "instruction": "push the red block",
                             "rgb": <b64 u8>, "rgb_shape": [H, W, 3],
@@ -133,11 +137,34 @@ class DeerActionServer:
             "uptime_s": round(time.time() - self.started, 1),
         }
 
+    @staticmethod
+    def _engine_of(policy):
+        """Unwrap to the object holding set_thresholds/exits (wrapper
+        policies delegate stepping but not threshold config)."""
+        p = policy
+        while not hasattr(p, "set_thresholds") and hasattr(p, "policy"):
+            p = p.policy
+        return p
+
     def reset(self, payload: dict) -> dict:
         with self._lock:
             ad = self._get(payload.get("stream", ""))
             ad.reset()
             self._counts[payload["stream"]] = 0
+            th = payload.get("thresholds")
+            if th is not None:
+                # per-stream threshold override: clients with different
+                # compute/SLA budgets share the engine (each stream's
+                # policy view holds its own runtime threshold array)
+                eng = self._engine_of(ad.policy)
+                exits = getattr(eng, "exits", [])
+                if (not isinstance(th, list)
+                        or len(th) != len(exits)
+                        or not all(isinstance(t, (int, float)) for t in th)):
+                    raise ServeError(
+                        f"'thresholds' must be {len(exits)} numbers "
+                        f"(exits {list(map(int, exits))})")
+                eng.set_thresholds([float(t) for t in th])
         return {"ok": True}
 
     def close(self, payload: dict) -> dict:

@@ -97,6 +97,46 @@ def test_candidates_batched_rollout_isolated_reports(setup):
             text_len=cfg.text_len, ep_len=8, candidates=cands)
 
 
+def test_batched_stage_reuse_rows(setup):
+    """--steps_per_stage in the batched rollout: mid-stage dispatches force
+    each stream's previous exit through per-stream threshold rows; fresh
+    stage steps use the pristine base rows."""
+    from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
+    from deer_vla_tpu.eval.rollout import (DebugEnv, DebugTaskOracle,
+                                           make_debug_sequences)
+    cfg, params, tok = setup
+    pol = ScanDeerPolicy(params, cfg, steps_per_stage=2)
+    exits = pol.exits
+    pol.set_thresholds([1e8] * len(exits))  # fresh decisions: first exit
+    rows_log = []
+    orig = pol.set_threshold_array
+
+    def recorder(arr):
+        rows_log.append(np.asarray(arr, np.float32).copy())
+        return orig(arr)
+
+    pol.set_threshold_array = recorder
+    envs = [DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+            for _ in range(2)]
+    evaluate_policy_batched(
+        pol, envs, make_debug_sequences(2), {},
+        DebugTaskOracle(threshold=1e9),  # never succeeds: no mid-run resets
+        tok, text_len=cfg.text_len, ep_len=4, n_layers=cfg.n_layers)
+    assert len(rows_log) >= 3
+    # dispatch 1 (step 0, fresh): pristine base rows for both streams
+    assert rows_log[0].shape == (2, cfg.n_layers)
+    assert (rows_log[0][0] == rows_log[0][1]).all()
+    assert rows_log[0][0, exits[0]] == np.float32(1e8)
+    # dispatch 2 (step 1, mid-stage): both streams force their previous
+    # exit (the first exit layer under these thresholds)
+    forced = rows_log[1]
+    assert forced[0, exits[0]] == np.float32(1e30)
+    assert (forced[0][np.arange(cfg.n_layers) != exits[0]]
+            == np.float32(-1e30)).all()
+    # dispatch 3 (step 2): fresh stage again
+    assert rows_log[2][0, exits[0]] == np.float32(1e8)
+
+
 def test_gp_batch_converges_quadratic():
     """q-batch constant-liar GP finds the quadratic minimum and calls the
     objective in q-sized batches."""

@@ -153,6 +153,28 @@ def test_protocol_errors(served):
     assert len(out["action"]) == 7
 
 
+def test_per_stream_threshold_override(served):
+    """/v1/reset thresholds: two streams of the same engine run different
+    exit budgets (fast stream exits first layer, slow stream full depth)."""
+    base, core, policy, tok, cfg, params = served
+    n = len(policy.exits)
+    while len(core._streams) > core.max_streams - 2:  # room for fast+slow
+        _post(base, "/v1/close", {"stream": sorted(core._streams)[0]})
+    _post(base, "/v1/reset", {"stream": "fast", "thresholds": [1e8] * n})
+    _post(base, "/v1/reset",
+          {"stream": "slow", "thresholds": [-1e8] * (n - 1) + [1e8]})
+    f = _post(base, "/v1/step", _step_payload(cfg, "fast", seed=50))
+    s = _post(base, "/v1/step", _step_payload(cfg, "slow", seed=50))
+    assert f["exit_layer"] == int(policy.exits[0])
+    assert s["exit_layer"] == int(policy.exits[-1])
+    # malformed override -> 400
+    out = _post(base, "/v1/reset", {"stream": "fast", "thresholds": [1.0]},
+                expect=400)
+    assert "thresholds" in out["error"]
+    _post(base, "/v1/close", {"stream": "fast"})
+    _post(base, "/v1/close", {"stream": "slow"})
+
+
 def test_server_diffusion_head_streams():
     """Diffusion-head serving: per-stream clones must not alias the inner
     engine's carry or the sampler's action history; clients get (k, 7)

@@ -44,10 +44,6 @@ def run_parallel_bo(args, base, init_th, init_len, init_exit, bounds,
     (bayesian_optimization.py:130-144) — here one device program advances
     every candidate's streams together."""
     import dataclasses
-    import json as _json
-    import os
-
-    import jax
 
     from deer_vla_tpu.cli.eval import _make_calvin_env, load_model
     from deer_vla_tpu.cli.train import make_tokenizer
@@ -60,6 +56,12 @@ def run_parallel_bo(args, base, init_th, init_len, init_exit, bounds,
     q = args.parallel
     b = q * args.lanes_per_candidate
     cfg, params = load_model(args)
+    if cfg.head_type != "deterministic":
+        # same guard as cli.eval --lanes: batched per-stream resets serve
+        # the LSTM-carry layout only (scan_policy.reset_streams)
+        raise SystemExit(f"--parallel does not serve head_type "
+                         f"{cfg.head_type!r} (batched lanes are "
+                         "deterministic-head only); run without --parallel")
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
     policy = ScanDeerPolicy(params, cfg,
@@ -127,7 +129,9 @@ def main(argv=None):
     p.add_argument("--max_layer", type=int, default=-1)
     p.add_argument("--tokenizer_path", default="")
     p.add_argument("--calvin_conf_path", default="")
-    p.add_argument("--eval_sequences", default="")
+    p.add_argument("--calvin_dataset",
+                   default=os.environ.get("calvin_dataset_path", ""))
+    p.add_argument("--eval_sequences", default="eval_sequences.json")
     args = p.parse_args(argv)
 
     base = []
@@ -136,6 +140,20 @@ def main(argv=None):
     if args.debug:
         base += ["--debug"]
     base += ["--num_seq", str(args.num_seq)]
+    # model/config flags forwarded so every eval (incl. the init/budget
+    # anchor for --parallel) sees the same model the objective runs —
+    # a mismatched --max_layer would produce more init thresholds than
+    # the truncated policy has exits
+    base += ["--model", args.model, "--precision", args.precision,
+             "--seed", str(args.seed)]
+    if args.max_layer > 0:
+        base += ["--max_layer", str(args.max_layer)]
+    if args.tokenizer_path:
+        base += ["--tokenizer_path", args.tokenizer_path]
+    if args.calvin_conf_path:
+        base += ["--calvin_conf_path", args.calvin_conf_path,
+                 "--calvin_dataset", args.calvin_dataset,
+                 "--eval_sequences", args.eval_sequences]
 
     # 1) initial point from exp-solved thresholds
     init_th, init_len, init_exit = run_eval(

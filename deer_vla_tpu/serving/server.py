@@ -56,8 +56,11 @@ def _decode_image(payload: dict, key: str) -> np.ndarray:
     if key not in payload:
         raise ServeError(f"missing field {key!r}")
     shape = payload.get(key + "_shape")
-    if not (isinstance(shape, list) and len(shape) == 3 and shape[2] == 3):
-        raise ServeError(f"{key}_shape must be [H, W, 3], got {shape!r}")
+    if not (isinstance(shape, list) and len(shape) == 3
+            and all(isinstance(s, int) and s > 0 for s in shape)
+            and shape[2] == 3):
+        raise ServeError(f"{key}_shape must be [H, W, 3] positive "
+                         f"integers, got {shape!r}")
     try:
         raw = base64.b64decode(payload[key])
     except Exception as e:
@@ -126,14 +129,17 @@ class DeerActionServer:
         exits = getattr(self._base, "exits", None)
         if exits is None:  # wrapper policies (DiffusionSampler) hold the
             exits = getattr(getattr(self._base, "policy", None), "exits", [])
+        with self._lock:  # POST threads mutate the stream dict
+            streams = sorted(self._streams)
+            steps = self.total_steps
         return {
             "ok": True,
             "exits": [int(e) for e in exits],
             "n_layers": self._base.cfg.n_layers,
             "head_type": self._base.cfg.head_type,
             "quantize": getattr(self._base, "quantize", None),
-            "streams": sorted(self._streams),
-            "steps": self.total_steps,
+            "streams": streams,
+            "steps": steps,
             "uptime_s": round(time.time() - self.started, 1),
         }
 

@@ -140,7 +140,10 @@ def gp_minimize_lite_batch(objective_batch: Callable[[List[List[float]]],
     after greedily picking an acquisition argmax, the point is added to the
     working posterior with the incumbent-best value so the next pick seeks
     a DIFFERENT region (skopt's strategy='cl_min' equivalent).  n_calls
-    counts single-point evaluations, so the loop runs ~n_calls/q rounds."""
+    counts single-point evaluations; rounds ALWAYS evaluate exactly q
+    points (batched rollouts need a fixed candidate count per dispatch —
+    lanes divide q), so up to q-1 evaluations beyond n_calls may run to
+    complete the final round."""
     rng = np.random.RandomState(random_state)
     lo = np.array([b[0] for b in bounds])
     hi = np.array([b[1] for b in bounds])
@@ -162,9 +165,8 @@ def gp_minimize_lite_batch(objective_batch: Callable[[List[List[float]]],
 
     if not X and evals_left > 0:
         # seed round: center + random q-1 (one batched evaluation)
-        seed_pts = [lo + 0.5 * span] + \
-            [lo + rng.rand(len(bounds)) * span for _ in range(q - 1)]
-        eval_batch(seed_pts[:evals_left])
+        eval_batch([lo + 0.5 * span] +
+                   [lo + rng.rand(len(bounds)) * span for _ in range(q - 1)])
 
     while evals_left > 0:
         Xa = np.stack(X)
@@ -173,7 +175,7 @@ def gp_minimize_lite_batch(objective_batch: Callable[[List[List[float]]],
         yn = list((ya - ymu) / ystd)
         Xw = [x for x in Xa]
         picks = []
-        for _ in range(min(q, evals_left)):
+        for _ in range(q):
             cand = lo + rng.rand(n_candidates, len(bounds)) * span
             score = _acq_scores(cand, np.stack(Xw), np.asarray(yn), length,
                                 acq_func, noise)

@@ -48,14 +48,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="direct thresholds (BO mode), last should be 1e5")
     p.add_argument("--exit_id", type=int, default=None,
                    help="fixed exit layer (static eval, disables dynamic exit)")
-    p.add_argument("--quantize", default="none", choices=["none", "int8"],
-                   help="weight-only quantized serving: int8 "
-                        "decoder/encoder weights halve the weight HBM "
-                        "traffic of the B=1 step; embeddings and the "
-                        "action heads stay full precision (ops/quant.py). "
-                        "Serves both the while-loop engine and the "
-                        "host-bucketed DeerPolicy (alt heads, "
-                        "--multi_execution)")
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int8_w8a8"],
+                   help="quantized serving (ops/quant.py): int8 = "
+                        "weight-only (halves weight HBM traffic of the "
+                        "B=1 step, dequant fused into the dots); "
+                        "int8_w8a8 = int8 weights + dynamic per-row int8 "
+                        "activations (int8 MXU matmuls, 2x bf16 MXU "
+                        "throughput — for compute-bound batched serving, "
+                        "--lanes). Embeddings and the action heads stay "
+                        "full precision. Serves both the while-loop "
+                        "engine and the host-bucketed DeerPolicy")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "fused", "bucketed"],
                    help="dynamic-exit execution model: fused = one XLA "

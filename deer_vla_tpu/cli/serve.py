@@ -50,7 +50,8 @@ def build_parser():
                    help="direct per-exit thresholds (BO output); overrides "
                         "the sidecar solve")
     p.add_argument("--steps_per_stage", type=int, default=1)
-    p.add_argument("--quantize", default="none", choices=["none", "int8"])
+    p.add_argument("--quantize", default="none",
+                   choices=["none", "int8", "int8_w8a8"])
     p.add_argument("--tcp_rel", action="store_true")
     p.add_argument("--oneshot_healthz", action="store_true",
                    help="bind, print healthz JSON, exit (smoke testing)")

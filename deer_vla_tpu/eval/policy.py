@@ -71,11 +71,15 @@ class DeerPolicy:
             # patch_embed) and the unstacked encoder leaves stay full
             # precision.  Consumed transparently by ops.layers.linear's
             # q/s layout through mpt_block_forward / gated x-attn.
-            from deer_vla_tpu.ops.quant import quantize_tree
+            from deer_vla_tpu.ops.quant import QUANT_MODES, quantize_tree
+            if quantize not in QUANT_MODES:
+                raise ValueError(f"unknown quantize mode {quantize!r} "
+                                 f"(want one of {QUANT_MODES})")
+            sk = "s8" if quantize == "int8_w8a8" else "s"
             dec = params["decoder"]
             params = dict(params, decoder=dict(
-                dec, blocks=quantize_tree(dec["blocks"]),
-                xattn=quantize_tree(dec["xattn"])))
+                dec, blocks=quantize_tree(dec["blocks"], scale_key=sk),
+                xattn=quantize_tree(dec["xattn"], scale_key=sk)))
         self.params = params
         self.cfg = cfg
         self.controller = controller

@@ -560,8 +560,11 @@ class ScanDeerPolicy:
         b = text_rows
         if self.cfg.use_hist:
             b //= self.cfg.window_size  # text is per-frame in hist mode
-        if self.carry is None:
+        if self.carry is None or getattr(self, "_carry_rows", None) != b:
+            # stream count changed (e.g. step() then step_batch()): carries
+            # across batch layouts are meaningless — start fresh
             self.carry = any_zero_carry(self.cfg, b)
+        self._carry_rows = b
 
     def _postprocess(self, arm, grip) -> np.ndarray:
         if self.cfg.head_type == "diffusion":

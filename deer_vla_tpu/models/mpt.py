@@ -140,7 +140,15 @@ def mpt_block_forward_stacked(stacked: dict, i, x: jnp.ndarray,
                                                         indexed_matmul_q8)
 
     def imm(p: dict, h):
-        if "q" in p:  # weight-only int8 stack (ops/quant.py)
+        if "s8" in p:
+            # w8a8 stack (ops/quant.py int8_w8a8): slice the layer and let
+            # ops.layers.linear run the int8 MXU path (no pallas variant —
+            # w8a8 targets batched serving, where indexed_mm is off)
+            y = linear({"q": jax.lax.dynamic_index_in_dim(
+                            p["q"], i, 0, keepdims=False),
+                        "s8": jax.lax.dynamic_index_in_dim(
+                            p["s8"], i, 0, keepdims=False)}, h)
+        elif "q" in p:  # weight-only int8 stack (ops/quant.py)
             y = indexed_matmul_q8(h, p["q"], p["s"], i)
         else:
             y = indexed_matmul(h, p["w"], i)

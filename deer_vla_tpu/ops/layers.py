@@ -63,7 +63,24 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    if "q" in p:
+    if "s8" in p:
+        # w8a8 (ops/quant.py int8_w8a8): dynamic symmetric per-row
+        # activation int8 + per-output-channel weight int8; the dot runs
+        # int8 x int8 -> int32 on the MXU (2x bf16 MXU throughput on
+        # v5e — the lever for COMPUTE-bound batched serving; weight-only
+        # int8 covers the bandwidth-bound B=1 step).  fp32 rescale by
+        # sx * sw fuses into the epilogue.
+        sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1,
+                     keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
+        xi = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xi, p["q"], (((xi.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * sx
+             * p["s8"].astype(jnp.float32)).astype(x.dtype)
+    elif "q" in p:
         # weight-only int8 (ops/quant.py): the int8->compute-dtype cast and
         # the per-output-channel scale both fuse into the dot, so the
         # weight's HBM traffic is the int8 bytes.  (x @ q) * s == x @ (q*s)

@@ -49,11 +49,19 @@ def dequantize_weight(q: jnp.ndarray, s: jnp.ndarray, dtype=jnp.float32,
             * jnp.expand_dims(s, axis)).astype(dtype)
 
 
-def quantize_tree(tree, min_dim: int = 1):
+def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
     """Replace every ``{"w": <matmul weight>}`` entry in a (nested) param
-    tree with ``{"q", "s"}``.  Only floating leaves under the key ``"w"``
-    with ndim >= 2 and both trailing dims >= min_dim are touched; biases,
-    layernorm params, gates, and anything not named ``w`` pass through.
+    tree with ``{"q", <scale_key>}``.  Only floating leaves under the key
+    ``"w"`` with ndim >= 2 and both trailing dims >= min_dim are touched;
+    biases, layernorm params, gates, and anything not named ``w`` pass
+    through.
+
+    scale_key selects the CONSUMPTION mode in ops.layers.linear:
+      "s"  — weight-only int8 (dequant fused into the dot, fp activations)
+      "s8" — w8a8: activations dynamically quantized per row and the dot
+             runs int8 x int8 -> int32 on the MXU (2x bf16 MXU throughput
+             on v5e; for COMPUTE-bound batched serving — weight-only
+             already saturates the bandwidth-bound B=1 step)
 
     Intended for the serving engines' STACKED layer trees
     (eval/scan_policy.stack_decoder_layers output), which contain ONLY
@@ -66,13 +74,17 @@ def quantize_tree(tree, min_dim: int = 1):
             if (k == "w" and hasattr(v, "ndim") and v.ndim >= 2
                     and jnp.issubdtype(v.dtype, jnp.floating)
                     and v.shape[-1] >= min_dim and v.shape[-2] >= min_dim):
-                out["q"], out["s"] = quantize_weight(v)
+                out["q"], out[scale_key] = quantize_weight(v)
             else:
-                out[k] = quantize_tree(v, min_dim)
+                out[k] = quantize_tree(v, min_dim, scale_key)
         return out
     if isinstance(tree, (list, tuple)):
-        return type(tree)(quantize_tree(v, min_dim) for v in tree)
+        return type(tree)(quantize_tree(v, min_dim, scale_key)
+                          for v in tree)
     return tree
+
+
+QUANT_MODES = ("int8", "int8_w8a8")
 
 
 def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
@@ -80,15 +92,18 @@ def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
     packed tree (decoder blocks, gated x-attn, ViT blocks, perceiver
     layers).  Index maps / flags (has_xattn, xattn_idx) pass through.
 
-    mode: None/"none" = no-op; "int8" = weight-only int8."""
+    mode: None/"none" = no-op; "int8" = weight-only int8;
+    "int8_w8a8" = int8 weights + dynamic int8 activations (int8 MXU)."""
     if not mode or mode == "none":
         return stacked
-    if mode != "int8":
-        raise ValueError(f"unknown quantize mode {mode!r} (want 'int8')")
+    if mode not in QUANT_MODES:
+        raise ValueError(f"unknown quantize mode {mode!r} "
+                         f"(want one of {QUANT_MODES})")
+    scale_key = "s8" if mode == "int8_w8a8" else "s"
     out = dict(stacked)
     for k in ("blocks", "xattn", "vit", "perceiver", "perceiver_gripper"):
         if k in out:
-            out[k] = quantize_tree(out[k])
+            out[k] = quantize_tree(out[k], scale_key=scale_key)
     return out
 
 

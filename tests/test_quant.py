@@ -56,6 +56,56 @@ def test_indexed_matmul_q8_fallback_matches_dequant():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_linear_w8a8_close():
+    """int8 x int8 -> int32 path (s8 layout): per-row activation scales +
+    per-channel weight scales recover the fp product within the combined
+    quantization error."""
+    r = np.random.RandomState(4)
+    w = jnp.asarray(r.randn(256, 128).astype(np.float32)) * 0.05
+    b = jnp.asarray(r.randn(128).astype(np.float32)) * 0.1
+    x = jnp.asarray(r.randn(6, 256).astype(np.float32))
+    y = linear({"w": w, "b": b}, x)
+    q, s = quantize_weight(w)
+    yq = linear({"q": q, "s8": s, "b": b}, x)
+    rel = np.abs(np.asarray(y - yq)).max() / np.abs(np.asarray(y)).max()
+    assert rel < 0.03, rel
+    # 3-D activations (B, S, K) go through the same dot_general
+    x3 = jnp.asarray(r.randn(2, 5, 256).astype(np.float32))
+    y3 = linear({"w": w, "b": b}, x3)
+    yq3 = linear({"q": q, "s8": s, "b": b}, x3)
+    assert yq3.shape == y3.shape
+    assert np.abs(np.asarray(y3 - yq3)).max() / \
+        np.abs(np.asarray(y3)).max() < 0.03
+
+
+def test_scan_policy_w8a8_serves(tiny_setup):
+    """--quantize int8_w8a8: the while-loop engine serves with int8 MXU
+    matmuls; exits match fp at forced depth and actions stay correlated
+    (activation quantization adds noise on a tiny random model)."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = tiny_setup
+    fp = ScanDeerPolicy(params, cfg)
+    qq = ScanDeerPolicy(params, cfg, quantize="int8_w8a8")
+    th = [-1e8] * (len(fp.exits) - 1) + [1e8]
+    fp.set_thresholds(list(th)), qq.set_thresholds(list(th))
+    for i in range(2):
+        img, grip, ids, mask = _inputs(cfg, seed=20 + i)
+        a = fp.step(img, grip, ids, mask)
+        b = qq.step(img, grip, ids, mask)
+        assert fp.last_exit_layer == qq.last_exit_layer
+        assert np.isfinite(b).all()
+        assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.85, (a, b)
+    # batched dispatch (the w8a8 target workload) runs too
+    r = np.random.RandomState(9)
+    hw, s = cfg.vit.image_size, cfg.text_len
+    imgB = jnp.asarray(r.randn(2, 1, 1, 3, hw, hw), jnp.float32)
+    idsB = np.full((2, s), 7, np.int32)
+    idsB[:, 0] = cfg.media_token_id
+    acts, els = qq.step_batch(imgB, imgB, jnp.asarray(idsB),
+                              jnp.ones((2, s), jnp.int32))
+    assert np.isfinite(acts).all() and els.shape == (2,)
+
+
 def test_quantize_tree_targets_only_w():
     tree = {"wqkv": {"w": jnp.ones((2, 16, 16))},
             "ln": {"scale": jnp.ones((16,)), "bias": jnp.zeros((16,))},
@@ -170,6 +220,38 @@ def test_deer_policy_int8_gpt_head(tiny_setup):
     img, grip, ids, mask = _inputs(cfg, seed=0)
     act = q8.step(img, grip, ids, mask)
     assert act.shape == (7,) and np.isfinite(act).all()
+
+
+def test_bench_int8_view_pattern(tiny_setup):
+    """bench.py's int8 block quantizes the LIVE policy's packed tree and
+    reuses its jitted step via a lightweight namespace (no second
+    stacking) — prove that exact pattern steps and stays close to fp."""
+    from types import SimpleNamespace
+
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.ops.lstm import zero_carry
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+    cfg, params = tiny_setup
+    fp = ScanDeerPolicy(params, cfg)
+    q8 = SimpleNamespace(params=fp.params,
+                         stacked=quantize_serving_stacked(fp.stacked,
+                                                          "int8"),
+                         _step=fp._step)
+    th = np.full(cfg.n_layers, -1e30, np.float32)
+    for e in fp.exits:
+        th[e] = -1e8
+    th[fp.exits[-1]] = 1e30  # force full depth
+    th = jnp.asarray(th)
+    img, grip, ids, mask = _inputs(cfg, seed=5)
+    carry = zero_carry(cfg.head.lstm_num_layers, 1, cfg.head.hidden_size,
+                       jnp.float32)
+    arm_f, gp_f, _, el_f = fp._step(fp.params, fp.stacked, img, grip,
+                                    ids, mask, carry, th)
+    arm_q, gp_q, _, el_q = q8._step(q8.params, q8.stacked, img, grip,
+                                    ids, mask, carry, th)
+    assert int(el_f[0]) == int(el_q[0]) == fp.exits[-1]
+    assert np.isfinite(np.asarray(arm_q)).all()
+    assert np.abs(np.asarray(arm_f) - np.asarray(arm_q)).max() < 0.25
 
 
 def test_quantized_stacked_block_forward_close(tiny_setup):

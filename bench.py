@@ -145,6 +145,7 @@ def run_model(bench_model: str) -> dict:
     # per-step host readback is pure tunnel transport, reported separately
     # via sync_step_ms)
     batched_aps = 0.0
+    batched_w8a8 = {}
     if BENCH_MODEL != "mpt_9b":  # 9B keeps HBM headroom for stacked weights
         B = 32
         bp = ScanDeerPolicy(params, cfg,
@@ -174,9 +175,59 @@ def run_model(bench_model: str) -> dict:
                                               idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
+
+        # w8a8 at batch (--quantize int8_w8a8): the B=32 step is
+        # COMPUTE-bound, so int8 x int8 MXU matmuls (2x bf16 MXU on v5e)
+        # are the lever weight-only int8 isn't.  Same-process adjacent
+        # A/B: re-time bf16 next to the w8a8 run (time-shared chip).
+        del imgB_pool, carryB, armB, gpB, elB  # HBM headroom for w8a8
+        batched_w8a8 = {}
+        if os.environ.get("DEER_BENCH_W8A8", "1") != "0":
+            try:
+                from types import SimpleNamespace
+
+                from deer_vla_tpu.ops.quant import quantize_serving_stacked
+                w8 = SimpleNamespace(
+                    params=bp.params,
+                    stacked=quantize_serving_stacked(bp.stacked,
+                                                     "int8_w8a8"),
+                    _step=bp._step)
+                # small distinct-image pools: 2*(10+3) B=32 fp32 frames is
+                # ~0.5 GB — 100 would be ~2 GB of HBM on top of 3 stacks
+                iters_w, warm_w = 10, 3
+                imgW = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw),
+                                    jnp.float32)
+                        for _ in range(2 * (iters_w + warm_w))]
+
+                def time_b(p, pool):
+                    c = zero_carry(cfg.head.lstm_num_layers, B,
+                                   cfg.head.hidden_size, jnp.float32)
+                    for i in range(warm_w):
+                        a_, g_, c, e_ = p._step(p.params, p.stacked,
+                                                pool[i], pool[i], idsB,
+                                                maskB, c, thB)
+                    jax.block_until_ready((a_, g_, c, e_))
+                    t0 = time.perf_counter()
+                    for i in range(warm_w, warm_w + iters_w):
+                        a_, g_, c, e_ = p._step(p.params, p.stacked,
+                                                pool[i], pool[i], idsB,
+                                                maskB, c, thB)
+                    jax.block_until_ready((a_, g_, c, e_))
+                    return (time.perf_counter() - t0) / iters_w
+
+                t_w8 = time_b(w8, imgW[:iters_w + warm_w])
+                t_bf = time_b(bp, imgW[iters_w + warm_w:])
+                batched_w8a8 = {
+                    "actions_per_sec": round(B / t_w8, 2),
+                    "bf16_adjacent_actions_per_sec": round(B / t_bf, 2),
+                    "speedup_vs_bf16": round(t_bf / t_w8, 3),
+                }
+                del w8, imgW
+            except Exception as e:
+                batched_w8a8 = {"error": repr(e)[:200]}
         # free the batched engine's stacked tree before the int8 engine
         # stacks its own (HBM headroom, see sync_step note above)
-        del bp, imgB_pool, carryB, armB, gpB, elB
+        del bp
 
     # weight-only int8 serving (--quantize int8, ops/quant.py): same engine,
     # int8 decoder/encoder stacks.  One extra compile; the per-depth sweep
@@ -240,6 +291,8 @@ def run_model(bench_model: str) -> dict:
     }
     if int8_detail:
         result["detail"]["int8"] = int8_detail
+    if batched_w8a8:
+        result["detail"]["batched32_w8a8"] = batched_w8a8
     return result
 
 

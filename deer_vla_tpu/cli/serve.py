@@ -38,6 +38,16 @@ def build_parser():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_streams", type=int, default=64)
+    p.add_argument("--batch_lanes", type=int, default=0,
+                   help=">0: micro-batching serving core "
+                        "(serving/batcher.py) — concurrent streams share "
+                        "ONE batched program per device step (~2x "
+                        "aggregate throughput at 32 lanes on one chip); "
+                        "capacity = this many streams. Deterministic "
+                        "head, no window-folded models, no proprio")
+    p.add_argument("--batch_window_ms", type=float, default=5.0,
+                   help="micro-batch collection window after the first "
+                        "pending request")
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max_layer", type=int, default=-1)
@@ -103,6 +113,15 @@ def build_core(args):
 
     thresholds = _resolve_thresholds(args, policy)
     policy.set_thresholds(thresholds)
+    if args.batch_lanes > 0:
+        from deer_vla_tpu.serving.batcher import BatchedActionServer
+        if args.bundle or args.artifact:
+            raise SystemExit("--batch_lanes serves the live engine only "
+                             "(AOT artifacts bake a fixed batch; export "
+                             "with --batch matching and use the "
+                             "per-stream core)")
+        return BatchedActionServer(policy, tok, lanes=args.batch_lanes,
+                                   window_ms=args.batch_window_ms), cfg
     if cfg.head_type == "diffusion":
         # DDPM sampling wrapper: exit features -> (k, 7) action plans
         # (clients receive the plan; eval_utils.py:388-419 use_diff branch)
@@ -162,6 +181,8 @@ def main(argv=None):
         pass
     finally:
         httpd.server_close()
+        if hasattr(core, "shutdown"):
+            core.shutdown()
     return 0
 
 

@@ -1,0 +1,285 @@
+"""Micro-batching serving core: concurrent robot streams share ONE batched
+dynamic-exit program per device step.
+
+The per-stream serving core (serving/server.py DeerActionServer) dispatches
+one B=1 program per request — right for latency, but a single chip
+sustains ~2x the aggregate throughput at B=32 (bench.py batched32).  This
+core multiplexes HTTP streams onto the lanes of one ScanDeerPolicy batch:
+requests arriving within a small window are collated into one
+``step_batch`` dispatch (parked lanes ride along as zeros), and every
+lane keeps its own LSTM carry row, threshold row (per-stream runtime
+thresholds) and token cache.
+
+Same HTTP protocol as DeerActionServer (make_server takes either core);
+`deer-serve --batch_lanes N [--batch_window_ms W]` selects this core.
+
+Restrictions (the batched engine's): deterministic LSTM head only
+(scan_policy.reset_streams), no window-folded models, no proprio state.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from deer_vla_tpu.serving.server import ServeError, _decode_image
+
+
+class _Pending:
+    __slots__ = ("payload", "event", "result", "error")
+
+    def __init__(self, payload):
+        self.payload = payload
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[ServeError] = None
+
+
+class BatchedActionServer:
+    """Lane-multiplexed serving core around one ScanDeerPolicy.
+
+    policy: ScanDeerPolicy built for this config; its batched carry and
+            (B, n_layers) threshold rows hold ALL streams' state.
+    lanes:  fixed stream capacity == the compiled batch size.
+    window_ms: after the first pending request arrives, wait at most this
+            long for more before dispatching (0 = dispatch immediately
+            with whatever is queued)."""
+
+    def __init__(self, policy, text_fn, lanes: int = 8,
+                 window_ms: float = 5.0):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from deer_vla_tpu.data.preprocess import clip_preprocess
+        cfg = policy.cfg
+        if cfg.use_hist or cfg.fusion_mode == "vit_concat":
+            raise ServeError("batched serving does not serve window-folded "
+                             "models (use_hist / vit_concat)")
+        if cfg.head_type != "deterministic":
+            raise ServeError("batched serving is deterministic-head only")
+        if cfg.use_state or cfg.head.use_state:
+            raise ServeError("batched serving does not thread proprio "
+                             "state; use the per-stream core")
+        self._policy = policy
+        self._text_fn = text_fn
+        self.cfg = cfg
+        self.lanes = lanes
+        self.window_s = window_ms / 1000.0
+        self.max_streams = lanes
+        size = cfg.vit.image_size
+        self._prep = jax.jit(functools.partial(clip_preprocess, size=size))
+        self._jnp = jnp
+
+        # lane state (all guarded by _cond's lock)
+        self._lane_of: Dict[str, int] = {}
+        self._free: List[int] = list(range(lanes))
+        th = np.asarray(policy.thresholds, np.float32)
+        self._rows = np.tile(th if th.ndim == 1 else th[0], (lanes, 1))
+        # a parked lane (no request this window) must exit at the FIRST
+        # exit layer so it never prolongs the batch's while_loop; its
+        # result and carry are discarded/restored anyway
+        self._park_row = np.full(cfg.n_layers, -1e30, np.float32)
+        self._park_row[policy.exits[0]] = 1e30
+        # materialize the batched carry up front so parked-lane restoration
+        # has a base on the very first dispatch
+        policy._ensure_carry(lanes)
+        self._tok_cache: Dict[str, tuple] = {}
+        self._pending: Dict[int, _Pending] = {}  # lane -> request
+        self._cond = threading.Condition()
+        self._stop = False
+        self.total_steps = 0
+        self.started = time.time()
+        # parked lanes ride along on one shared preprocessed zero frame
+        self._zero_prep = self._prep(
+            jnp.asarray(np.zeros((1, size, size, 3), np.uint8)))[0]
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- stream management (lock held by caller paths) ----------------------
+
+    def _lane(self, name: str) -> int:
+        if not isinstance(name, str) or not name:
+            raise ServeError("'stream' must be a non-empty string")
+        lane = self._lane_of.get(name)
+        if lane is None:
+            if not self._free:
+                raise ServeError(
+                    f"stream limit {self.lanes} reached; close one")
+            lane = self._free.pop(0)
+            self._lane_of[name] = lane
+            self._reset_lane(lane)
+        return lane
+
+    def _reset_lane(self, lane: int):
+        self._policy.reset_streams(np.arange(self.lanes) == lane)
+
+    # -- endpoints (same surface as DeerActionServer) -----------------------
+
+    def healthz(self) -> dict:
+        with self._cond:
+            streams = sorted(self._lane_of)
+            steps = self.total_steps
+        return {
+            "ok": True,
+            "mode": "batched",
+            "lanes": self.lanes,
+            "exits": [int(e) for e in self._policy.exits],
+            "n_layers": self.cfg.n_layers,
+            "head_type": self.cfg.head_type,
+            "quantize": getattr(self._policy, "quantize", None),
+            "streams": streams,
+            "steps": steps,
+            "uptime_s": round(time.time() - self.started, 1),
+        }
+
+    def reset(self, payload: dict) -> dict:
+        with self._cond:
+            lane = self._lane(payload.get("stream", ""))
+            if lane in self._pending:
+                raise ServeError("stream busy (a step is in flight)")
+            self._reset_lane(lane)
+            th = payload.get("thresholds")
+            if th is not None:
+                exits = self._policy.exits
+                if (not isinstance(th, list) or len(th) != len(exits)
+                        or not all(isinstance(t, (int, float))
+                                   for t in th)):
+                    raise ServeError(
+                        f"'thresholds' must be {len(exits)} numbers "
+                        f"(exits {list(map(int, exits))})")
+                row = np.full(self.cfg.n_layers, -1e30, np.float32)
+                for e, t in zip(exits, th):
+                    row[e] = t
+                row[exits[-1]] = 1e30
+                self._rows[lane] = row
+        return {"ok": True}
+
+    def close(self, payload: dict) -> dict:
+        with self._cond:
+            lane = self._lane_of.pop(payload.get("stream", ""), None)
+            if lane is not None:
+                if lane in self._pending:
+                    self._lane_of[payload["stream"]] = lane
+                    raise ServeError("stream busy (a step is in flight)")
+                self._free.append(lane)
+        return {"ok": True, "existed": lane is not None}
+
+    def step(self, payload: dict) -> dict:
+        instruction = payload.get("instruction")
+        if not isinstance(instruction, str) or not instruction.strip():
+            raise ServeError("'instruction' must be a non-empty string")
+        rgb = _decode_image(payload, "rgb")
+        grip = _decode_image(payload, "gripper")
+        # preprocess on the REQUEST thread (clients send arbitrary HxW;
+        # the batch stack needs uniform (3, size, size) tensors) — same
+        # per-request device resize the per-stream core pays
+        jnp = self._jnp
+        rgb_p = self._prep(jnp.asarray(rgb)[None])[0]
+        grip_p = self._prep(jnp.asarray(grip)[None])[0]
+        req = _Pending((instruction, rgb_p, grip_p))
+        with self._cond:
+            lane = self._lane(payload.get("stream", ""))
+            if lane in self._pending:
+                raise ServeError("stream busy (one step in flight per "
+                                 "stream)")
+            self._pending[lane] = req
+            self._cond.notify_all()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def shutdown(self):
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join(timeout=5)
+
+    # -- the batcher loop ---------------------------------------------------
+
+    def _tokens(self, instruction: str):
+        t = self._tok_cache.get(instruction)
+        if t is None:
+            from deer_vla_tpu.data.text import fixed_length
+            ids, mask = self._text_fn([instruction])
+            pad = getattr(self._text_fn, "pad_token_id", 0)
+            ids, mask = fixed_length(ids, mask, self.cfg.text_len, pad)
+            t = (np.asarray(ids[0]), np.asarray(mask[0]))
+            self._tok_cache[instruction] = t
+        return t
+
+    def _loop(self):
+        jnp = self._jnp
+        s = self.cfg.text_len
+        while True:
+            with self._cond:
+                while not self._pending and not self._stop:
+                    self._cond.wait()
+                if self._stop:
+                    for req in self._pending.values():
+                        req.error = ServeError("server shutting down")
+                        req.event.set()
+                    return
+                # micro-batch window: collect more requests until every
+                # live stream has one or the window elapses
+                deadline = time.time() + self.window_s
+                while (len(self._pending) < len(self._lane_of)
+                       and not self._stop):
+                    left = deadline - time.time()
+                    if left <= 0:
+                        break
+                    self._cond.wait(timeout=left)
+                batch = dict(self._pending)
+                self._pending.clear()
+                rows = self._rows.copy()
+            # build batch arrays OUTSIDE the lock (decode/step latency
+            # must not block enqueues for the next window); the whole
+            # build+dispatch is guarded so a bad request can never kill
+            # the batcher thread
+            try:
+                t0 = time.perf_counter()
+                imgs = [self._zero_prep] * self.lanes
+                grips = [self._zero_prep] * self.lanes
+                idss = np.zeros((self.lanes, s), np.int32)
+                masks = np.zeros((self.lanes, s), np.int32)
+                for lane, req in batch.items():
+                    instruction, rgb_p, grip_p = req.payload
+                    imgs[lane] = rgb_p
+                    grips[lane] = grip_p
+                    ids, m = self._tokens(instruction)
+                    idss[lane], masks[lane] = ids, m
+                in_batch = np.zeros(self.lanes, bool)
+                in_batch[list(batch)] = True
+                rows[~in_batch] = self._park_row
+                img_d = jnp.stack(imgs)[:, None, None]
+                grip_d = jnp.stack(grips)[:, None, None]
+                self._policy.set_threshold_array(rows)
+                old_carry = self._policy.carry
+                acts, exits = self._policy.step_batch(
+                    img_d, grip_d, jnp.asarray(idss), jnp.asarray(masks))
+                # parked lanes rode along on zero frames: restore their
+                # carry rows so skipping a window never mutates a stream
+                m = jnp.asarray(in_batch)
+                self._policy.carry = tuple(
+                    jnp.where(m[None, :, None], new, old)
+                    for new, old in zip(self._policy.carry, old_carry))
+                dt = round(1000 * (time.perf_counter() - t0), 2)
+                for lane, req in batch.items():
+                    req.result = {
+                        "action": np.asarray(acts[lane]).tolist(),
+                        "exit_layer": int(exits[lane]),
+                        "step_ms": dt,
+                        "batched_with": len(batch),
+                    }
+                    req.event.set()
+                with self._cond:
+                    self.total_steps += len(batch)
+            except Exception as e:  # pragma: no cover - engine errors
+                for req in batch.values():
+                    req.error = ServeError(f"{type(e).__name__}: {e}")
+                    req.event.set()

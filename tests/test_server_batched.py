@@ -1,0 +1,187 @@
+"""Micro-batching serving core (serving/batcher.py): concurrent streams
+collated into one batched dispatch, parked-lane carry isolation, per-stream
+thresholds, and the HTTP surface."""
+
+import base64
+import dataclasses
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deer_vla_tpu.core.config import deer_tiny
+from deer_vla_tpu.data.text import HashTokenizer
+from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+from deer_vla_tpu.models.flamingo import init_deer
+from deer_vla_tpu.serving.batcher import BatchedActionServer
+from deer_vla_tpu.serving.server import ServeError
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    return cfg, params, tok
+
+
+def make_core(cfg, params, tok, lanes=4, window_ms=150.0, thresholds=None):
+    pol = ScanDeerPolicy(params, cfg,
+                         thresholds=thresholds or [1e8, 1e8])
+    return BatchedActionServer(pol, tok, lanes=lanes, window_ms=window_ms)
+
+
+def _frame(cfg, seed):
+    r = np.random.RandomState(seed)
+    return r.randint(0, 255, (48, 48, 3), np.uint8)
+
+
+def _payload(cfg, stream, seed, instruction="push the red block"):
+    rgb, grip = _frame(cfg, seed), _frame(cfg, seed + 500)
+    return {"stream": stream, "instruction": instruction,
+            "rgb": base64.b64encode(rgb.tobytes()).decode(),
+            "rgb_shape": list(rgb.shape),
+            "gripper": base64.b64encode(grip.tobytes()).decode(),
+            "gripper_shape": list(grip.shape)}
+
+
+def _concurrent_steps(core, payloads):
+    results = [None] * len(payloads)
+
+    def run(i):
+        results[i] = core.step(payloads[i])
+
+    ts = [threading.Thread(target=run, args=(i,))
+          for i in range(len(payloads))]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    return results
+
+
+def test_concurrent_streams_one_dispatch(setup):
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    try:
+        # distinct instructions: a fresh random-init model's x-attn gates
+        # are zero (Flamingo init), so only text differentiates streams
+        outs = _concurrent_steps(
+            core, [_payload(cfg, "a", 1, instruction="lift the cup"),
+                   _payload(cfg, "b", 2, instruction="open the door")])
+        for o in outs:
+            assert len(o["action"]) == 7 and np.isfinite(o["action"]).all()
+        # both landed in the same micro-batch (150 ms window)
+        assert outs[0]["batched_with"] == outs[1]["batched_with"] == 2
+        assert not np.allclose(outs[0]["action"], outs[1]["action"])
+        h = core.healthz()
+        assert h["mode"] == "batched" and h["steps"] == 2
+    finally:
+        core.shutdown()
+
+
+def test_parked_lane_carry_isolated(setup):
+    """Stream B stepping while A sits out a window must not advance A's
+    carry: A's trajectory equals a run where A is alone on the server."""
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok, window_ms=30.0)
+    try:
+        a1 = core.step(_payload(cfg, "a", 10))
+        _ = core.step(_payload(cfg, "b", 11))   # a parked here
+        _ = core.step(_payload(cfg, "b", 12))   # a parked here
+        a2 = core.step(_payload(cfg, "a", 13))
+    finally:
+        core.shutdown()
+    solo = make_core(cfg, params, tok, window_ms=30.0)
+    try:
+        s1 = solo.step(_payload(cfg, "a", 10))
+        s2 = solo.step(_payload(cfg, "a", 13))
+    finally:
+        solo.shutdown()
+    np.testing.assert_allclose(a1["action"], s1["action"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(a2["action"], s2["action"],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_per_stream_thresholds_and_reset(setup):
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    exits = core._policy.exits
+    try:
+        core.reset({"stream": "fast", "thresholds": [1e8] * len(exits)})
+        core.reset({"stream": "slow",
+                    "thresholds": [-1e8] * (len(exits) - 1) + [1e8]})
+        outs = _concurrent_steps(core, [_payload(cfg, "fast", 20),
+                                        _payload(cfg, "slow", 20)])
+        assert outs[0]["exit_layer"] == int(exits[0])
+        assert outs[1]["exit_layer"] == int(exits[-1])
+        with pytest.raises(ServeError, match="thresholds"):
+            core.reset({"stream": "fast", "thresholds": [1.0]})
+    finally:
+        core.shutdown()
+
+
+def test_lane_capacity_and_busy(setup):
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok, lanes=2)
+    try:
+        core.reset({"stream": "a"})
+        core.reset({"stream": "b"})
+        with pytest.raises(ServeError, match="limit"):
+            core.reset({"stream": "c"})
+        core.close({"stream": "b"})
+        core.reset({"stream": "c"})  # freed lane reusable
+        # busy: with a step in flight on the stream, reset/close/step refuse
+        from deer_vla_tpu.serving.batcher import _Pending
+        core._pending[core._lane_of["a"]] = _Pending(None)
+        try:
+            with pytest.raises(ServeError, match="busy"):
+                core.reset({"stream": "a"})
+            with pytest.raises(ServeError, match="busy"):
+                core.close({"stream": "a"})
+            assert "a" in core._lane_of  # failed close didn't evict
+        finally:
+            core._pending.clear()
+    finally:
+        core.shutdown()
+
+
+def test_batched_core_refuses_unsupported(setup):
+    cfg, params, tok = setup
+    cfg_hist = dataclasses.replace(cfg, use_hist=True)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    pol.cfg = cfg_hist
+    with pytest.raises(ServeError, match="window-folded"):
+        BatchedActionServer(pol, tok)
+
+
+def test_batched_http_surface(setup):
+    """The HTTP handler serves the batched core unchanged."""
+    import json
+    import urllib.request
+    from deer_vla_tpu.serving.server import make_server
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    httpd = make_server(core, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            base + "/v1/step",
+            data=json.dumps(_payload(cfg, "h", 30)).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert len(out["action"]) == 7
+        with urllib.request.urlopen(base + "/healthz") as r:
+            h = json.loads(r.read())
+        assert h["mode"] == "batched"
+    finally:
+        httpd.shutdown()
+        core.shutdown()

@@ -120,6 +120,14 @@ def build_core(args):
                              "(AOT artifacts bake a fixed batch; export "
                              "with --batch matching and use the "
                              "per-stream core)")
+        if args.tcp_rel:
+            raise SystemExit("--batch_lanes does not apply the tcp->world "
+                             "action-frame conversion; serve tcp_rel "
+                             "models with the per-stream core")
+        if args.steps_per_stage > 1:
+            raise SystemExit("--batch_lanes has no per-stream step "
+                             "counter for stage reuse; use the "
+                             "per-stream core for --steps_per_stage")
         return BatchedActionServer(policy, tok, lanes=args.batch_lanes,
                                    window_ms=args.batch_window_ms), cfg
     if cfg.head_type == "diffusion":

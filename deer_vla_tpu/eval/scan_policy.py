@@ -477,15 +477,23 @@ class ScanDeerPolicy:
         self.last_exit_layer = -1
         self.reset()
 
-    def set_thresholds(self, thresholds) -> None:
+    def threshold_row(self, thresholds) -> np.ndarray:
+        """Lay one per-exit threshold list/dict out as the (n_layers,)
+        runtime row the while-loop compares against: -1e30 at non-exit
+        layers (never passes), the given value at each exit, and +1e30 at
+        the last exit (always fires).  The single source of the row-layout
+        invariant — serving cores building per-lane rows must use this."""
         if isinstance(thresholds, dict):
             thresholds = [thresholds[e] for e in self.exits]
-        assert len(thresholds) == len(self.exits)
+        assert len(thresholds) == len(self.exits), (thresholds, self.exits)
         full = np.full(self.cfg.n_layers, -1e30, np.float32)
         for e, t in zip(self.exits, thresholds):
             full[e] = t
         full[self.exits[-1]] = 1e30  # last exit always fires
-        self.thresholds = jnp.asarray(full)
+        return full
+
+    def set_thresholds(self, thresholds) -> None:
+        self.thresholds = jnp.asarray(self.threshold_row(thresholds))
 
     def set_thresholds_batch(self, rows) -> None:
         """Per-stream threshold rows for batched multi-candidate serving
@@ -493,15 +501,8 @@ class ScanDeerPolicy:
         threshold list/dict per stream -> a (B, n_layers) runtime array
         (the while-loop compares thresholds[..., i], so the same compiled
         program serves shared and per-stream layouts)."""
-        full = np.full((len(rows), self.cfg.n_layers), -1e30, np.float32)
-        for r, th in enumerate(rows):
-            if isinstance(th, dict):
-                th = [th[e] for e in self.exits]
-            assert len(th) == len(self.exits), (len(th), self.exits)
-            for e, t in zip(self.exits, th):
-                full[r, e] = t
-            full[r, self.exits[-1]] = 1e30  # last exit always fires
-        self.thresholds = jnp.asarray(full)
+        self.thresholds = jnp.asarray(
+            np.stack([self.threshold_row(th) for th in rows]))
 
     def set_threshold_array(self, arr) -> None:
         """Raw (n_layers,) or (B, n_layers) runtime threshold array, laid

@@ -35,7 +35,9 @@ class _Pending:
         self.payload = payload
         self.event = threading.Event()
         self.result = None
-        self.error: Optional[ServeError] = None
+        # ServeError -> HTTP 400; anything else (engine/device failure)
+        # re-raises raw so make_server maps it to 500
+        self.error: Optional[BaseException] = None
 
 
 class BatchedActionServer:
@@ -65,6 +67,12 @@ class BatchedActionServer:
         if cfg.use_state or cfg.head.use_state:
             raise ServeError("batched serving does not thread proprio "
                              "state; use the per-stream core")
+        if getattr(policy, "steps_per_stage", 1) != 1:
+            raise ServeError("batched serving overwrites the policy's "
+                             "threshold rows per window and keeps no "
+                             "per-stream step counter; stage reuse "
+                             "(steps_per_stage>1) needs the per-stream "
+                             "core")
         self._policy = policy
         self._text_fn = text_fn
         self.cfg = cfg
@@ -79,19 +87,26 @@ class BatchedActionServer:
         self._lane_of: Dict[str, int] = {}
         self._free: List[int] = list(range(lanes))
         th = np.asarray(policy.thresholds, np.float32)
-        self._rows = np.tile(th if th.ndim == 1 else th[0], (lanes, 1))
+        self._default_row = (th if th.ndim == 1 else th[0]).copy()
+        self._rows = np.tile(self._default_row, (lanes, 1))
         # a parked lane (no request this window) must exit at the FIRST
         # exit layer so it never prolongs the batch's while_loop; its
         # result and carry are discarded/restored anyway
-        self._park_row = np.full(cfg.n_layers, -1e30, np.float32)
-        self._park_row[policy.exits[0]] = 1e30
+        self._park_row = policy.threshold_row(
+            {e: (1e30 if e == policy.exits[0] else -1e30)
+             for e in policy.exits})
         # materialize the batched carry up front so parked-lane restoration
         # has a base on the very first dispatch
         policy._ensure_carry(lanes)
         self._tok_cache: Dict[str, tuple] = {}
+        self._tok_cache_cap = 512  # oldest-out; unbounded growth = OOM
         self._pending: Dict[int, _Pending] = {}  # lane -> request
         self._cond = threading.Condition()
         self._stop = False
+        # True while the batcher thread is between taking a batch and
+        # restoring parked-lane carries; reset/close wait it out so the
+        # unconditional carry write-back can never clobber their mutation
+        self._dispatching = False
         self.total_steps = 0
         self.started = time.time()
         # parked lanes ride along on one shared preprocessed zero frame
@@ -113,7 +128,15 @@ class BatchedActionServer:
             lane = self._free.pop(0)
             self._lane_of[name] = lane
             self._reset_lane(lane)
+            # a freed lane may carry the previous stream's custom
+            # thresholds (reset {"thresholds": ...}); new streams start
+            # from the server defaults like a fresh per-stream clone
+            self._rows[lane] = self._default_row
         return lane
+
+    def _wait_not_dispatching(self):
+        while self._dispatching and not self._stop:
+            self._cond.wait()
 
     def _reset_lane(self, lane: int):
         self._policy.reset_streams(np.arange(self.lanes) == lane)
@@ -139,6 +162,7 @@ class BatchedActionServer:
 
     def reset(self, payload: dict) -> dict:
         with self._cond:
+            self._wait_not_dispatching()
             lane = self._lane(payload.get("stream", ""))
             if lane in self._pending:
                 raise ServeError("stream busy (a step is in flight)")
@@ -152,15 +176,12 @@ class BatchedActionServer:
                     raise ServeError(
                         f"'thresholds' must be {len(exits)} numbers "
                         f"(exits {list(map(int, exits))})")
-                row = np.full(self.cfg.n_layers, -1e30, np.float32)
-                for e, t in zip(exits, th):
-                    row[e] = t
-                row[exits[-1]] = 1e30
-                self._rows[lane] = row
+                self._rows[lane] = self._policy.threshold_row(th)
         return {"ok": True}
 
     def close(self, payload: dict) -> dict:
         with self._cond:
+            self._wait_not_dispatching()
             lane = self._lane_of.pop(payload.get("stream", ""), None)
             if lane is not None:
                 if lane in self._pending:
@@ -183,6 +204,10 @@ class BatchedActionServer:
         grip_p = self._prep(jnp.asarray(grip)[None])[0]
         req = _Pending((instruction, rgb_p, grip_p))
         with self._cond:
+            if self._stop:
+                # the loop thread's final drain already ran (or will run
+                # before any dispatch); enqueueing now would block forever
+                raise ServeError("server shutting down")
             lane = self._lane(payload.get("stream", ""))
             if lane in self._pending:
                 raise ServeError("stream busy (one step in flight per "
@@ -210,6 +235,8 @@ class BatchedActionServer:
             pad = getattr(self._text_fn, "pad_token_id", 0)
             ids, mask = fixed_length(ids, mask, self.cfg.text_len, pad)
             t = (np.asarray(ids[0]), np.asarray(mask[0]))
+            while len(self._tok_cache) >= self._tok_cache_cap:
+                self._tok_cache.pop(next(iter(self._tok_cache)))
             self._tok_cache[instruction] = t
         return t
 
@@ -237,10 +264,12 @@ class BatchedActionServer:
                 batch = dict(self._pending)
                 self._pending.clear()
                 rows = self._rows.copy()
+                self._dispatching = True
             # build batch arrays OUTSIDE the lock (decode/step latency
             # must not block enqueues for the next window); the whole
             # build+dispatch is guarded so a bad request can never kill
-            # the batcher thread
+            # the batcher thread, and _dispatching keeps reset/close out
+            # until the carry write-back lands
             try:
                 t0 = time.perf_counter()
                 imgs = [self._zero_prep] * self.lanes
@@ -277,9 +306,15 @@ class BatchedActionServer:
                         "batched_with": len(batch),
                     }
                     req.event.set()
-                with self._cond:
-                    self.total_steps += len(batch)
             except Exception as e:  # pragma: no cover - engine errors
+                # raw (non-ServeError) so the HTTP layer answers 500,
+                # not 400 — a device failure is not a client error
                 for req in batch.values():
-                    req.error = ServeError(f"{type(e).__name__}: {e}")
+                    req.error = e
                     req.event.set()
+            finally:
+                with self._cond:
+                    self.total_steps += sum(
+                        1 for r in batch.values() if r.result is not None)
+                    self._dispatching = False
+                    self._cond.notify_all()

@@ -66,8 +66,14 @@ def _concurrent_steps(core, payloads):
 
 def test_concurrent_streams_one_dispatch(setup):
     cfg, params, tok = setup
-    core = make_core(cfg, params, tok)
+    core = make_core(cfg, params, tok, window_ms=500.0)
     try:
+        # pre-register both streams: the micro-batch window only waits
+        # for streams that already hold a lane, so without this the loop
+        # may dispatch stream a alone under host contention (seen once
+        # when the full suite ran next to a training smoke)
+        core.reset({"stream": "a"})
+        core.reset({"stream": "b"})
         # distinct instructions: a fresh random-init model's x-attn gates
         # are zero (Flamingo init), so only text differentiates streams
         outs = _concurrent_steps(
@@ -147,6 +153,82 @@ def test_lane_capacity_and_busy(setup):
             assert "a" in core._lane_of  # failed close didn't evict
         finally:
             core._pending.clear()
+    finally:
+        core.shutdown()
+
+
+def test_lane_reuse_restores_default_thresholds(setup):
+    """A freed lane must not leak the previous stream's custom threshold
+    row into the next stream assigned to it."""
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok, lanes=1)
+    exits = core._policy.exits
+    try:
+        # force 'slow' (lane 0) to full depth, then free the lane
+        core.reset({"stream": "slow",
+                    "thresholds": [-1e8] * (len(exits) - 1) + [1e8]})
+        core.close({"stream": "slow"})
+        # new stream on the recycled lane: server default (1e8 everywhere
+        # in make_core) exits at the FIRST exit, not slow's last
+        out = core.step(_payload(cfg, "fresh", 60))
+        assert out["exit_layer"] == int(exits[0])
+    finally:
+        core.shutdown()
+
+
+def test_reset_waits_out_dispatch(setup):
+    """reset/close block while a dispatch is in flight so the parked-lane
+    carry write-back can never clobber their mutation."""
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    try:
+        core.reset({"stream": "a"})
+        with core._cond:
+            core._dispatching = True
+        done = threading.Event()
+
+        def do_reset():
+            core.reset({"stream": "a"})
+            done.set()
+
+        t = threading.Thread(target=do_reset, daemon=True)
+        t.start()
+        assert not done.wait(timeout=0.3), "reset ran during dispatch"
+        with core._cond:
+            core._dispatching = False
+            core._cond.notify_all()
+        assert done.wait(timeout=10), "reset never resumed"
+    finally:
+        core.shutdown()
+
+
+def test_engine_error_is_not_client_error(setup):
+    """Engine/device failures surface raw (-> HTTP 500), not ServeError
+    (-> 400); and step() after shutdown refuses instead of hanging."""
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("device fell over")
+        core._policy.step_batch = boom
+        with pytest.raises(RuntimeError, match="device fell over"):
+            core.step(_payload(cfg, "a", 70))
+    finally:
+        core.shutdown()
+    with pytest.raises(ServeError, match="shutting down"):
+        core.step(_payload(cfg, "a", 71))
+
+
+def test_token_cache_bounded(setup):
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    try:
+        core._tok_cache_cap = 3
+        for i in range(8):
+            core._tokens(f"instruction number {i}")
+        assert len(core._tok_cache) <= 3
+        # most recent still cached
+        assert "instruction number 7" in core._tok_cache
     finally:
         core.shutdown()
 

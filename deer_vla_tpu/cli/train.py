@@ -39,6 +39,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "(train_utils.py:253-255)")
     p.add_argument("--sep_resampler", action="store_true")
     p.add_argument("--share_exit", action="store_true")
+    # freeze-policy ablations (reference factory.py:203-237)
+    p.add_argument("--freeze_embed", action="store_true",
+                   help="keep token embeddings frozen in the joint phase")
+    p.add_argument("--freeze_sampler", action="store_true",
+                   help="keep the perceiver resampler(s) frozen")
+    p.add_argument("--unfreeze_vit", action="store_true",
+                   help="train the ViT vision encoder too")
+    p.add_argument("--train_params", type=int, default=-1,
+                   help=">=0: train only the last round(n/140) gated "
+                        "x-attn layers (reference param budget, "
+                        "factory.py:214-222)")
     p.add_argument("--fusion_mode", default="post",
                    choices=["post", "pre", "two_way", "vit_concat"],
                    help="camera fusion (flamingo_mpt.py:585-777); "
@@ -157,7 +168,11 @@ def make_model_config(args):
                "fusion_mode": getattr(args, "fusion_mode", "post"),
                "use_hist": getattr(args, "use_hist", False),
                "remat_layers": getattr(args, "remat", False),
-               "remat_policy": getattr(args, "remat_policy", "full")}
+               "remat_policy": getattr(args, "remat_policy", "full"),
+               "freeze_embed": getattr(args, "freeze_embed", False),
+               "freeze_sampler": getattr(args, "freeze_sampler", False),
+               "unfreeze_vit": getattr(args, "unfreeze_vit", False),
+               "train_params": getattr(args, "train_params", -1)}
     ht = getattr(args, "head_type", "deterministic")
     if ht != "deterministic":
         updates["head_type"] = ht

@@ -245,6 +245,15 @@ class DeerConfig:
     clip_state: bool = False
     sep_resampler: bool = False
     sep_lm_head: bool = True
+    # freeze-policy ablation knobs (reference factory.py:203-237, flags on
+    # train_calvin_post_strategy.py) — consumed by trainable_mask:
+    freeze_embed: bool = False    # keep token embeddings frozen
+    freeze_sampler: bool = False  # keep the perceiver resampler(s) frozen
+    unfreeze_vit: bool = False    # train the ViT vision encoder
+    # >=0: unfreeze only the LAST round(train_params/140) gated x-attn
+    # layers (the reference's param-count budget, factory.py:214-222;
+    # 140 = its param_per_layer constant). -1 = all x-attn layers train.
+    train_params: int = -1
     layerwise_exit_eval: bool = False
     early_exit_layer: int = -1  # kept for parity bookkeeping; mpt.n_layers is truth
     # rematerialize each decoder layer in the backward pass (activation

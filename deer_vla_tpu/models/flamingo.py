@@ -415,21 +415,39 @@ def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
     unfreeze gated x-attn, perceiver, token embeddings, lm_head/exits/extra.
     phase='exit_only' additionally freezes the backbone (second post-strategy
     phase, train_calvin_post_strategy.py:644-660).
+
+    Ablation knobs (same factory section): cfg.freeze_sampler keeps the
+    perceiver(s) frozen (:223-224), cfg.freeze_embed keeps embeddings
+    frozen (:225-226), cfg.unfreeze_vit trains the ViT (:232-233), and
+    cfg.train_params>=0 trains only the LAST round(train_params/140)
+    gated x-attn layers (:214-222).
     """
+    if cfg.train_params >= 0:
+        k = int(cfg.train_params / 140 + 0.5)  # reference param_per_layer
+        xattn_layers = [i for i in range(cfg.n_layers) if cfg.has_xattn(i)]
+        budget = set(xattn_layers[len(xattn_layers) - k:] if k else [])
+    else:
+        budget = None
+
     def label(path_tuple):
         keys = [getattr(e, "key", getattr(e, "idx", getattr(e, "name", None)))
                 for e in path_tuple]
         top = keys[0]
         if top == "vit":
-            return False
-        if top in ("perceiver", "perceiver_gripper", "state_fc",
-                   "frame_embs"):
+            return cfg.unfreeze_vit and phase == "joint"
+        if top in ("perceiver", "perceiver_gripper"):
+            return phase == "joint" and not cfg.freeze_sampler
+        if top in ("state_fc", "frame_embs"):
             return phase == "joint"
         if top == "decoder":
             if "xattn" in keys:
+                if budget is not None:
+                    layer = keys[keys.index("xattn") + 1]
+                    if layer not in budget:
+                        return False
                 return phase == "joint"
             if "wte" in keys:
-                return phase == "joint"
+                return phase == "joint" and not cfg.freeze_embed
             if "norm_f" in keys or "lm_head_w" in keys:
                 # llama's untied LM output head: trained like the embeddings
                 # (upstream trains input+output embeddings; a frozen random

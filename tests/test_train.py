@@ -265,3 +265,51 @@ def test_clip_state(tmp_path):
     side = _json.load(open(tmp_path / "deer_0.json"))
     assert side["config"]["clip_state"] is True
     assert side["config"]["state_dim"] == 7
+
+
+def test_freeze_policy_knobs(setup):
+    """Reference factory.py:203-237 ablation flags: freeze_embed,
+    freeze_sampler, unfreeze_vit, train_params last-K x-attn budget."""
+    from deer_vla_tpu.models.flamingo import trainable_mask
+    cfg, _, _ = setup
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+
+    def leaves_true(mask_subtree):
+        return all(jax.tree_util.tree_leaves(mask_subtree))
+
+    def leaves_false(mask_subtree):
+        return not any(jax.tree_util.tree_leaves(mask_subtree))
+
+    base = trainable_mask(params, cfg, "joint")
+    assert leaves_false(base["vit"])
+    assert leaves_true(base["perceiver"])
+    assert leaves_true(base["decoder"]["wte"])
+    assert leaves_true(base["decoder"]["xattn"])
+
+    m = trainable_mask(params, dataclasses.replace(cfg, freeze_embed=True),
+                       "joint")
+    assert leaves_false(m["decoder"]["wte"])
+    assert leaves_true(m["decoder"]["xattn"])  # rest untouched
+
+    m = trainable_mask(params, dataclasses.replace(cfg, freeze_sampler=True),
+                       "joint")
+    assert leaves_false(m["perceiver"])
+
+    cfg_vit = dataclasses.replace(cfg, unfreeze_vit=True)
+    m = trainable_mask(params, cfg_vit, "joint")
+    assert leaves_true(m["vit"])
+    # exit_only still freezes the backbone, ViT included
+    assert leaves_false(trainable_mask(params, cfg_vit, "exit_only")["vit"])
+
+    # tiny: xattn every layer -> 4 x-attn layers; 280/140 = last 2 train
+    m = trainable_mask(params, dataclasses.replace(cfg, train_params=280),
+                       "joint")
+    xattn = m["decoder"]["xattn"]
+    n = len(xattn)
+    assert n >= 3
+    assert leaves_false(xattn[0]) and leaves_false(xattn[n - 3])
+    assert leaves_true(xattn[n - 2]) and leaves_true(xattn[n - 1])
+    # budget 0: every x-attn layer frozen
+    m = trainable_mask(params, dataclasses.replace(cfg, train_params=0),
+                       "joint")
+    assert leaves_false(m["decoder"]["xattn"])

@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="diffusion head: execute only the first K sampled "
                         "actions of each plan (eval_calvin.py:209)")
     p.add_argument("--replan", type=int, default=-1)
+    p.add_argument("--reset", action="store_true",
+                   help="re-reset the env to the chain's initial state "
+                        "before every subtask (eval_utils.py:603-606)")
     p.add_argument("--lanes", type=int, default=1,
                    help=">1: batched rollout — N env streams in lockstep "
                         "through one batched policy program "
@@ -371,6 +374,7 @@ def main(argv=None):
             adapter, env, sequences[:n_seq], annotations, oracle,
             rank=jax.process_index(), world_size=jax.process_count(),
             num_sequences=n_seq, ep_len=ep_len, replan=args.replan,
+            reset=args.reset,
             flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
             n_layers=cfg.n_layers)
     hist = np.add(report["success_exit_hist"], report["fail_exit_hist"]) \

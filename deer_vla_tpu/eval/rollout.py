@@ -313,12 +313,19 @@ def resolve_annotation(annotations, subtask: str, seq_i: int = 0,
 
 def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
                       annotations, ep_len: int = EP_LEN, seq_i: int = 0,
-                      replan: int = -1):
-    """One 5-subtask chain; stops at the first failure (eval_utils.py:583-622)."""
+                      replan: int = -1, reset: bool = False):
+    """One 5-subtask chain; stops at the first failure (eval_utils.py:583-622).
+
+    reset=True re-resets the env to the chain's initial state before EVERY
+    subtask (the reference's --reset eval mode, eval_utils.py:603-606 —
+    each subtask starts from the frozen scene instead of wherever the
+    previous one left it)."""
     reset_env_to_initial_state(env, initial_state)
     success_counter = 0
     s_exits, f_exits, s_steps, s_times = [], [], [], []
     for subtask_i, subtask in enumerate(eval_sequence):
+        if reset and subtask_i > 0:
+            reset_env_to_initial_state(env, initial_state)
         lang = resolve_annotation(annotations, subtask, seq_i, subtask_i)
         ok, exits, n_steps, times = rollout(env, adapter, task_oracle, subtask,
                                             lang, ep_len, replan)
@@ -340,7 +347,7 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
                     ep_len: int = EP_LEN,
                     flops_per_layer: Optional[float] = None,
                     n_layers: Optional[int] = None,
-                    replan: int = -1) -> Dict:
+                    replan: int = -1, reset: bool = False) -> Dict:
     """Statically shard sequences over processes (eval_utils.py:521-527),
     run chains, aggregate.  Cross-process aggregation is the caller's job
     (host gather; the tensors are tiny)."""
@@ -353,7 +360,8 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
     for local_i, (initial_state, eval_sequence) in enumerate(my):
         r, se, fe, st, ti = evaluate_sequence(
             env, adapter, task_oracle, initial_state, eval_sequence,
-            annotations, ep_len, seq_i=rank * per + local_i, replan=replan)
+            annotations, ep_len, seq_i=rank * per + local_i, replan=replan,
+            reset=reset)
         results.append(r)
         s_exits.extend(se)
         f_exits.extend(fe)

@@ -150,3 +150,54 @@ def test_eval_policy_feeds_state():
     env = DebugEnv(img_hw=28, grip_hw=28)
     act = adapter.step(env.get_obs(), "do something")  # robot_obs forwarded
     assert act.shape == (7,) and np.all(np.isfinite(act))
+
+
+def test_reset_mode_resets_env_per_subtask():
+    """--reset (eval_utils.py:603-606): the env returns to the chain's
+    initial state before EVERY subtask, not just at chain start."""
+    from deer_vla_tpu.eval.rollout import (DebugEnv, DebugTaskOracle,
+                                           evaluate_sequence)
+
+    resets = []
+
+    class CountingEnv(DebugEnv):
+        def reset(self, robot_obs=None, scene_obs=None):
+            resets.append((robot_obs is not None) or (scene_obs is not None))
+            return super().reset(robot_obs, scene_obs)
+
+    class FakePolicy:
+        cfg = deer_tiny()
+        last_exit_layer = 1
+
+        def set_timestep(self, t):
+            pass
+
+        def reset(self):
+            pass
+
+    class FakeAdapter:
+        policy = FakePolicy()
+        current_exit_layer = 1
+        llm_time = 0.0
+
+        def reset(self):
+            pass
+
+        def step(self, obs, goal):
+            return np.array([0.2, 0, 0, 0, 0, 0, 1.0], np.float32)
+
+    env = CountingEnv(img_hw=28, grip_hw=28)
+    oracle = DebugTaskOracle(threshold=0.0)  # succeed instantly
+    initial_state = {"robot_obs": np.zeros(15), "scene_obs": np.zeros(24)}
+    seq = ["a", "b", "c"]
+    ann = {"a": ["do a"], "b": ["do b"], "c": ["do c"]}
+
+    resets.clear()
+    n, *_ = evaluate_sequence(env, FakeAdapter(), oracle, initial_state,
+                              seq, ann, ep_len=4, reset=False)
+    assert n == 3 and len(resets) == 1  # chain start only
+
+    resets.clear()
+    n, *_ = evaluate_sequence(env, FakeAdapter(), oracle, initial_state,
+                              seq, ann, ep_len=4, reset=True)
+    assert n == 3 and len(resets) == 3  # before every subtask

@@ -368,7 +368,7 @@ def main(argv=None):
         report = evaluate_policy_batched(
             bpolicy, envs, sequences[:n_seq], annotations, oracle, tok,
             text_len=cfg.text_len, ep_len=ep_len, n_layers=cfg.n_layers,
-            pipeline=args.pipeline)
+            pipeline=args.pipeline, reset=args.reset)
     else:
         report = evaluate_policy(
             adapter, env, sequences[:n_seq], annotations, oracle,

@@ -51,6 +51,7 @@ class _Stream:
         self.exit_layers: List[int] = []
         self.last_exit = -1   # per-stream stage reuse (steps_per_stage)
         self.start_info: Optional[Dict] = None
+        self.initial_state = None  # chain's frozen scene (reset mode)
         self.active = False
 
 
@@ -60,7 +61,8 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                             preprocess: Optional[Callable] = None,
                             n_layers: Optional[int] = None,
                             pipeline: int = 1,
-                            candidates: Optional[List] = None):
+                            candidates: Optional[List] = None,
+                            reset: bool = False):
     """Run all ``sequences`` over ``len(envs)`` parallel streams.
 
     policy: ScanDeerPolicy (step_batch/reset_streams; dispatch_batch/
@@ -136,6 +138,7 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         stream.chain = list(chain)
         stream.subtask_i = 0
         stream.successes = 0
+        stream.initial_state = initial_state
         from deer_vla_tpu.eval.rollout import reset_env_to_initial_state
         reset_env_to_initial_state(envs[stream.idx], initial_state)
         _begin_subtask(stream)
@@ -259,6 +262,13 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                     if st.subtask_i >= len(st.chain):
                         _finish_sequence(st)
                     else:
+                        if reset:
+                            # --reset: every subtask starts from the
+                            # chain's frozen scene (eval_utils.py:603-606)
+                            from deer_vla_tpu.eval.rollout import \
+                                reset_env_to_initial_state
+                            reset_env_to_initial_state(envs[st.idx],
+                                                       st.initial_state)
                         _begin_subtask(st)
                     valid[i] = False
                 elif st.step >= ep_len:

@@ -90,3 +90,37 @@ def test_batched_rollout_more_lanes_than_sequences():
                                   text_len=cfg.text_len, ep_len=10)
     assert 0.0 <= out["avg_seq_len"] <= 5.0
     assert len(out["task_info"]) >= 1
+
+
+def test_batched_reset_mode_resets_per_subtask():
+    """reset=True: every subtask (after the first) re-resets that lane's
+    env to the chain's initial state (eval_utils.py:603-606)."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    seqs = make_debug_sequences(2)
+    n_subtasks = len(seqs[0][1])
+
+    resets = []
+
+    class CountingEnv(DebugEnv):
+        def __init__(self, tag, **kw):
+            self.tag = tag
+            super().__init__(**kw)
+
+        def reset(self, robot_obs=None, scene_obs=None):
+            resets.append(self.tag)
+            return super().reset(robot_obs, scene_obs)
+
+    for want_reset, expected_per_chain in ((False, 1), (True, n_subtasks)):
+        pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+        envs = [CountingEnv(i, img_hw=cfg.vit.image_size,
+                            grip_hw=cfg.vit.image_size) for i in range(2)]
+        oracle = DebugTaskOracle(threshold=0.0)  # instant success: chains
+        resets.clear()                            # advance all subtasks
+        out = evaluate_policy_batched(pol, envs, seqs, {}, oracle, tok,
+                                      text_len=cfg.text_len, ep_len=3,
+                                      reset=want_reset)
+        assert out["avg_seq_len"] == n_subtasks
+        assert len(resets) == 2 * expected_per_chain, (want_reset, resets)

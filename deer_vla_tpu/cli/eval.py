@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tcp_rel", action="store_true",
                    help="policy was trained on tcp-frame actions; convert "
                         "back to world frame with the live robot_obs")
+    p.add_argument("--layerwise_exit_eval", action="store_true",
+                   help="take the final action from the chosen exit layer's "
+                        "OWN head (lm_exits[i] / lm_head) instead of the "
+                        "shared extra exit; each head streams its own LSTM "
+                        "carry, the exit criterion stays on the extra exit "
+                        "(eval_calvin.py:530, flamingo_mpt.py:450-457). "
+                        "Host-bucketed engine only.")
     p.add_argument("--amp", type=int, default=0)  # accepted for parity; bf16 covers it
     p.add_argument("--debug", action="store_true", help="DebugEnv fake backend")
     p.add_argument("--num_sequences_override", type=int, default=None)
@@ -181,6 +188,22 @@ def main(argv=None):
     cfg, params = load_model(args)
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    if args.layerwise_exit_eval:
+        if cfg.share_exit:
+            print("WARNING: --layerwise_exit_eval is a no-op with "
+                  "share_exit (every exit IS the shared lm_head)")
+        elif not cfg.multi_exit:
+            raise SystemExit("--layerwise_exit_eval needs a multi-exit "
+                             "checkpoint (per-layer lm_exits heads)")
+        else:
+            cfg = dataclasses.replace(cfg, layerwise_exit_eval=True)
+        if args.engine == "fused":
+            raise SystemExit("--layerwise_exit_eval serves through the "
+                             "host-bucketed engine (per-exit-head carries); "
+                             "drop --engine fused")
+        if args.lanes > 1 or args.frame_cache:
+            raise SystemExit("--layerwise_exit_eval does not compose with "
+                             "--lanes / --frame_cache")
     max_layer = args.max_layer if args.max_layer > 0 else cfg.n_layers
     exits = list(cfg.all_exit_ids())
 
@@ -237,6 +260,8 @@ def main(argv=None):
     use_fused = (args.engine == "fused" or
                  (args.engine == "auto" and controller is not None
                   and not args.use_action_ensemble))
+    if cfg.layerwise_exit_eval:
+        use_fused = False  # per-exit-head carries live on the bucketed path
     if args.multi_execution > 1:
         use_fused = False  # the jit engines don't repeat actions;
         # DeerPolicy covers multi_execution.  State-trained models DO get

@@ -150,20 +150,17 @@ class DeerPolicy:
         def seg_params(start, stop):
             """Leaves segment [start, stop) reads: its layer slice (None
             padding below `start` keeps _layer's absolute indices, zero
-            leaves) and the exit head resolve_head picks for stop-1."""
+            leaves) and the criterion head (ALWAYS the shared extra exit —
+            the exit decision runs value_net on extra_exit regardless of
+            layerwise_exit_eval, eval_calvin.py:583)."""
             dec = params["decoder"]
             sp = {"decoder": {
                 "blocks": [None] * start + list(dec["blocks"][start:stop]),
                 "xattn": [None] * start + list(dec["xattn"][start:stop])}}
-            e = stop - 1
             if cfg.share_exit:
                 sp["lm_head"] = params["lm_head"]
-            elif not cfg.layerwise_exit_eval:
-                sp["extra_exit"] = params["extra_exit"]
-            elif e == cfg.n_layers - 1:
-                sp["lm_head"] = params["lm_head"]
             else:
-                sp["lm_exits"] = {str(e): params["lm_exits"][str(e)]}
+                sp["extra_exit"] = params["extra_exit"]
             return sp
 
         def segment(start, stop, first_exit, params, x, mask, media,
@@ -172,8 +169,7 @@ class DeerPolicy:
             x_prev, x_out = decoder_segment_forward(
                 params["decoder"], x, mask, media, cfg, start, stop,
                 media_locations)
-            from deer_vla_tpu.models.flamingo import resolve_head
-            head = resolve_head(params, cfg, stop - 1)
+            head = params["lm_head"] if cfg.share_exit else params["extra_exit"]
 
             def eval_head(x_in, c):
                 # any_head_step routes by cfg.head_type; for 'diffusion' the
@@ -217,12 +213,45 @@ class DeerPolicy:
             self._seg_params.append(seg_params(prev, e + 1))
             prev = e + 1
 
+        # layerwise_exit_eval: the chosen exit's OWN head produces the final
+        # action (lm_exits[e] / lm_head for the last layer,
+        # flamingo_mpt.py:450-457), each head streaming its own LSTM carry;
+        # the criterion above stays on extra_exit (eval_calvin.py:583).
+        self._layerwise = cfg.layerwise_exit_eval and not cfg.share_exit
+        self._final_fns = {}
+        self._final_params = {}
+        if self._layerwise:
+            def final_head(e, hp, x_out, c, state):
+                head = (hp["lm_head"] if e == cfg.n_layers - 1
+                        else hp["lm_exits"][str(e)])
+                if cfg.use_hist:
+                    from deer_vla_tpu.models.heads import any_head_forward
+                    o = any_head_forward(head, x_out.astype(jnp.float32),
+                                         cfg, state, window=self._enc_w,
+                                         last_action=True)
+                    return o, c
+                return any_head_step(head, x_out.astype(jnp.float32), c,
+                                     cfg, state)
+
+            for e in self.bucket_exits:
+                if e == cfg.n_layers - 1:
+                    hp = {"lm_head": params["lm_head"]}
+                elif str(e) in params.get("lm_exits", {}):
+                    hp = {"lm_exits": {str(e): params["lm_exits"][str(e)]}}
+                else:
+                    raise ValueError(
+                        f"layerwise_exit_eval: no lm_exits[{e}] head in the "
+                        "checkpoint (model not trained multi_exit?)")
+                self._final_fns[e] = jax.jit(functools.partial(final_head, e))
+                self._final_params[e] = hp
+
     # -- state --------------------------------------------------------------
 
     def reset(self):
         """New subtask: clear LSTM carries + controller state
         (ModelWrapper.reset, eval_utils.py:252-277)."""
         self.carry = None
+        self.layer_carries = {}  # layerwise: per-exit-head streamed carries
         self.last_exit_layer = -1
         if self.controller is not None:
             self.controller.reset_episode()
@@ -298,6 +327,18 @@ class DeerPolicy:
         exit_layer, out, cand_carry = chosen
         self.carry = cand_carry  # the single commit per env step
         self.last_exit_layer = exit_layer
+        crit_out = out  # criterion (extra-exit) output, for record_action
+        if self._layerwise:
+            # x holds the chosen bucket's layer output (the loop breaks at
+            # the committed bucket); run that exit's OWN head with its own
+            # streamed carry — the extra-exit carry above tracks the
+            # criterion head exactly as in non-layerwise serving.
+            lc = self.layer_carries.get(exit_layer)
+            if lc is None:
+                lc = any_zero_carry(self.cfg, streams)
+            out, new_lc = self._final_fns[exit_layer](
+                self._final_params[exit_layer], x, lc, hstate)
+            self.layer_carries[exit_layer] = new_lc
         if self.cfg.head_type == "diffusion":
             # the chosen exit's conditioning feature; the DDPM sampler
             # wrapper (eval/diffusion_policy.DiffusionSamplerPolicy) maps it
@@ -305,8 +346,8 @@ class DeerPolicy:
             return np.asarray(out.actions[0, 0], np.float32)
         if ctrl is not None and reuse:
             ctrl.cur_exit_id = exit_layer
-            ctrl.record_action((np.asarray(out.actions[:, 0]),
-                                np.asarray(out.gripper_probs[:, 0])))
+            ctrl.record_action((np.asarray(crit_out.actions[:, 0]),
+                                np.asarray(crit_out.gripper_probs[:, 0])))
 
         if self.use_action_ensemble and ctrl is not None:
             # mean of the last two evaluated exits, arm AND gripper, then

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "programs (async dispatch); rounded down to a "
                         "divisor of --lanes so all groups share one "
                         "compiled batch shape")
+    p.add_argument("--env_workers", type=int, default=0,
+                   help=">1: step a lane group's simulators through a "
+                        "thread pool (CALVIN pybullet/EGL releases the GIL "
+                        "— N env steps run on N host cores); identical "
+                        "semantics to serial stepping")
     p.add_argument("--action_cache_tau", type=float, default=0.0,
                    help=">0: training-free action caching — replay the "
                         "previous action while the frame delta stays below "
@@ -393,7 +398,8 @@ def main(argv=None):
         report = evaluate_policy_batched(
             bpolicy, envs, sequences[:n_seq], annotations, oracle, tok,
             text_len=cfg.text_len, ep_len=ep_len, n_layers=cfg.n_layers,
-            pipeline=args.pipeline, reset=args.reset)
+            pipeline=args.pipeline, reset=args.reset,
+            env_workers=args.env_workers)
     else:
         report = evaluate_policy(
             adapter, env, sequences[:n_seq], annotations, oracle,

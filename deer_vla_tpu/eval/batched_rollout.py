@@ -62,7 +62,8 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                             n_layers: Optional[int] = None,
                             pipeline: int = 1,
                             candidates: Optional[List] = None,
-                            reset: bool = False):
+                            reset: bool = False,
+                            env_workers: int = 0):
     """Run all ``sequences`` over ``len(envs)`` parallel streams.
 
     policy: ScanDeerPolicy (step_batch/reset_streams; dispatch_batch/
@@ -80,6 +81,12 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
               Returns a list of K reports instead of one (the reference
               evaluates BO candidates as serial full eval runs,
               bayesian_optimization.py:130-144).
+    env_workers: >1 steps a group's envs through a thread pool (the CALVIN
+              simulator — pybullet physics + EGL render — releases the GIL,
+              so N simulator steps run on N host cores).  Semantics are
+              identical to serial: envs are independent objects, per-lane
+              step order is preserved, and all shared bookkeeping (pending
+              queue, results, policy carries) stays on the drive thread.
     """
     import jax
     from deer_vla_tpu.data.preprocess import clip_preprocess
@@ -90,6 +97,12 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         prep = jax.jit(lambda x: clip_preprocess(x, size))
     else:
         prep = preprocess
+
+    pool = None
+    if env_workers and env_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=env_workers,
+                                  thread_name_prefix="deer-env")
 
     n_cand = len(candidates) if candidates else 1
     if candidates:
@@ -242,14 +255,22 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         plans = actions if actions.ndim == 3 else actions[:, None, :]
         valid = {i: streams[i].active for i in lanes[g]}
         for j in range(plans.shape[1]):
-            for local, i in enumerate(lanes[g]):
+            todo = [(local, i) for local, i in enumerate(lanes[g])
+                    if streams[i].active and valid[i]]
+            # env.step fan-out: independent simulator objects, same per-lane
+            # order as serial; bookkeeping below stays on this thread
+            if pool is not None and len(todo) > 1:
+                outs = list(pool.map(
+                    lambda t: envs[streams[t[1]].idx].step(plans[t[0], j]),
+                    todo))
+            else:
+                outs = [envs[streams[i].idx].step(plans[local, j])
+                        for local, i in todo]
+            for (local, i), (obs, _, _, info) in zip(todo, outs):
                 st = streams[i]
-                if not st.active or not valid[i]:
-                    continue
                 if j == 0:
                     st.exit_layers.append(int(exit_layers[local]))
                     st.last_exit = int(exit_layers[local])
-                obs, _, _, info = envs[st.idx].step(plans[local, j])
                 st.step += 1
                 subtask = st.chain[st.subtask_i]
                 done = bool(task_oracle.get_task_info_for_set(
@@ -278,19 +299,23 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
 
     # pipelined drive loop: finishing group g's actions and stepping its
     # envs happens while the other groups' programs run on device
-    handles: List = [None] * n_groups
-    for g in range(n_groups):
-        if group_active(g):
-            handles[g] = dispatch(g)
-    while any(h is not None for h in handles):
+    try:
+        handles: List = [None] * n_groups
         for g in range(n_groups):
-            if handles[g] is None:
-                continue
-            acts, exits = finish(g, handles[g])
-            handles[g] = None
-            apply(g, acts, exits)
             if group_active(g):
                 handles[g] = dispatch(g)
+        while any(h is not None for h in handles):
+            for g in range(n_groups):
+                if handles[g] is None:
+                    continue
+                acts, exits = finish(g, handles[g])
+                handles[g] = None
+                apply(g, acts, exits)
+                if group_active(g):
+                    handles[g] = dispatch(g)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
 
     nl = n_layers or policy.cfg.n_layers
     reports = []

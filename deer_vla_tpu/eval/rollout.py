@@ -40,9 +40,14 @@ class DebugEnv:
     """
 
     def __init__(self, img_hw: int = 200, grip_hw: int = 84, dynamic: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, host_latency_ms: float = 0.0):
         self.img_hw, self.grip_hw = img_hw, grip_hw
         self.dynamic = dynamic
+        # host_latency_ms simulates the CPU cost of a real simulator step
+        # (CALVIN pybullet physics + EGL render, ~10-50 ms/step on a host
+        # core) so --lanes/--pipeline overlap is quantifiable without the
+        # simulator (scripts/bench_pipeline_overlap.py)
+        self.host_latency_ms = host_latency_ms
         self._r = np.random.RandomState(seed)
         self.reset()
 
@@ -64,6 +69,9 @@ class DebugEnv:
                 "robot_obs": self._state.copy()}
 
     def step(self, action: np.ndarray):
+        if self.host_latency_ms > 0:
+            import time
+            time.sleep(self.host_latency_ms / 1e3)
         action = np.asarray(action, np.float32)
         self._state[:6] += 0.02 * action[:6]
         self._state[6] = action[6]

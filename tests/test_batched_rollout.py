@@ -76,6 +76,37 @@ def test_pipelined_matches_unpipelined():
                                atol=1e-9)
 
 
+def test_env_workers_matches_serial():
+    """Thread-pooled env stepping (env_workers>1) must reproduce serial
+    results exactly: envs are independent, bookkeeping stays on the drive
+    thread (the pool only fans out env.step calls)."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    th = [0.05, 1e8]
+    seqs = make_debug_sequences(6)
+    oracle = DebugTaskOracle(threshold=0.05)
+
+    def run(workers):
+        pol = ScanDeerPolicy(params, cfg, thresholds=th)
+        envs = [DebugEnv(img_hw=cfg.vit.image_size,
+                         grip_hw=cfg.vit.image_size,
+                         host_latency_ms=1.0) for _ in range(4)]
+        return evaluate_policy_batched(
+            pol, envs, seqs, {}, oracle, tok, text_len=cfg.text_len,
+            ep_len=12, env_workers=workers)
+
+    a = run(0)
+    b = run(4)
+    assert a["avg_seq_len"] == b["avg_seq_len"]
+    assert a["task_info"] == b["task_info"]
+    np.testing.assert_allclose(a["success_exit_hist"],
+                               b["success_exit_hist"], atol=1e-9)
+    np.testing.assert_allclose(a["fail_exit_hist"], b["fail_exit_hist"],
+                               atol=1e-9)
+
+
 def test_batched_rollout_more_lanes_than_sequences():
     cfg = deer_tiny()
     tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)

@@ -354,7 +354,42 @@ def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dic
             "batch_size": batch_size, "window": w}
 
 
+def wait_for_device(max_wait_s: float) -> bool:
+    """The axon tunnel goes down for hours at a time (CLAUDE.md); probe the
+    backend in a SUBPROCESS (a hung jax.devices() would otherwise hang this
+    process forever) and retry within a bounded window so a transient outage
+    doesn't sink the round's bench artifact."""
+    import subprocess
+    import sys
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, timeout=150)
+            if out.returncode == 0 and out.stdout.strip().isdigit():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            return False
+        print(f"bench: backend unavailable (probe {attempt}); retrying",
+              file=sys.stderr)
+        time.sleep(min(120.0, max(5.0, deadline - time.time())))
+
+
 def main():
+    wait_s = float(os.environ.get("DEER_BENCH_WAIT_S", "2400"))
+    if not wait_for_device(wait_s):
+        # parseable failure line instead of a hang/crash with no artifact
+        print(json.dumps({
+            "metric": "actions_per_sec_per_chip", "value": 0.0,
+            "unit": "actions/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable after {wait_s:.0f}s wait"}))
+        return
     result = run_model(BENCH_MODEL)
     if BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_TRAIN",
                                                         "1") != "0":

@@ -193,6 +193,9 @@ def main(argv=None):
     cfg, params = load_model(args)
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    if args.env_workers > 1 and args.lanes <= 1:
+        raise SystemExit("--env_workers only applies to the batched "
+                         "rollout; add --lanes N")
     if args.layerwise_exit_eval:
         if cfg.share_exit:
             print("WARNING: --layerwise_exit_eval is a no-op with "
@@ -209,6 +212,11 @@ def main(argv=None):
         if args.lanes > 1 or args.frame_cache:
             raise SystemExit("--layerwise_exit_eval does not compose with "
                              "--lanes / --frame_cache")
+        if args.use_action_ensemble:
+            raise SystemExit("--layerwise_exit_eval does not compose with "
+                             "--use_action_ensemble: the ensemble averages "
+                             "the extra-exit criterion actions, which would "
+                             "silently override the layerwise head's action")
     max_layer = args.max_layer if args.max_layer > 0 else cfg.n_layers
     exits = list(cfg.all_exit_ids())
 

@@ -145,8 +145,6 @@ class DeerPolicy:
 
         self._encode_prefix = encode_prefix
 
-        from deer_vla_tpu.models.flamingo import resolve_head
-
         def seg_params(start, stop):
             """Leaves segment [start, stop) reads: its layer slice (None
             padding below `start` keeps _layer's absolute indices, zero

@@ -425,7 +425,10 @@ def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
     if cfg.train_params >= 0:
         k = int(cfg.train_params / 140 + 0.5)  # reference param_per_layer
         xattn_layers = [i for i in range(cfg.n_layers) if cfg.has_xattn(i)]
-        budget = set(xattn_layers[len(xattn_layers) - k:] if k else [])
+        # last min(k, count) x-attn layers (the reference walks backwards
+        # until the budget or the list runs out, factory.py:217-222)
+        budget = set(xattn_layers[max(0, len(xattn_layers) - k):] if k
+                     else [])
     else:
         budget = None
 
@@ -436,7 +439,10 @@ def trainable_mask(params: dict, cfg: DeerConfig, phase: str = "joint") -> dict:
         if top == "vit":
             return cfg.unfreeze_vit and phase == "joint"
         if top in ("perceiver", "perceiver_gripper"):
-            return phase == "joint" and not cfg.freeze_sampler
+            # under a train_params budget the perceiver stays frozen (the
+            # reference unfreezes it only in the -1 branch, factory.py:209-213)
+            return (phase == "joint" and not cfg.freeze_sampler
+                    and cfg.train_params < 0)
         if top in ("state_fc", "frame_embs"):
             return phase == "joint"
         if top == "decoder":

@@ -71,7 +71,6 @@ def main():
                 im = obs["rgb_obs"][k].astype(np.int16)
                 im += self._r.randint(0, 7, im.shape).astype(np.int16)
                 obs["rgb_obs"][k] = np.clip(im, 0, 255).astype(np.uint8)
-            self.n_steps = getattr(self, "n_steps", 0)
             return obs
 
     policy = ScanDeerPolicy(params, cfg, max_layer=cfg.n_layers)
@@ -120,7 +119,6 @@ def main():
     print("\n== medians (env-steps/s, aggregate over "
           f"{LANES} lanes, {NSEQ} chains x {EP_LEN} steps) ==")
     out = {}
-    base = np.median(results[(LATS[0], PIPES[0], WORKERS[0])])
     for lat in LATS:
         base = np.median(results[(lat, PIPES[0], WORKERS[0])])
         for pipe in PIPES:

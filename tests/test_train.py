@@ -313,3 +313,17 @@ def test_freeze_policy_knobs(setup):
     m = trainable_mask(params, dataclasses.replace(cfg, train_params=0),
                        "joint")
     assert leaves_false(m["decoder"]["xattn"])
+
+    # budget EXCEEDING the x-attn layer count: trains ALL of them (the
+    # reference's backwards walk clamps at the list head, factory.py:217-222;
+    # the old slice wrapped negative and trained only the last layer)
+    m = trainable_mask(params,
+                       dataclasses.replace(cfg, train_params=140 * (n + 3)),
+                       "joint")
+    assert leaves_true(m["decoder"]["xattn"])
+
+    # any train_params budget keeps the perceiver FROZEN (the reference
+    # unfreezes it only in the train_params == -1 branch, factory.py:209-213)
+    m = trainable_mask(params, dataclasses.replace(cfg, train_params=280),
+                       "joint")
+    assert leaves_false(m["perceiver"])

@@ -130,6 +130,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(eval_calvin.py:530, flamingo_mpt.py:450-457). "
                         "Host-bucketed engine only.")
     p.add_argument("--amp", type=int, default=0)  # accepted for parity; bf16 covers it
+    p.add_argument("--visualize", default="",
+                   help="directory for per-subtask rollout GIFs "
+                        "(static camera, one file per episode tagged "
+                        "ok/fail; the reference flag collects frames it "
+                        "never writes, eval_utils.py:649-678)")
     p.add_argument("--debug", action="store_true", help="DebugEnv fake backend")
     p.add_argument("--num_sequences_override", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
@@ -389,6 +394,9 @@ def main(argv=None):
             raise SystemExit("--lanes does not compose with "
                              "--vision_cache_tau (per-lane frame caching "
                              "is not implemented); drop one of the flags")
+        if args.visualize:
+            raise SystemExit("--visualize needs the sequential harness; "
+                             "run without --lanes")
         bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
             ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
                            max_layer=max_layer,
@@ -415,7 +423,7 @@ def main(argv=None):
             num_sequences=n_seq, ep_len=ep_len, replan=args.replan,
             reset=args.reset,
             flops_per_layer=per_layer[0] * 1e9 if 0 in per_layer else None,
-            n_layers=cfg.n_layers)
+            n_layers=cfg.n_layers, visualize_dir=args.visualize or None)
     hist = np.add(report["success_exit_hist"], report["fail_exit_hist"]) \
         / max(1e-9, sum(report["success_exit_hist"]) + sum(report["fail_exit_hist"]))
     report["avg_llm_gflops"] = avg_llm_gflops(cfg, hist)

@@ -250,16 +250,31 @@ class CalvinPolicyAdapter:
 
 def rollout(env, adapter: CalvinPolicyAdapter, task_oracle, subtask: str,
             lang_annotation: str, ep_len: int = EP_LEN,
-            replan: int = -1) -> Tuple[bool, List[int], int, List[float]]:
+            replan: int = -1,
+            viz_path: Optional[str] = None
+            ) -> Tuple[bool, List[int], int, List[float]]:
     """One subtask episode (eval_utils.py:625-687).  The policy may return a
     single (7,) action or a (k, 7) plan (multi_step_action/multi_execution);
     planned actions are consumed one per env step without re-running the
-    policy (planned_actions queue, eval_utils.py:668-675)."""
+    policy (planned_actions queue, eval_utils.py:668-675).
+
+    viz_path: save the episode's static-camera frames as
+    ``{viz_path}_{ok|fail}.gif`` (the reference's --visualize collects an
+    img_queue it never writes, eval_utils.py:649-678 — this one saves)."""
     obs = env.get_obs()
     adapter.reset()
     start_info = env.get_info()
     exit_layers, llm_times = [], []
+    frames = [obs["rgb_obs"]["rgb_static"].copy()] if viz_path else None
     planned: List[np.ndarray] = []
+
+    def save_gif(ok: bool):
+        from PIL import Image
+        ims = [Image.fromarray(f) for f in frames]
+        path = f"{viz_path}_{'ok' if ok else 'fail'}.gif"
+        ims[0].save(path, save_all=True, append_images=ims[1:],
+                    duration=50, loop=0)
+
     for step in range(ep_len):
         if replan != -1 and step % replan == 0:
             adapter.reset()
@@ -277,8 +292,14 @@ def rollout(env, adapter: CalvinPolicyAdapter, task_oracle, subtask: str,
         exit_layers.append(adapter.current_exit_layer)
         llm_times.append(adapter.llm_time)
         obs, _, _, current_info = env.step(planned.pop(0))
+        if frames is not None:
+            frames.append(obs["rgb_obs"]["rgb_static"].copy())
         if task_oracle.get_task_info_for_set(start_info, current_info, {subtask}):
+            if frames is not None:
+                save_gif(True)
             return True, exit_layers, step + 1, llm_times
+    if frames is not None:
+        save_gif(False)
     return False, exit_layers, ep_len, llm_times
 
 
@@ -321,7 +342,8 @@ def resolve_annotation(annotations, subtask: str, seq_i: int = 0,
 
 def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
                       annotations, ep_len: int = EP_LEN, seq_i: int = 0,
-                      replan: int = -1, reset: bool = False):
+                      replan: int = -1, reset: bool = False,
+                      visualize_dir: Optional[str] = None):
     """One 5-subtask chain; stops at the first failure (eval_utils.py:583-622).
 
     reset=True re-resets the env to the chain's initial state before EVERY
@@ -335,8 +357,12 @@ def evaluate_sequence(env, adapter, task_oracle, initial_state, eval_sequence,
         if reset and subtask_i > 0:
             reset_env_to_initial_state(env, initial_state)
         lang = resolve_annotation(annotations, subtask, seq_i, subtask_i)
+        viz = (os.path.join(visualize_dir,
+                            f"seq{seq_i:04d}_{subtask_i}_{subtask}")
+               if visualize_dir else None)
         ok, exits, n_steps, times = rollout(env, adapter, task_oracle, subtask,
-                                            lang, ep_len, replan)
+                                            lang, ep_len, replan,
+                                            viz_path=viz)
         if ok:
             success_counter += 1
             s_exits.extend(exits)
@@ -355,7 +381,8 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
                     ep_len: int = EP_LEN,
                     flops_per_layer: Optional[float] = None,
                     n_layers: Optional[int] = None,
-                    replan: int = -1, reset: bool = False) -> Dict:
+                    replan: int = -1, reset: bool = False,
+                    visualize_dir: Optional[str] = None) -> Dict:
     """Statically shard sequences over processes (eval_utils.py:521-527),
     run chains, aggregate.  Cross-process aggregation is the caller's job
     (host gather; the tensors are tiny)."""
@@ -363,13 +390,15 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
     assert n % world_size == 0, "NUM_SEQUENCES % device_num == 0 (eval_utils.py:525)"
     per = n // world_size
     my = sequences[rank * per:(rank + 1) * per]
+    if visualize_dir:
+        os.makedirs(visualize_dir, exist_ok=True)
 
     results, s_exits, f_exits, steps, s_times = [], [], [], [], []
     for local_i, (initial_state, eval_sequence) in enumerate(my):
         r, se, fe, st, ti = evaluate_sequence(
             env, adapter, task_oracle, initial_state, eval_sequence,
             annotations, ep_len, seq_i=rank * per + local_i, replan=replan,
-            reset=reset)
+            reset=reset, visualize_dir=visualize_dir)
         results.append(r)
         s_exits.extend(se)
         f_exits.extend(fe)

@@ -152,6 +152,59 @@ def test_eval_policy_feeds_state():
     assert act.shape == (7,) and np.all(np.isfinite(act))
 
 
+def test_visualize_saves_rollout_gifs(tmp_path):
+    """--visualize writes one GIF per subtask episode, tagged ok/fail, with
+    one frame per env step plus the initial observation (the reference
+    collects an img_queue it never saves, eval_utils.py:649-678)."""
+    from deer_vla_tpu.eval.rollout import (DebugEnv, DebugTaskOracle,
+                                           evaluate_sequence)
+
+    class FakePolicy:
+        cfg = deer_tiny()
+        last_exit_layer = 1
+
+        def set_timestep(self, t):
+            pass
+
+        def reset(self):
+            pass
+
+    class FakeAdapter:
+        policy = FakePolicy()
+        current_exit_layer = 1
+        llm_time = 0.0
+
+        def reset(self):
+            pass
+
+        def step(self, obs, goal):
+            # big arm motion -> every frame differs (PIL merges identical
+            # consecutive GIF frames, which would undercount n_frames)
+            return np.array([1.0, 0, 0, 0, 0, 0, 1.0], np.float32)
+
+    env = DebugEnv(img_hw=28, grip_hw=28)
+    oracle = DebugTaskOracle(threshold=1e9)  # never succeed: fail at ep_len
+    evaluate_sequence(env, FakeAdapter(), oracle, {}, ["task_a"],
+                      {"task_a": "do a"}, ep_len=5,
+                      visualize_dir=str(tmp_path))
+    files = sorted(tmp_path.glob("*.gif"))
+    assert len(files) == 1 and files[0].name.endswith("_fail.gif")
+    from PIL import Image
+    with Image.open(files[0]) as im:
+        # initial obs + 5 steps = up to 6 frames; GIF palette quantization
+        # may merge near-identical consecutive frames, so assert animation
+        # exists rather than the exact count
+        assert 3 <= im.n_frames <= 6
+        assert im.size == (28, 28)
+
+    # success episodes are tagged ok
+    oracle_ok = DebugTaskOracle(threshold=0.0)
+    evaluate_sequence(env, FakeAdapter(), oracle_ok, {}, ["task_b"],
+                      {"task_b": "do b"}, ep_len=5,
+                      visualize_dir=str(tmp_path))
+    assert any(f.name.endswith("_ok.gif") for f in tmp_path.glob("*.gif"))
+
+
 def test_reset_mode_resets_env_per_subtask():
     """--reset (eval_utils.py:603-606): the env returns to the chain's
     initial state before EVERY subtask, not just at chain start."""

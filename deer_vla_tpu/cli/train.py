@@ -125,6 +125,14 @@ def build_parser() -> argparse.ArgumentParser:
     # run
     p.add_argument("--run_name", default="runs/deer")
     p.add_argument("--resume", action="store_true", default=True)
+    p.add_argument("--from_scratch", action="store_true",
+                   help="ignore existing checkpoints in run_name (disables "
+                        "the auto-resume scan, train_calvin_post_strategy"
+                        ".py:605)")
+    p.add_argument("--no_gripper", action="store_true",
+                   help="single-camera ablation: drop the gripper camera "
+                        "(use_gripper=False, the reference's --use_gripper "
+                        "default-off toggle)")
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--save_every_iter", type=int, default=-1,
                    help=">0: also checkpoint every N steps within an epoch "
@@ -172,7 +180,8 @@ def make_model_config(args):
                "freeze_embed": getattr(args, "freeze_embed", False),
                "freeze_sampler": getattr(args, "freeze_sampler", False),
                "unfreeze_vit": getattr(args, "unfreeze_vit", False),
-               "train_params": getattr(args, "train_params", -1)}
+               "train_params": getattr(args, "train_params", -1),
+               "use_gripper": not getattr(args, "no_gripper", False)}
     ht = getattr(args, "head_type", "deterministic")
     if ht != "deterministic":
         updates["head_type"] = ht
@@ -324,7 +333,7 @@ def main(argv=None):
 
     trainer = Trainer(cfg, tcfg, loader, log_fn=log_fn, vl_loader=vl_loader,
                       vl_weight=args.vl_weight)
-    if args.resume:
+    if args.resume and not args.from_scratch:
         start = trainer.maybe_resume()
         if start:
             print(f"resumed from epoch {start}")

@@ -83,6 +83,18 @@ def test_layerwise_dynamic_exit_choice_unchanged(tiny):
         assert set(pol_lw.layer_carries) == {want_exit}
 
 
+def test_train_cli_config_plumbing():
+    """--no_gripper / --from_scratch reach the config / resume logic."""
+    from deer_vla_tpu.cli.train import build_parser, make_model_config
+    args = build_parser().parse_args(
+        ["--model", "tiny", "--no_gripper", "--from_scratch"])
+    cfg = make_model_config(args)
+    assert cfg.use_gripper is False
+    assert args.from_scratch is True
+    cfg2 = make_model_config(build_parser().parse_args(["--model", "tiny"]))
+    assert cfg2.use_gripper is True
+
+
 def test_cli_layerwise_smoke(tmp_path):
     """Full CLI path: train a tiny multi-exit ckpt, eval layerwise."""
     from deer_vla_tpu.cli.eval import main as eval_main

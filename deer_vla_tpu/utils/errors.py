@@ -30,6 +30,12 @@ def record(fn: Optional[Callable] = None, *,
     def wrap(f):
         @functools.wraps(f)
         def inner(*args, **kwargs):
+            # every CLI main passes through here before its first jit:
+            # central hook for the opt-in persistent compilation cache
+            # (DEER_COMPILE_CACHE; utils/compile_cache.py)
+            from deer_vla_tpu.utils.compile_cache import \
+                maybe_enable_compile_cache
+            maybe_enable_compile_cache()
             try:
                 return f(*args, **kwargs)
             except BaseException as e:

@@ -130,6 +130,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(eval_calvin.py:530, flamingo_mpt.py:450-457). "
                         "Host-bucketed engine only.")
     p.add_argument("--amp", type=int, default=0)  # accepted for parity; bf16 covers it
+    p.add_argument("--report_json", default="",
+                   help="also write the full eval report (chain SRs, exit "
+                        "histograms, per-task SRs, GFLOPs, thresholds) to "
+                        "this JSON path — the machine-readable version of "
+                        "the reference's print_and_save log "
+                        "(eval_utils.py:71-118)")
     p.add_argument("--visualize", default="",
                    help="directory for per-subtask rollout GIFs "
                         "(static camera, one file per episode tagged "
@@ -440,8 +446,33 @@ def main(argv=None):
         report["vision_cache_hit_rate"] = vc.encode_hits / max(1, vc.steps)
         print(f"vision-token cache: {vc.encode_hits}/{vc.steps} encode hits")
     print(format_report(report))
-    # -- BO/eval_ckpts parse contract: last three lines ---------------------
     th_list = [thresholds[e] for e in sorted(thresholds)] if thresholds else []
+    if args.report_json:
+        def _clean(v):
+            if isinstance(v, dict):
+                return {k: _clean(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [_clean(x) for x in v]
+            if isinstance(v, (np.integer,)):
+                return int(v)
+            if isinstance(v, (np.floating,)):
+                return float(v)
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            return v
+        payload = {"report": _clean(report),
+                   "thresholds": {int(k): float(v)
+                                  for k, v in thresholds.items()},
+                   "exit_ratio": args.exit_ratio,
+                   "checkpoint": args.evaluate_from_checkpoint,
+                   "model": args.model, "max_layer": max_layer,
+                   "num_seq": n_seq}
+        os.makedirs(os.path.dirname(os.path.abspath(args.report_json)),
+                    exist_ok=True)
+        with open(args.report_json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"report written to {args.report_json}")
+    # -- BO/eval_ckpts parse contract: last three lines ---------------------
     print(",".join(f"{t:.6f}" for t in th_list))
     print(f"{report['avg_seq_len']:.6f}")
     print(f"{report['avg_exit_layer'] - 1:.6f}")

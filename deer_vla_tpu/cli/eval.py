@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(bucketed engine, value_net.py:92-95)")
     p.add_argument("--multi_execution", type=int, default=1,
                    help="repeat/consume k actions per policy call")
+    p.add_argument("--diff_steps", type=int, default=0,
+                   help="diffusion head: >0 samples plans with a DDIM "
+                        "subsequence of this many U-Net evaluations instead "
+                        "of the full n_timesteps DDPM chain (the reference "
+                        "always runs full DDPM, action_head.py:1028)")
+    p.add_argument("--ddim_eta", type=float, default=0.0,
+                   help="DDIM stochasticity (0 = deterministic ODE limit)")
     p.add_argument("--future_act_len", type=int, default=-1,
                    help="diffusion head: execute only the first K sampled "
                         "actions of each plan (eval_calvin.py:209)")
@@ -364,7 +371,9 @@ def main(argv=None):
         from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
         policy = DiffusionSamplerPolicy(policy, params,
                                         future_act_len=args.future_act_len,
-                                        seed=args.seed)
+                                        seed=args.seed,
+                                        sample_steps=args.diff_steps,
+                                        ddim_eta=args.ddim_eta)
     if args.action_cache_tau > 0:
         from deer_vla_tpu.eval.caching import ActionCachePolicy
         policy = ActionCachePolicy(policy, tau=args.action_cache_tau,

@@ -63,6 +63,11 @@ def build_parser():
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "int8_w8a8"])
     p.add_argument("--tcp_rel", action="store_true")
+    p.add_argument("--diff_steps", type=int, default=0,
+                   help="diffusion head: >0 samples with a DDIM "
+                        "subsequence of this many U-Net evals instead of "
+                        "the full DDPM chain")
+    p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--oneshot_healthz", action="store_true",
                    help="bind, print healthz JSON, exit (smoke testing)")
     return p
@@ -134,7 +139,9 @@ def build_core(args):
         # DDPM sampling wrapper: exit features -> (k, 7) action plans
         # (clients receive the plan; eval_utils.py:388-419 use_diff branch)
         from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
-        policy = DiffusionSamplerPolicy(policy, params, seed=args.seed)
+        policy = DiffusionSamplerPolicy(policy, params, seed=args.seed,
+                                        sample_steps=args.diff_steps,
+                                        ddim_eta=args.ddim_eta)
     return DeerActionServer(policy, tok, max_streams=args.max_streams,
                             tcp_rel=args.tcp_rel), cfg
 

@@ -26,7 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deer_vla_tpu.models.diffusion import conditional_sample, ddpm_buffers
+from deer_vla_tpu.models.diffusion import (conditional_sample,
+                                           conditional_sample_ddim,
+                                           ddpm_buffers)
 from deer_vla_tpu.models.heads import diffusion_head_config
 
 
@@ -36,7 +38,7 @@ class DiffusionSamplerPolicy:
     unchanged."""
 
     def __init__(self, policy, params: dict, future_act_len: int = -1,
-                 seed: int = 0):
+                 seed: int = 0, sample_steps: int = 0, ddim_eta: float = 0.0):
         assert policy.cfg.head_type == "diffusion", policy.cfg.head_type
         self.policy = policy
         self.cfg = policy.cfg
@@ -51,10 +53,21 @@ class DiffusionSamplerPolicy:
         unet = params["diffusion"]["unet"]
         buf = ddpm_buffers(dcfg)
 
-        @jax.jit
-        def sample(rng, cond_data, cond_mask, feature):
-            return conditional_sample(unet, buf, rng, cond_data, cond_mask,
-                                      dcfg, global_cond=feature)
+        if sample_steps and sample_steps > 0:
+            # DDIM fast path: sample_steps U-Net evaluations instead of
+            # dcfg.n_timesteps (--diff_steps; the reference always runs the
+            # full DDPM chain, action_head.py:1028-1060)
+            @jax.jit
+            def sample(rng, cond_data, cond_mask, feature):
+                return conditional_sample_ddim(
+                    unet, buf, rng, cond_data, cond_mask, dcfg,
+                    global_cond=feature, steps=sample_steps, eta=ddim_eta)
+        else:
+            @jax.jit
+            def sample(rng, cond_data, cond_mask, feature):
+                return conditional_sample(unet, buf, rng, cond_data,
+                                          cond_mask, dcfg,
+                                          global_cond=feature)
 
         self._sample = sample
         self._base_rng = jax.random.PRNGKey(seed)

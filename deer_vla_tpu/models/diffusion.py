@@ -63,6 +63,7 @@ def ddpm_buffers(cfg: DiffusionConfig) -> dict:
     post_var = betas * (1.0 - ac_prev) / (1.0 - ac)
     return {k: jnp.asarray(v, jnp.float32) for k, v in {
         "betas": betas,
+        "alphas_cumprod": ac,
         "sqrt_alphas_cumprod": np.sqrt(ac),
         "sqrt_one_minus_alphas_cumprod": np.sqrt(1.0 - ac),
         "sqrt_recip_alphas_cumprod": np.sqrt(1.0 / ac),
@@ -284,6 +285,58 @@ def conditional_sample(params: dict, buf: dict, rng, cond_data: jnp.ndarray,
 
     (x, _), _ = jax.lax.scan(step, (x, rng),
                              jnp.arange(cfg.n_timesteps - 1, -1, -1))
+    return x
+
+
+def conditional_sample_ddim(params: dict, buf: dict, rng,
+                            cond_data: jnp.ndarray, cond_mask: jnp.ndarray,
+                            cfg: DiffusionConfig,
+                            global_cond: Optional[jnp.ndarray] = None,
+                            steps: int = 10,
+                            eta: float = 0.0) -> jnp.ndarray:
+    """DDIM sampler (Song et al. 2021): `steps` U-Net evaluations over a
+    timestep subsequence instead of cfg.n_timesteps; eta=0 is the
+    deterministic ODE limit.  Beyond the reference — its sampling loop
+    always runs the full DDPM chain (action_head.py:1028-1060).  Same
+    inpainting-style cond_mask clamping as conditional_sample."""
+    b = cond_data.shape[0]
+    steps = int(min(max(1, steps), cfg.n_timesteps))
+    taus = np.unique(np.round(np.linspace(0, cfg.n_timesteps - 1, steps))
+                     ).astype(np.int32)[::-1]
+    taus_prev = np.concatenate([taus[1:], [-1]]).astype(np.int32)
+    # alphas_cumprod extended so index t+1 covers t = -1 -> 1.0
+    ac_ext = jnp.concatenate([jnp.ones((1,), jnp.float32),
+                              buf["alphas_cumprod"]])
+    rng, k0 = jax.random.split(rng)
+    x = jax.random.normal(k0, cond_data.shape, cond_data.dtype)
+    x = jnp.where(cond_mask, cond_data, x)
+
+    def step_fn(carry, tp):
+        x, rng = carry
+        t, t_prev = tp
+        rng, kn = jax.random.split(rng)
+        tt = jnp.full((b,), t, jnp.int32)
+        model_out = unet_forward(params, x, tt, cfg, global_cond)
+        x0 = predict_start_from_noise(buf, x, tt, model_out, cfg)
+        if cfg.clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        a_t = ac_ext[t + 1]
+        a_prev = ac_ext[t_prev + 1]
+        # epsilon consistent with the (clipped / x0-predicting) model output
+        eps = (x - jnp.sqrt(a_t) * x0) * jax.lax.rsqrt(1.0 - a_t)
+        sigma = (eta * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t))
+                 * jnp.sqrt(1.0 - a_t / a_prev))
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - a_prev - sigma * sigma, 0.0)) * eps
+        noise = jax.random.normal(kn, x.shape, x.dtype)
+        x = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
+        # at t_prev = -1, a_prev = 1 and sigma = 0: x collapses to x0
+        x = jnp.where(cond_mask, cond_data, x)
+        return (x, rng), None
+
+    (x, _), _ = jax.lax.scan(
+        step_fn, (x, rng),
+        (jnp.asarray(np.ascontiguousarray(taus)),
+         jnp.asarray(np.ascontiguousarray(taus_prev))))
     return x
 
 

@@ -94,6 +94,24 @@ def test_diffusion_unet_and_sampler():
     np.testing.assert_array_equal(np.asarray(sample)[mask], np.asarray(x)[mask])
     assert np.all(np.isfinite(np.asarray(sample)))
 
+    # DDIM fast sampler: K << n_timesteps U-Net evals; cond rows clamped,
+    # eta=0 deterministic given the rng, finite output
+    from deer_vla_tpu.models.diffusion import conditional_sample_ddim
+    for steps in (1, 3, cfg.n_timesteps):
+        s1 = conditional_sample_ddim(p, buf, jax.random.PRNGKey(1), x,
+                                     jnp.asarray(mask), cfg, cond,
+                                     steps=steps, eta=0.0)
+        np.testing.assert_array_equal(np.asarray(s1)[mask],
+                                      np.asarray(x)[mask])
+        assert np.all(np.isfinite(np.asarray(s1)))
+    s2 = conditional_sample_ddim(p, buf, jax.random.PRNGKey(1), x,
+                                 jnp.asarray(mask), cfg, cond,
+                                 steps=3, eta=0.0)
+    s3 = conditional_sample_ddim(p, buf, jax.random.PRNGKey(1), x,
+                                 jnp.asarray(mask), cfg, cond,
+                                 steps=3, eta=0.0)
+    np.testing.assert_array_equal(np.asarray(s2), np.asarray(s3))
+
     loss = diffusion_loss(p, buf, jax.random.PRNGKey(2), x, cfg, cond)
     assert np.isfinite(float(loss))
 

@@ -212,6 +212,27 @@ def test_diffusion_sampler_policy_plans():
     assert spol2.step(img, grip, ids, mask).shape == (2, 7)
 
 
+def test_diffusion_ddim_sampler_policy():
+    """--diff_steps: the DDIM fast path emits plans with the same shape and
+    contract as the full DDPM chain, in `sample_steps` U-Net evals."""
+    from deer_vla_tpu.eval.diffusion_policy import DiffusionSamplerPolicy
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    cfg = tiny_cfg("diffusion")
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = DeerPolicy(params, cfg, exit_id=cfg.n_layers - 1)
+    fast = DiffusionSamplerPolicy(pol, params, seed=0, sample_steps=3)
+    img, grip, ids, mask = _policy_inputs(cfg)
+    plan = fast.step(img, grip, ids, mask)
+    assert plan.shape == (cfg.diff_horizon - (cfg.n_obs_steps - 1), 7)
+    assert np.all(np.isfinite(plan))
+    assert set(np.unique(plan[:, -1])) <= {-1.0, 1.0}
+    # deterministic given the seed (eta=0 ODE limit, same rng stream)
+    pol2 = DeerPolicy(params, cfg, exit_id=cfg.n_layers - 1)
+    fast2 = DiffusionSamplerPolicy(pol2, params, seed=0, sample_steps=3)
+    np.testing.assert_allclose(fast2.step(img, grip, ids, mask), plan,
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_diffusion_exit_criterion_on_features():
     """Dynamic exit with the diffusion head compares conditioning features
     (models/heads.py doc) — the delta path must run without HeadOutput."""

@@ -133,6 +133,11 @@ def build_core(args):
             raise SystemExit("--batch_lanes has no per-stream step "
                              "counter for stage reuse; use the "
                              "per-stream core for --steps_per_stage")
+        if cfg.head_type == "diffusion":
+            raise SystemExit("--batch_lanes does not wrap the DDPM/DDIM "
+                             "sampler (clients would receive raw exit "
+                             "features, not action plans); serve diffusion "
+                             "heads with the per-stream core")
         return BatchedActionServer(policy, tok, lanes=args.batch_lanes,
                                    window_ms=args.batch_window_ms), cfg
     if cfg.head_type == "diffusion":

@@ -412,6 +412,22 @@ def main(argv=None):
         if args.visualize:
             raise SystemExit("--visualize needs the sequential harness; "
                              "run without --lanes")
+        if args.tcp_rel:
+            raise SystemExit("--lanes does not apply the tcp->world "
+                             "action-frame conversion (it lives in the "
+                             "sequential adapter); run tcp_rel models "
+                             "without --lanes")
+        if args.multi_execution > 1 or args.use_action_ensemble:
+            raise SystemExit("--lanes serves the plain jit engine; "
+                             "--multi_execution / --use_action_ensemble "
+                             "need the sequential harness")
+        if args.action_cache_tau > 0:
+            raise SystemExit("--lanes does not compose with "
+                             "--action_cache_tau (per-lane action caching "
+                             "is not implemented)")
+        if args.replan != -1:
+            raise SystemExit("--lanes has no per-lane replan counter; "
+                             "run --replan without --lanes")
         bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
             ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
                            max_layer=max_layer,

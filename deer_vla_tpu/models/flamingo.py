@@ -168,7 +168,12 @@ def vision_tokens(params: dict, v: jnp.ndarray, cfg: DeerConfig,
                                         cfg.vit)
     else:
         _, tokens = vit_forward(params["vit"], flat, cfg.vit)
-    tokens = jax.lax.stop_gradient(tokens)
+    if not cfg.unfreeze_vit:
+        # the reference ALWAYS encodes vision under torch.no_grad
+        # (flamingo_mpt.py:573) — which makes its own --unfreeze_vit dead in
+        # the calvin pipeline; here the flag does what it says and lets
+        # gradients reach the ViT (trainable_mask marks it trainable too)
+        tokens = jax.lax.stop_gradient(tokens)
     return tokens.reshape(b, t, f, tokens.shape[-2], tokens.shape[-1])
 
 

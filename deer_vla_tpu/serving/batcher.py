@@ -208,6 +208,16 @@ class BatchedActionServer:
                 # the loop thread's final drain already ran (or will run
                 # before any dispatch); enqueueing now would block forever
                 raise ServeError("server shutting down")
+            if self._lane_of.get(payload.get("stream", "")) is None:
+                # NEW stream: lane allocation resets the lane's carry row,
+                # and an in-flight dispatch's carry write-back (jnp.where
+                # against a pre-reset old_carry) would clobber that reset —
+                # the new stream would inherit the previous occupant's LSTM
+                # state.  Existing streams skip the wait (their enqueue
+                # touches no carries; that's the pipelining fast path).
+                self._wait_not_dispatching()
+                if self._stop:
+                    raise ServeError("server shutting down")
             lane = self._lane(payload.get("stream", ""))
             if lane in self._pending:
                 raise ServeError("stream busy (one step in flight per "

@@ -202,6 +202,36 @@ def test_reset_waits_out_dispatch(setup):
         core.shutdown()
 
 
+def test_new_stream_step_waits_out_dispatch(setup):
+    """step() for a stream with NO lane yet must wait out an in-flight
+    dispatch: allocation resets the lane's carry row, and the dispatch's
+    carry write-back (jnp.where against a pre-reset old_carry) would
+    resurrect the previous occupant's LSTM state into the new stream."""
+    cfg, params, tok = setup
+    core = make_core(cfg, params, tok)
+    try:
+        with core._cond:
+            core._dispatching = True
+        done = threading.Event()
+
+        def do_step():
+            core.step(_payload(cfg, "newbie", 11))
+            done.set()
+
+        t = threading.Thread(target=do_step, daemon=True)
+        t.start()
+        assert not done.wait(timeout=0.3)
+        with core._cond:
+            # the new stream must NOT have been allocated a lane yet
+            assert "newbie" not in core._lane_of, \
+                "lane allocated during an in-flight dispatch"
+            core._dispatching = False
+            core._cond.notify_all()
+        assert done.wait(timeout=30), "step never resumed"
+    finally:
+        core.shutdown()
+
+
 def test_engine_error_is_not_client_error(setup):
     """Engine/device failures surface raw (-> HTTP 500), not ServeError
     (-> 400); and step() after shutdown refuses instead of hanging."""

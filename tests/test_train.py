@@ -327,3 +327,24 @@ def test_freeze_policy_knobs(setup):
     m = trainable_mask(params, dataclasses.replace(cfg, train_params=280),
                        "joint")
     assert leaves_false(m["perceiver"])
+
+
+def test_unfreeze_vit_gradients_actually_flow(setup):
+    """--unfreeze_vit must move the ViT weights (vision_tokens skips the
+    stop_gradient); without it the ViT stays bit-identical.  The reference
+    flag is silently dead — its _encode_vision always runs under
+    torch.no_grad (flamingo_mpt.py:573)."""
+    cfg, tcfg, loader = setup
+    for unfreeze in (False, True):
+        c = dataclasses.replace(cfg, unfreeze_vit=unfreeze)
+        t = dataclasses.replace(tcfg, num_joint_epochs=1, num_exit_epochs=0,
+                                run_dir=tcfg.run_dir + f"/uv{int(unfreeze)}")
+        tr = Trainer(c, t, loader, log_fn=lambda *_: None)
+        v0 = np.asarray(tr.params["vit"]["blocks"][0]["qkv"]["w"]).copy()
+        tr.train()
+        d = np.max(np.abs(np.asarray(
+            tr.params["vit"]["blocks"][0]["qkv"]["w"]) - v0))
+        if unfreeze:
+            assert d > 0, "--unfreeze_vit did not move the ViT"
+        else:
+            assert d == 0

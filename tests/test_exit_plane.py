@@ -49,6 +49,69 @@ def test_solve_thresholds_matches_distribution():
     assert np.all(np.abs(counts[:-1] - probs[:-1]) < 0.02)
 
 
+def _reference_solver(pred, exit_ratio, exit_ids, max_layer, exit_dist,
+                      leq, model_name):
+    """Torch mirror of the reference's greedy quantile selection
+    (value_net.py:206-272), written from its algorithm: sort each exit's
+    deltas, walk until floor(n*probs[k]) NOT-yet-filtered samples are
+    passed, take that delta as the threshold, mark samples the threshold
+    would exit.  Used only to pin element-wise parity of solve_thresholds."""
+    import math as _math
+
+    import scipy.stats
+    import torch
+    pred = torch.asarray(np.asarray(pred))
+    n_stage, n_sample = pred.shape
+    real_ids = [x for x in exit_ids if x <= max_layer]
+    n = len(real_ids)
+    _, sorted_idx = pred.sort(dim=1, descending=not leq)
+    filtered = torch.zeros(n_sample)
+    T = torch.full((n,), -1e8 if leq else 1e8)
+    if exit_dist == "exp":
+        probs = exit_ratio ** torch.arange(1, n + 1)
+    elif exit_dist == "gauss":
+        probs = torch.tensor([_math.exp(-(i - exit_ratio) ** 2 / 2.0)
+                              for i in range(n)])
+    else:  # gamma
+        probs = torch.tensor([scipy.stats.gamma.pdf(v, exit_ratio, scale=2.0)
+                              for v in np.arange(1, n + 1, dtype=np.float32)])
+    if "mpt_9b" in model_name:
+        probs[0] = 0
+    probs = probs / probs.sum()
+    for k in range(n - 1):
+        count, out_n = 0, _math.floor(n_sample * probs[k])
+        for i in range(n_sample):
+            ori = sorted_idx[k][i]
+            if filtered[ori] == 0:
+                count += 1
+                if count == out_n:
+                    T[k] = pred[k][ori]
+                    break
+        filtered += ((pred[k] <= T[k]) if leq else
+                     (pred[k] >= T[k])).to(filtered.dtype)
+    T[n - 1] = 1e8 if leq else -1e8
+    return {int(real_ids[i]): float(T[i]) for i in range(n)}
+
+
+@pytest.mark.parametrize("dist", ["exp", "gauss", "gamma"])
+@pytest.mark.parametrize("leq", [True, False])
+@pytest.mark.parametrize("model", ["mpt_dolly_3b", "mpt_9b"])
+def test_solver_elementwise_parity_with_reference_algorithm(dist, leq, model):
+    rng = np.random.RandomState(7)
+    exit_ids = [1, 3, 5, 7]
+    # float32: calibration deltas are model outputs (the reference's T and
+    # pred tensors are float32; float64 inputs would diverge on the cast of
+    # the threshold-defining sample)
+    vals = rng.rand(4, 1200).astype(np.float32)
+    ratio = {"exp": 0.8, "gauss": 1.5, "gamma": 1.0}[dist]
+    ours, _ = solve_thresholds(vals, ratio, exit_ids, max_layer=7,
+                               exit_dist=dist, leq=leq, model_name=model)
+    ref = _reference_solver(vals, ratio, exit_ids, 7, dist, leq, model)
+    assert set(ours) == set(ref)
+    for e in ours:
+        assert abs(ours[e] - ref[e]) < 1e-6, (e, ours[e], ref[e])
+
+
 def test_exit_controller_protocol():
     ctrl = ExitController(exit_id_list=[1, 3], steps_per_stage=1, max_layer=4)
     ctrl.set_thresholds({1: 0.1, 3: 1e8})

@@ -137,6 +137,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_every_iter", type=int, default=-1,
                    help=">0: also checkpoint every N steps within an epoch "
                         "(train_utils.py:626-628)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help=">0: track an exponential moving average of the "
+                        "trainable leaves; each checkpoint gains a sibling "
+                        "<name>_ema.ckpt (standard for diffusion heads; "
+                        "the reference has no EMA)")
     p.add_argument("--debug", action="store_true",
                    help="random-tensor data, no dataset required")
     # vision-language co-training (--cotrain, train_calvin_post_strategy.py:296-302)
@@ -298,7 +303,8 @@ def main(argv=None):
         traj_cons=args.traj_cons, real_data=args.real_data,
         bin_coef=args.bin_coef, tcp_rel=args.tcp_rel,
         logging_steps=args.logging_steps, seed=args.seed,
-        save_every_iter=args.save_every_iter)
+        save_every_iter=args.save_every_iter,
+        ema_decay=args.ema_decay)
 
     def log_fn(d):
         print(json.dumps({k: v for k, v in d.items()}, default=float))

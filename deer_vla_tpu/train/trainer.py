@@ -75,6 +75,13 @@ class TrainConfig:
     # cast frozen leaves to bf16 (no fp32 master needed without updates) —
     # what lets the 3B joint phase fit one 16GB chip
     bf16_frozen: bool = True
+    # >0: exponential moving average of the TRAINABLE leaves (standard
+    # practice for diffusion policy heads; the reference has no EMA).  Each
+    # epoch/iter checkpoint gains a sibling <name>_ema.ckpt with EMA weights
+    # merged over the frozen backbone — evaluate it like any checkpoint.
+    # Tracked as a flat leaf subset, so no full-tree HBM copy at 3B.
+    # Resume restarts the average from the resumed params.
+    ema_decay: float = 0.0
 
     @property
     def num_epochs(self) -> int:
@@ -243,6 +250,37 @@ class Trainer:
             self._phases[phase] = (opt, step)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0
+        self._ema = None
+        self._ema_sel = None
+        if tcfg.ema_decay > 0:
+            assert 0.0 < tcfg.ema_decay < 1.0, tcfg.ema_decay
+            mask_leaves = jax.tree_util.tree_leaves(
+                checkpoint_mask(self.params, self.cfg))
+            self._ema_sel = [i for i, m in enumerate(mask_leaves) if m]
+            d = float(tcfg.ema_decay)
+            self._ema_update = jax.jit(lambda e, p: [
+                d * ev + (1.0 - d) * pv.astype(ev.dtype)
+                for ev, pv in zip(e, p)])
+            # fresh output buffers: the train step DONATES its state, so
+            # aliasing state.params leaves would leave the EMA holding
+            # deleted arrays one step later
+            self._ema_seed = jax.jit(
+                lambda p: [v.astype(jnp.float32) + 0.0 for v in p])
+
+    def _ema_step(self):
+        leaves = jax.tree_util.tree_leaves(self.state.params)
+        sel = [leaves[i] for i in self._ema_sel]
+        if self._ema is None:  # first step (or post-resume) seed
+            self._ema = self._ema_seed(sel)
+            return
+        self._ema = self._ema_update(self._ema, sel)
+
+    def _ema_params(self) -> dict:
+        """Current params with EMA values merged over the tracked leaves."""
+        leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        for j, i in enumerate(self._ema_sel):
+            leaves[i] = self._ema[j].astype(leaves[i].dtype)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
 
     def phase_of_epoch(self, epoch: int) -> str:
         return "joint" if epoch < self.tcfg.num_joint_epochs else "exit_only"
@@ -308,6 +346,8 @@ class Trainer:
                 else:
                     self.state, metrics = self._step_fn(self.state, batch,
                                                         step_rng)
+                if self._ema_sel is not None:
+                    self._ema_step()
                 self.heartbeat.beat(epoch=epoch, step=it, phase=phase)
                 if (tcfg.save_every_iter > 0
                         and (it + 1) % tcfg.save_every_iter == 0):
@@ -347,7 +387,12 @@ class Trainer:
         # seed lets eval reconstruct the SAME frozen backbone before the
         # trainable-delta overlay; opt_state makes resume exact (Adam
         # moments + schedule count survive preemption)
-        return save_checkpoint(path, self.params, self.cfg, meta=meta,
-                               trainable_mask=mask,
-                               opt_state=None if self.state is None
-                               else self.state.opt_state)
+        out = save_checkpoint(path, self.params, self.cfg, meta=meta,
+                              trainable_mask=mask,
+                              opt_state=None if self.state is None
+                              else self.state.opt_state)
+        if self._ema_sel is not None and self._ema is not None:
+            save_checkpoint(path + "_ema", self._ema_params(), self.cfg,
+                            meta=dict(meta, ema_decay=self.tcfg.ema_decay),
+                            trainable_mask=mask)
+        return out

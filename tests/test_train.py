@@ -329,6 +329,37 @@ def test_freeze_policy_knobs(setup):
     assert leaves_false(m["perceiver"])
 
 
+def test_ema_checkpoints(setup, tmp_path):
+    """--ema_decay writes <name>_ema.ckpt siblings whose trainable leaves
+    are the moving average (differ from the final params for decay near 1;
+    frozen backbone identical); the EMA ckpt loads like any checkpoint."""
+    cfg, tcfg, loader = setup
+    t = dataclasses.replace(tcfg, num_joint_epochs=1, num_exit_epochs=0,
+                            ema_decay=0.95, run_dir=str(tmp_path / "ema"))
+    tr = Trainer(cfg, t, loader, log_fn=lambda *_: None)
+    tr.train()
+    assert os.path.exists(t.run_dir + "/deer_0.ckpt")
+    assert os.path.exists(t.run_dir + "/deer_0_ema.ckpt")
+
+    from deer_vla_tpu.train.checkpoint import load_checkpoint
+    from deer_vla_tpu.models.flamingo import init_deer as _init
+    template = _init(jax.random.PRNGKey(t.seed), cfg)
+    p_reg, _, _ = load_checkpoint(t.run_dir + "/deer_0.ckpt", template)
+    template = _init(jax.random.PRNGKey(t.seed), cfg)
+    p_ema, _, _ = load_checkpoint(t.run_dir + "/deer_0_ema.ckpt", template)
+    reg = np.asarray(p_reg["extra_exit"]["rnn"]["layers"][0]["wi"])
+    ema = np.asarray(p_ema["extra_exit"]["rnn"]["layers"][0]["wi"])
+    assert not np.allclose(reg, ema)  # decay .95 lags the live params
+    assert np.isfinite(ema).all()
+    # frozen backbone identical in both
+    np.testing.assert_array_equal(
+        np.asarray(p_reg["vit"]["blocks"][0]["qkv"]["w"]),
+        np.asarray(p_ema["vit"]["blocks"][0]["qkv"]["w"]))
+    # the EMA checkpoint resume-scan is not confused by the _ema suffix
+    from deer_vla_tpu.train.checkpoint import find_latest_checkpoint
+    assert find_latest_checkpoint(t.run_dir).endswith("deer_0.ckpt")
+
+
 def test_unfreeze_vit_gradients_actually_flow(setup):
     """--unfreeze_vit must move the ViT weights (vision_tokens skips the
     stop_gradient); without it the ViT stays bit-identical.  The reference

@@ -382,7 +382,7 @@ def wait_for_device(max_wait_s: float) -> bool:
 
 
 def main():
-    wait_s = float(os.environ.get("DEER_BENCH_WAIT_S", "2400"))
+    wait_s = float(os.environ.get("DEER_BENCH_WAIT_S", "1200"))
     if not wait_for_device(wait_s):
         # parseable failure line instead of a hang/crash with no artifact
         print(json.dumps({

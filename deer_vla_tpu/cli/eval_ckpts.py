@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--num_seq", type=int, default=224)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--pattern", default="*_[0-9]*.ckpt")
+    p.add_argument("--include_ema", action="store_true",
+                   help="also sweep <name>_ema.ckpt siblings (--ema_decay "
+                        "training); excluded by default so epoch ckpts "
+                        "aren't double-counted")
     p.add_argument("extra", nargs=argparse.REMAINDER,
                    help="extra args forwarded to cli.eval")
     args = p.parse_args(argv)
@@ -35,6 +39,8 @@ def main(argv=None):
     os.makedirs(log_dir, exist_ok=True)
 
     ckpts = sorted(glob.glob(os.path.join(args.ckpt_dir, args.pattern)))
+    if not args.include_ema:
+        ckpts = [c for c in ckpts if not c.endswith("_ema.ckpt")]
     if not ckpts:
         print(f"no checkpoints matching {args.pattern} in {args.ckpt_dir}")
         return 1
@@ -56,6 +62,9 @@ def main(argv=None):
             if args.debug:
                 eval_args.append("--debug")
             eval_args += [a for a in args.extra if a != "--"]
+            if "--report_json" not in eval_args:
+                # machine-readable sweep results beside the logs
+                eval_args += ["--report_json", log_file[:-4] + ".json"]
             # capture stdout to the log file (tail is the BO contract)
             old = sys.stdout
             try:

@@ -99,3 +99,78 @@ def test_config_combo_trains(combo):
         out, labels,
         last_step_only=(cfg.fusion_mode == "vit_concat" or cfg.use_hist))
     assert np.isfinite(float(loss)), combo
+
+
+# -- serving cross: while-loop engine == bucketed engine per combo ----------
+
+SERVE_AXES = {
+    "fusion_mode": ["post", "vit_concat"],
+    "use_hist": [False, True],
+    "use_state": [False, True],
+    "multi_step_action": [1, 2],
+    "share_exit": [False, True],
+}
+
+
+def _serve_combos(n=6, seed=3):
+    keys = sorted(SERVE_AXES)
+    all_c = [dict(zip(keys, v))
+             for v in itertools.product(*(SERVE_AXES[k] for k in keys))]
+    all_c = [c for c in all_c
+             if not (c["use_hist"] and c["fusion_mode"] != "post")]
+    r = np.random.RandomState(seed)
+    idx = r.choice(len(all_c), size=n, replace=False)
+    return [all_c[i] for i in sorted(idx)]
+
+
+@pytest.mark.parametrize("combo", _serve_combos(),
+                         ids=lambda c: "-".join(
+                             f"{k}={v}" for k, v in sorted(c.items())
+                             if v != _DEFAULTS.get(k, None)))
+def test_serving_engines_agree_per_combo(combo):
+    """Cross-feature serving: the while-loop single program and the
+    host-bucketed engine must pick the same exits and emit the same actions
+    for every feature combination both serve."""
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.value_net import ExitController
+
+    cfg = deer_tiny(window_size=2)
+    head = dataclasses.replace(cfg.head,
+                               multi_step_action=combo["multi_step_action"],
+                               use_state=combo["use_state"])
+    cfg = dataclasses.replace(
+        cfg, head=head, fusion_mode=combo["fusion_mode"],
+        use_hist=combo["use_hist"], use_state=combo["use_state"],
+        share_exit=combo["share_exit"])
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    exits = list(cfg.all_exit_ids())
+    th = [0.05] * (len(exits) - 1) + [1e8]
+
+    ctrl = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)
+    ctrl.set_thresholds({e: t for e, t in zip(exits, th)})
+    bucketed = DeerPolicy(params, cfg, controller=ctrl)
+    scan = ScanDeerPolicy(params, cfg, thresholds=list(th))
+
+    folded = cfg.fusion_mode == "vit_concat" or cfg.use_hist
+    enc_w = cfg.window_size if folded else 1
+    text_rows = 1
+    hw, s = cfg.vit.image_size, cfg.text_len
+    if cfg.use_hist:
+        text_rows = enc_w  # per-frame text rows at serving
+    for t in range(2):
+        r = np.random.RandomState(50 + t)
+        img = jnp.asarray(r.randn(enc_w, 1, 1, 3, hw, hw), jnp.float32)
+        grip = jnp.asarray(r.randn(enc_w, 1, 1, 3, hw, hw), jnp.float32)
+        ids = np.full((text_rows, s), 7, np.int32)
+        ids[:, 0] = cfg.media_token_id
+        ids = jnp.asarray(ids)
+        mask = jnp.ones((text_rows, s), jnp.int32)
+        st = (jnp.asarray(r.randn(enc_w, 1, 1, cfg.state_dim), jnp.float32)
+              if combo["use_state"] else None)
+        bucketed.set_timestep(t)
+        a_b = bucketed.step(img, grip, ids, mask, state=st)
+        a_s = scan.step(img, grip, ids, mask, state=st)
+        assert scan.last_exit_layer == bucketed.last_exit_layer, combo
+        np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_b),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(combo))

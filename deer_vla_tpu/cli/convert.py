@@ -77,7 +77,17 @@ def main(argv=None):
     if not args.openflamingo_checkpoint and not args.deer_checkpoint:
         raise SystemExit("need --openflamingo_checkpoint and/or "
                          "--deer_checkpoint")
+    if not args.openflamingo_checkpoint:
+        print("WARNING: no --openflamingo_checkpoint — the frozen backbone "
+              "in the output is RANDOM init from --seed; the result only "
+              "serves if eval reconstructs the same seed (it does, via the "
+              "sidecar meta) AND the published delta was trained against "
+              "that same random backbone (it was not). Compose the base "
+              "checkpoint for real artifacts.")
     import jax
+    # host-side job: eager per-tensor init/readback over the axon tunnel is
+    # pathological (CLAUDE.md) and no device is needed — force CPU
+    jax.config.update("jax_platforms", "cpu")
     import numpy as np
     import torch
 
@@ -86,7 +96,8 @@ def main(argv=None):
     from deer_vla_tpu.train.checkpoint import (save_calibration_values,
                                                save_checkpoint)
     from deer_vla_tpu.utils.convert import (convert_with_audit,
-                                            load_torch_checkpoint)
+                                            load_torch_checkpoint,
+                                            torch_state_dict_to_numpy)
 
     # -- DeeR ckpt dict: hyperparam readouts + cached calibration values ----
     deer_obj = {}
@@ -95,14 +106,14 @@ def main(argv=None):
                               weights_only=False)
         if not isinstance(deer_obj, dict):
             deer_obj = {}
+    factory = MODEL_REGISTRY[args.model]
+    defaults = factory()  # registry defaults for this architecture
     max_layer = args.max_layer
     if max_layer <= 0:
         eel = int(_readout(deer_obj, "early_exit_layer", -1))
-        max_layer = eel + 1 if eel > 0 else 12
+        max_layer = eel + 1 if eel > 0 else defaults.n_layers
     exit_interval = args.exit_interval or int(
-        _readout(deer_obj, "exit_interval", 2))
-
-    factory = MODEL_REGISTRY[args.model]
+        _readout(deer_obj, "exit_interval", defaults.exit_interval))
     if args.model == "tiny":
         cfg = factory(n_layers=max_layer if args.max_layer > 0 else 4,
                       exit_interval=exit_interval,
@@ -135,7 +146,10 @@ def main(argv=None):
                         ("deer_delta", args.deer_checkpoint)):
         if not path:
             continue
-        sd = load_torch_checkpoint(path)
+        if label == "deer_delta" and deer_obj:
+            sd = torch_state_dict_to_numpy(deer_obj)  # already loaded above
+        else:
+            sd = load_torch_checkpoint(path)
         counts, report = convert_with_audit(sd, params, cfg)
         consumed = sum(counts.values())
         print(f"{label}: {consumed} tensors consumed "
@@ -160,13 +174,14 @@ def main(argv=None):
 
     values = deer_obj.get("values")
     if values is not None:
+        def _np32(v):
+            if hasattr(v, "to"):  # torch tensor, possibly bf16/fp16
+                v = v.to(torch.float32).numpy()
+            return np.asarray(v, np.float32)
         if isinstance(values, dict):
-            values = np.stack([np.asarray(values[k], np.float32)
-                               for k in sorted(values)])
+            values = np.stack([_np32(values[k]) for k in sorted(values)])
         else:
-            values = np.asarray(
-                values.numpy() if hasattr(values, "numpy") else values,
-                np.float32)
+            values = _np32(values)
         save_calibration_values(out, values, {"source": "torch_ckpt"})
         print(f"wrote {out}.values.npz (cached calibration distribution, "
               f"shape {values.shape})")

@@ -62,7 +62,8 @@ def main(argv=None):
             if args.debug:
                 eval_args.append("--debug")
             eval_args += [a for a in args.extra if a != "--"]
-            if "--report_json" not in eval_args:
+            if not any(a == "--report_json" or a.startswith("--report_json=")
+                       for a in eval_args):
                 # machine-readable sweep results beside the logs
                 eval_args += ["--report_json", log_file[:-4] + ".json"]
             # capture stdout to the log file (tail is the BO contract)

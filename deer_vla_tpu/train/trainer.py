@@ -203,10 +203,15 @@ class Trainer:
         self.heartbeat = Heartbeat(
             tcfg.heartbeat_path
             or os.path.join(tcfg.run_dir, "heartbeat.json"))
-        self.rng = jax.random.PRNGKey(tcfg.seed)
+        # SEED CONTRACT: the sidecar's meta seed S means the frozen backbone
+        # is init_deer(PRNGKey(S)) — exactly what cli/eval.load_model
+        # reconstructs before overlaying the trainable delta.  (A previous
+        # split() here meant every delta ckpt was evaluated over a DIFFERENT
+        # random backbone than it was trained on.)  The training rng stream
+        # is fold_in(1) so dropout/sampling draws never reuse the init key.
+        self.rng = jax.random.fold_in(jax.random.PRNGKey(tcfg.seed), 1)
         if params is None:
-            self.rng, k = jax.random.split(self.rng)
-            params = init_deer(k, cfg)
+            params = init_deer(jax.random.PRNGKey(tcfg.seed), cfg)
         if tcfg.bf16_frozen and cfg.dtypes.compute_dtype == "bfloat16":
             from deer_vla_tpu.models.flamingo import cast_frozen_to_bf16
             params = cast_frozen_to_bf16(

@@ -312,10 +312,10 @@ def convert_with_audit(sd: Dict[str, np.ndarray], params: dict, cfg):
                     "unconsumed": unconsumed}
 
 
-def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch .pt/.pth file to a numpy state dict (CPU torch)."""
+def torch_state_dict_to_numpy(obj) -> Dict[str, np.ndarray]:
+    """Torch ckpt object (or bare state dict) -> fp32 numpy state dict;
+    strips DDP 'module.' prefixes and drops non-tensor entries."""
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
     sd = obj.get("model_state_dict", obj) if isinstance(obj, dict) else obj
     out = {}
     for k, v in sd.items():
@@ -323,3 +323,10 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         if hasattr(v, "numpy"):
             out[k] = v.to(torch.float32).numpy()
     return out
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pt/.pth file to a numpy state dict (CPU torch)."""
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return torch_state_dict_to_numpy(obj)

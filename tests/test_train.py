@@ -329,6 +329,23 @@ def test_freeze_policy_knobs(setup):
     assert leaves_false(m["perceiver"])
 
 
+def test_trainer_eval_seed_contract(setup):
+    """The sidecar's meta seed S must mean init_deer(PRNGKey(S)) — what
+    cli/eval.load_model reconstructs before overlaying the trainable delta.
+    (Regression: a split() in Trainer.__init__ trained every delta ckpt
+    against a DIFFERENT random frozen backbone than eval rebuilds.)"""
+    cfg, tcfg, loader = setup
+    from deer_vla_tpu.models.flamingo import init_deer as _init
+    tr = Trainer(cfg, tcfg, loader, log_fn=lambda *_: None)
+    ref = _init(jax.random.PRNGKey(tcfg.seed), cfg)
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["vit"]["blocks"][0]["qkv"]["w"]),
+        np.asarray(ref["vit"]["blocks"][0]["qkv"]["w"]))
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["decoder"]["blocks"][0]["wqkv"]["w"]),
+        np.asarray(ref["decoder"]["blocks"][0]["wqkv"]["w"]))
+
+
 def test_ema_checkpoints(setup, tmp_path):
     """--ema_decay writes <name>_ema.ckpt siblings whose trainable leaves
     are the moving average (differ from the final params for decay near 1;

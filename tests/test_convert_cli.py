@@ -96,6 +96,24 @@ def test_convert_cli_end_to_end(artifacts, tmp_path):
     assert np.isfinite(rep["avg_seq_len"])
 
 
+def test_convert_cli_delta_only_warns_and_writes(artifacts, tmp_path,
+                                                 capsys):
+    """Delta-only conversion (no base): loud random-backbone warning, but
+    the delta still lands and the readouts still apply."""
+    cfg, tmp, base = artifacts
+    from deer_vla_tpu.cli.convert import main as convert_main
+    out = str(tmp_path / "delta_only" / "deer")
+    convert_main([
+        "--model", "tiny", "--max_layer", str(cfg.n_layers),
+        "--deer_checkpoint", str(tmp / "deer_delta.pth"), "--out", out])
+    said = capsys.readouterr().out
+    assert "RANDOM init" in said
+    import json
+    side = json.load(open(out + ".json"))
+    assert side["config"]["exit_interval"] == 2  # ckpt-dict readout
+    assert side["meta"]["epoch"] == 3
+
+
 def test_convert_cli_refuses_naming_drift(artifacts, tmp_path):
     cfg, tmp, base = artifacts
     drifted = dict(base)

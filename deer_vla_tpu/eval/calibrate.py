@@ -31,14 +31,18 @@ def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2",
     exit_list = list(cfg.all_exit_ids())
 
     @jax.jit
-    def delta_fn(params, image, gripper, input_ids, attention_mask, rng):
+    def delta_fn(params, image, gripper, input_ids, attention_mask, rng,
+                 state=None):
+        # state (proprio, --use_state models): calibration must run the
+        # SAME forward as training/serving — omitting the state token here
+        # silently skews the delta distribution the thresholds are solved on
         out = forward_train(params, image, input_ids, attention_mask, cfg, rng,
-                            vision_gripper=gripper, only_extra_exit=True,
-                            train=False)
+                            vision_gripper=gripper, state_tensor=state,
+                            only_extra_exit=True, train=False)
         return generate_exit_deltas(
             params["extra_exit"], out.hidden_states, out.rand_layer_feat,
             cfg, exit_list, threshold_type, warm_prefix=warm_prefix,
-            rng=rng)
+            rng=rng, state=state)
 
     return delta_fn
 
@@ -80,8 +84,18 @@ def generate_calibration_values(params: dict, cfg: DeerConfig,
         # pad to the static text_len so one compiled program serves all
         # batches (padding ids are masked out by attention_mask)
         ids2, mask2 = fixed_length(ids, mask, cfg.text_len, 0)
+        state = None
+        if (cfg.use_state or cfg.head.use_state) and "robot_obs" in batch:
+            # (B*W, 1, 1, state_dim) proprio rows, exactly like training
+            # (trainer.prepare_batch) and serving (CalvinPolicyAdapter)
+            w = cfg.window_size
+            st = np.asarray(batch["robot_obs"])[:, :w].reshape(bsw, -1)
+            if cfg.clip_state:
+                # arm pose + gripper only (train_utils.py:253-255)
+                st = np.concatenate([st[:, :6], st[:, -1:]], -1)
+            state = jnp.asarray(st[:, None, None, :], jnp.float32)
         d = delta_fn(params, img, gri, jnp.asarray(ids2), jnp.asarray(mask2),
-                     fwd_rng)
+                     fwd_rng, state)
         # fp32 at source: under bf16 compute some head types return bf16
         # deltas, which the numpy solver + npz sidecar can't round-trip
         outs.append(np.asarray(d, np.float32))

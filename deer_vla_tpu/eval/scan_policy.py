@@ -151,7 +151,15 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
     from deer_vla_tpu.models.value_net import get_delta
 
     ml = (max_layer if max_layer is not None else cfg.n_layers) - 1
-    exits = [e for e in exit_ids if e <= ml] or [exit_ids[0]]
+    exits = [e for e in exit_ids if e <= ml]
+    if not exits:
+        # the old silent fallback kept exit_ids[0], running PAST the
+        # --max_layer FLOPs cap and later KeyError-ing on the controller's
+        # empty thresholds dict — fail loudly instead
+        raise ValueError(
+            f"max_layer={max_layer} sits below the first exit layer "
+            f"{exit_ids[0] + 1} (exit ids {list(exit_ids)}); raise "
+            "--max_layer or retrain with a smaller exit_interval")
     last_exit = exits[-1]
     is_exit = np.full(cfg.n_layers, False)
     for e in exits:

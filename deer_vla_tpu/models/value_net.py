@@ -59,7 +59,8 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
                          exit_list: Sequence[int],
                          threshold_type: str = "L2",
                          warm_prefix: int = 0,
-                         rng=None) -> jnp.ndarray:
+                         rng=None,
+                         state: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Faithful port of ActionValueNet 'generate' mode.
 
     Args:
@@ -92,7 +93,20 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
     feats = [hidden_states[i].reshape(-1, w, s, d) for i in ids]  # (B, W, S, D) each
     rand = rand_layer_feat.reshape(-1, w, s, d)
 
+    # proprio rows aligned with feats by timestep (the criterion head runs
+    # with embed_state at serving — scan_policy/DeerPolicy pass state to the
+    # speculative heads — so calibration must too); vit_concat trains the
+    # head on the LAST frame's row (flamingo.py vit_concat branch)
+    st = None
+    if state is not None and cfg.head.use_state:
+        st = state.reshape(-1, state.shape[-1])
+        if w == 1 and st.shape[0] != rand.shape[0]:
+            st = st.reshape(rand.shape[0], -1, st.shape[-1])[:, -1:]
+        else:
+            st = st.reshape(-1, w, st.shape[-1])  # (B, W, dim)
+
     warm = None
+    warm_st = None
     if w == 1 and warm_prefix > 0:
         assert rng is not None, "warm_prefix needs an rng"
         b = rand.shape[0]
@@ -103,10 +117,19 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
                                                   b)
                            for k in range(warm_prefix)], axis=1)  # (B, K)
         warm = rand[:, 0][perms]  # (B, K, S, D)
+        if st is not None:
+            warm_st = st[:, 0][perms]  # (B, K, dim) — same permutations
 
     per_seq = []
     for seq_id in range(max(w // 2 - 1, 0), max(w - 1, 1)):
         prev = rand[:, :seq_id]  # (B, seq_id, S, D)
+        st_win = None
+        if st is not None:
+            st_win = jnp.concatenate([st[:, :seq_id],
+                                      st[:, seq_id:seq_id + 1]], axis=1)
+            if warm_st is not None:
+                st_win = jnp.concatenate([warm_st, st_win], axis=1)
+            st_win = st_win.reshape(-1, st_win.shape[-1])
         if warm is not None:
             prev = jnp.concatenate([warm, prev], axis=1)
         acts = []
@@ -118,7 +141,7 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
             from deer_vla_tpu.models.heads import any_head_forward
             out = any_head_forward(
                 extra_exit_params,
-                combined.reshape(-1, s, d), cfg,
+                combined.reshape(-1, s, d), cfg, st_win,
                 window=combined.shape[1], last_action=True)
             if cfg.head_type == "diffusion":
                 acts.append(out[:, 0])       # (B, hidden) feature

@@ -53,6 +53,11 @@ def _flat_state(tree) -> Dict[str, np.ndarray]:
     return out
 
 
+def _stem(path: str) -> str:
+    """Drop a trailing '.ckpt' so sidecar paths derive from one stem."""
+    return path[:-5] if path.endswith(".ckpt") else path
+
+
 def save_checkpoint(path: str, params: dict, cfg: DeerConfig,
                     meta: Optional[Dict] = None,
                     trainable_mask: Optional[dict] = None,
@@ -68,11 +73,18 @@ def save_checkpoint(path: str, params: dict, cfg: DeerConfig,
     payload = {"params": {k: np.asarray(v) for k, v in flat.items()}}
     if opt_state is not None:
         payload["opt_state"] = serialization.to_state_dict(_to_host(opt_state))
-    with open(path + ".ckpt", "wb") as f:
+    # atomic: a crash mid-write must never leave a truncated .ckpt that
+    # find_latest_checkpoint would select (breaking every auto-resume until
+    # someone deletes the file by hand)
+    tmp = path + ".ckpt.tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path + ".ckpt")
     sidecar = {"config": json.loads(cfg.to_json()), "meta": meta or {}}
-    with open(path + ".json", "w") as f:
+    tmp_j = path + ".json.tmp"
+    with open(tmp_j, "w") as f:
         json.dump(sidecar, f, indent=2)
+    os.replace(tmp_j, path + ".json")
     return path + ".ckpt"
 
 
@@ -81,7 +93,7 @@ def load_checkpoint(path: str, params_template: dict,
     """Non-strict load: flat keys present in the file overwrite the template
     (two-stage base+delta composition, eval_calvin.py:543-577; missing keys
     keep template values)."""
-    path = path[:-5] if path.endswith(".ckpt") else path
+    path = _stem(path)
     with open(path + ".ckpt", "rb") as f:
         loaded = serialization.msgpack_restore(f.read())
     flat_l = dict(loaded.get("params", {}))
@@ -126,7 +138,7 @@ def save_calibration_values(path: str, values: np.ndarray,
                             info: Optional[Dict] = None) -> None:
     """Cache calibration deltas next to the ckpt (replaces the reference's
     in-place ckpt['values'] mutation, eval_calvin.py:608-611)."""
-    path = path[:-5] if path.endswith(".ckpt") else path
+    path = _stem(path)
     # fp32 on disk: bf16 (ml_dtypes) arrays round-trip through np.savez as
     # raw void bytes and poison the threshold solver on reload
     np.savez(path + ".values.npz",
@@ -138,7 +150,7 @@ def load_calibration_info(path: str) -> Dict:
     """Metadata recorded beside the cached values (exit_ratio, calib_warm)
     — lets consumers detect a sidecar produced under different calibration
     settings instead of silently reusing it."""
-    path = path[:-5] if path.endswith(".ckpt") else path
+    path = _stem(path)
     f = path + ".values.npz"
     if not os.path.exists(f):
         return {}
@@ -149,7 +161,7 @@ def load_calibration_info(path: str) -> Dict:
 
 
 def load_calibration_values(path: str) -> Optional[np.ndarray]:
-    path = path[:-5] if path.endswith(".ckpt") else path
+    path = _stem(path)
     f = path + ".values.npz"
     if not os.path.exists(f):
         return None

@@ -99,8 +99,6 @@ def make_optimizer(params, cfg: DeerConfig, *, phase: str,
 
     def leaf_label(path, leaf) -> str:
         ps = _path_str(path)
-        if trainable is not None:
-            pass  # trainability handled by mask below
         head = is_head_path(ps)
         if phase == "exit_only" and not head:
             return "frozen"
@@ -128,9 +126,15 @@ def make_optimizer(params, cfg: DeerConfig, *, phase: str,
         "nowd_scaled": adamw(0.0, exit_lr_scale),
         "frozen": optax.set_to_zero(),
     }
-    # global-norm clip over ALL grads first (train_utils.py:570 clips the
-    # whole model with one norm), then the per-group AdamW transforms.
+    # zero FROZEN grads before the global-norm clip: torch's
+    # clip_grad_norm_ (train_utils.py:570) sees only requires_grad params
+    # (frozen .grad is None), so the reference's clip norm is the TRAINABLE
+    # norm.  Without this mask, joint-phase frozen decoder-block grads
+    # (real, nonzero — only the ViT is stop-gradiented in the forward)
+    # dominate the norm and silently over-clip every trainable update.
+    frozen = jax.tree_util.tree_map(lambda lab: lab == "frozen", labels)
     return optax.chain(
+        optax.masked(optax.set_to_zero(), frozen),
         optax.clip_by_global_norm(clip_norm),
         optax.multi_transform(transforms, labels),
     )

@@ -32,9 +32,52 @@ def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> T
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
+def _split_micro(batch: Dict, grad_accum: int, cfg: DeerConfig) -> Dict:
+    """Reshape leading dims to (k, .../k, ...) for lax.scan microbatching.
+
+    Per-frame leaves are (B*W, ...) -> (k, mb*W, ...).  Per-WINDOW leaves —
+    labels always, and text rows under vit_concat (the window is folded into
+    the media tokens, forward_train docstring) — are (B, ...) -> (k, mb, ...).
+    """
+    w = cfg.window_size
+    bs = batch["labels"].shape[0]
+    assert bs % grad_accum == 0, (bs, grad_accum)
+    mb = bs // grad_accum
+    per_window = {"labels"}
+    if cfg.fusion_mode == "vit_concat":
+        per_window |= {"input_ids", "attention_mask"}
+
+    def per_leaf(key, x):
+        if key in per_window:
+            return x.reshape(grad_accum, mb, *x.shape[1:])
+        return x.reshape(grad_accum, mb * w, *x.shape[1:])
+
+    return {k: per_leaf(k, v) for k, v in batch.items()}
+
+
+def _apply_update(optimizer, state: TrainState, grads, loss, metrics,
+                  trainable) -> Tuple[TrainState, Dict]:
+    """Optimizer update + the shared metrics block."""
+    updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = dict(metrics)
+    metrics["loss"] = loss
+    # TRAINABLE-grad norm — what the reference's clip_grad_norm_ returns
+    # (frozen params have .grad None there); raw grads carry real nonzero
+    # frozen-decoder gradients in the joint phase
+    if trainable is not None:
+        gn = jax.tree_util.tree_map(
+            lambda g, t: g if t else jnp.zeros_like(g), grads, trainable)
+    else:
+        gn = grads
+    metrics["grad_norm"] = optax.global_norm(gn)
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
 def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                     *, phase: str = "joint", bin_coef: float = 0.01,
-                    donate: bool = True, grad_accum: int = 1):
+                    donate: bool = True, grad_accum: int = 1,
+                    trainable=None):
     """Returns jitted train_step(state, batch, rng) -> (state, metrics).
 
     batch dict (leading dim B*W except labels):
@@ -70,27 +113,12 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             out, batch["labels"], bin_coef,
             last_step_only=cfg.use_hist or cfg.fusion_mode == "vit_concat")
 
-    def _split_micro(batch: Dict) -> Dict:
-        """Reshape leading dims to (k, .../k, ...)."""
-        w = cfg.window_size
-        bs = batch["labels"].shape[0]
-        assert bs % grad_accum == 0, (bs, grad_accum)
-        mb = bs // grad_accum
-
-        def per_leaf(key, x):
-            if key == "labels":
-                return x.reshape(grad_accum, mb, *x.shape[1:])
-            # (B*W, ...) -> (k, mb*W, ...)
-            return x.reshape(grad_accum, mb * w, *x.shape[1:])
-
-        return {k: per_leaf(k, v) for k, v in batch.items()}
-
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         if grad_accum == 1:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, rng)
         else:
-            micro = _split_micro(batch)
+            micro = _split_micro(batch, grad_accum, cfg)
 
             def scan_body(acc, xs):
                 mb, mrng = xs
@@ -107,12 +135,8 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
             loss = loss_sum / grad_accum
             metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        return _apply_update(optimizer, state, grads, loss, metrics,
+                             trainable)
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
@@ -120,7 +144,7 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
 def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                       *, phase: str = "joint", bin_coef: float = 0.01,
                       vl_weight: float = 1.0, donate: bool = True,
-                      grad_accum: int = 1):
+                      grad_accum: int = 1, trainable=None):
     """Co-training step (--cotrain, train_calvin_post_strategy.py:296-302):
     one update from the CALVIN imitation loss PLUS the vision-language LM
     loss on a caption/VQA batch, computed in a single program.
@@ -154,19 +178,6 @@ def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
         metrics.update(vl_metrics)
         return calvin_loss + vl_weight * vl, metrics
 
-    def _split_micro(batch: Dict) -> Dict:
-        w = cfg.window_size
-        bs = batch["labels"].shape[0]
-        assert bs % grad_accum == 0, (bs, grad_accum)
-        mb = bs // grad_accum
-
-        def per_leaf(key, x):
-            if key == "labels":
-                return x.reshape(grad_accum, mb, *x.shape[1:])
-            return x.reshape(grad_accum, mb * w, *x.shape[1:])
-
-        return {k: per_leaf(k, v) for k, v in batch.items()}
-
     def _split_vl(vl_batch: Dict) -> Dict:
         bs = next(iter(vl_batch.values())).shape[0]
         assert bs % grad_accum == 0, ("vl batch", bs, grad_accum)
@@ -179,7 +190,8 @@ def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, vl_batch, rng)
         else:
-            micro, vl_micro = _split_micro(batch), _split_vl(vl_batch)
+            micro = _split_micro(batch, grad_accum, cfg)
+            vl_micro = _split_vl(vl_batch)
 
             def scan_body(acc, xs):
                 mb, vmb, mrng = xs
@@ -196,11 +208,7 @@ def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
             loss = loss_sum / grad_accum
             metrics = jax.tree_util.tree_map(lambda x: x.mean(0), ms)
-        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        metrics = dict(metrics)
-        metrics["loss"] = loss
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        return _apply_update(optimizer, state, grads, loss, metrics,
+                             trainable)
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -246,12 +246,14 @@ class Trainer:
                     cfg, opt, phase=phase,
                     bin_coef=bin_coef,
                     vl_weight=vl_weight,
-                    grad_accum=tcfg.gradient_accumulation_steps)
+                    grad_accum=tcfg.gradient_accumulation_steps,
+                    trainable=mask)
             else:
                 step = make_train_step(
                     cfg, opt, phase=phase,
                     bin_coef=bin_coef,
-                    grad_accum=tcfg.gradient_accumulation_steps)
+                    grad_accum=tcfg.gradient_accumulation_steps,
+                    trainable=mask)
             self._phases[phase] = (opt, step)
         self.state: Optional[TrainState] = None
         self.start_epoch = 0

@@ -307,9 +307,11 @@ def main(argv=None):
         # single program) or the bucketed DeerPolicy for --multi_execution /
         # --use_action_ensemble; cli routes like the reference selects
         # decoder_type at construction (eval_calvin.py:520,528)
-        if args.lanes > 1:
-            raise SystemExit(f"--lanes does not serve head_type "
-                             f"{cfg.head_type!r}; run without --lanes")
+        if args.lanes > 1 and cfg.head_type == "diffusion":
+            raise SystemExit("--lanes does not wrap the DDPM/DDIM sampling "
+                             "plan around the batched program; run "
+                             "diffusion heads without --lanes (fc/gpt "
+                             "heads batch fine)")
         if cfg.head_type == "diffusion" and args.action_cache_tau > 0:
             raise SystemExit("--action_cache_tau does not compose with the "
                              "diffusion head's plan sampling")
@@ -402,9 +404,11 @@ def main(argv=None):
         from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
         from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
         assert controller is not None, "--lanes needs dynamic exit"
-        if cfg.use_hist or cfg.fusion_mode == "vit_concat":
-            raise SystemExit("--lanes does not serve window-folded models "
-                             "(use_hist / vit_concat); run without --lanes")
+        if args.frame_cache:
+            raise SystemExit("--lanes does not compose with --frame_cache "
+                             "(per-lane device token queues are not "
+                             "implemented); window-folded models run "
+                             "--lanes with the uncached window re-encode")
         if args.vision_cache_tau > 0:
             raise SystemExit("--lanes does not compose with "
                              "--vision_cache_tau (per-lane frame caching "

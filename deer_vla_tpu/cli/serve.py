@@ -43,8 +43,9 @@ def build_parser():
                         "(serving/batcher.py) — concurrent streams share "
                         "ONE batched program per device step (~2x "
                         "aggregate throughput at 32 lanes on one chip); "
-                        "capacity = this many streams. Deterministic "
-                        "head, no window-folded models, no proprio")
+                        "capacity = this many streams. Deterministic head "
+                        "only; window-folded (vit_concat/use_hist) and "
+                        "proprio (robot_obs per request) models supported")
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="micro-batch collection window after the first "
                         "pending request")

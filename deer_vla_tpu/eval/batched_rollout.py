@@ -21,6 +21,13 @@ Envs remain host-side objects (one per stream — the CALVIN simulator is a
 CPU program); only the policy is batched.  Semantics per stream are
 identical to the sequential harness: per-subtask policy reset, first-failure
 chain termination, 360-step cap.
+
+Window-folded models (vit_concat / use_hist) batch too: each lane keeps a
+rolling W-frame window (the single-stream adapter's img_queue, reference
+eval_utils.py:344-386) fed to the engine as W stream-major frame rows, with
+use_hist goal text tiled per frame.  Proprio models (--use_state) thread
+per-lane robot_obs rows through the batched program (one row per frame for
+folded modes — the adapter's state_queue).
 """
 
 from __future__ import annotations
@@ -53,6 +60,14 @@ class _Stream:
         self.start_info: Optional[Dict] = None
         self.initial_state = None  # chain's frozen scene (reset mode)
         self.active = False
+        # window-folded serving (vit_concat / use_hist): per-lane rolling
+        # frame window, the batched analogue of CalvinPolicyAdapter's
+        # img_queue (eval/rollout.py; reference eval_utils.py:344-386).
+        # Raw uint8 frames; the whole group's window stack preprocesses in
+        # ONE jitted call per dispatch.
+        self.img_q: List[np.ndarray] = []
+        self.grip_q: List[np.ndarray] = []
+        self.state_q: List[np.ndarray] = []
 
 
 def evaluate_policy_batched(policy, envs: List, sequences: List,
@@ -92,11 +107,24 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
     from deer_vla_tpu.data.preprocess import clip_preprocess
 
     b = len(envs)
-    size = policy.cfg.vit.image_size
+    cfg = policy.cfg
+    size = cfg.vit.image_size
     if preprocess is None:
         prep = jax.jit(lambda x: clip_preprocess(x, size))
     else:
         prep = preprocess
+    # window-folded models (vit_concat / use_hist): each lane feeds its
+    # rolling W-frame window as W stream-major batch rows (the engine folds
+    # the window into the media tokens exactly as the single-stream windowed
+    # adapter does); use_hist additionally tiles the goal text per frame
+    folded_w = (cfg.window_size
+                if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 0)
+    tile_text = cfg.use_hist
+    # proprio (--use_state): per-lane robot_obs rows — silently serving a
+    # state-trained model without its state token would be a train/serve
+    # mismatch (the state_fc concat is skipped when state is None)
+    use_state = cfg.use_state or cfg.head.use_state
+    state_dim = None
 
     pool = None
     if env_workers and env_workers > 1:
@@ -162,6 +190,9 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
         stream.step = 0
         stream.exit_layers = []
         stream.last_exit = -1
+        stream.img_q = []   # fresh frame window per subtask (adapter.reset)
+        stream.grip_q = []
+        stream.state_q = []
         stream.start_info = envs[stream.idx].get_info()
         gb = len(lanes[stream.group])
         gpol[stream.group].reset_streams(np.arange(gb) == stream.local)
@@ -210,30 +241,67 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
                 rows[local, st.last_exit] = 1e30
         return rows
 
+    def _state_row(obs) -> np.ndarray:
+        """robot_obs -> the training state layout (CalvinPolicyAdapter)."""
+        ro = np.asarray(obs["robot_obs"], np.float32)
+        if cfg.clip_state:
+            ro = np.concatenate([ro[:6], ro[-1:]], -1)
+        return ro
+
     def dispatch(g: int):
         if sps > 1:
             gpol[g].set_threshold_array(_stage_rows(g))
-        imgs, grips, idss, masks = [], [], [], []
+        imgs, grips, idss, masks, states = [], [], [], [], []
+        rep = folded_w or 1  # frame rows per lane (stream-major)
         for i in lanes[g]:
             st = streams[i]
+            obs = envs[st.idx].get_obs()
             if st.active:
-                obs = envs[st.idx].get_obs()
-                imgs.append(obs["rgb_obs"]["rgb_static"])
-                grips.append(obs["rgb_obs"]["rgb_gripper"])
+                f = obs["rgb_obs"]["rgb_static"]
+                gr = obs["rgb_obs"]["rgb_gripper"]
+                sr = _state_row(obs) if use_state else None
+                if folded_w:
+                    # rolling W-frame window, left-padded with the
+                    # subtask's first frame (eval_utils.py:344-349)
+                    if not st.img_q:
+                        st.img_q = [f] * folded_w
+                        st.grip_q = [gr] * folded_w
+                        st.state_q = [sr] * folded_w if use_state else []
+                    else:
+                        st.img_q = (st.img_q + [f])[-folded_w:]
+                        st.grip_q = (st.grip_q + [gr])[-folded_w:]
+                        if use_state:
+                            st.state_q = (st.state_q + [sr])[-folded_w:]
+                    imgs.extend(st.img_q)
+                    grips.extend(st.grip_q)
+                    states.extend(st.state_q)
+                else:
+                    imgs.append(f)
+                    grips.append(gr)
+                    if use_state:
+                        states.append(sr)
+                ids, mask = tokens_for(st)
             else:  # parked lane: feed zeros
-                o = envs[st.idx].get_obs()
-                imgs.append(np.zeros(o["rgb_obs"]["rgb_static"].shape,
-                                     np.uint8))
-                grips.append(np.zeros(o["rgb_obs"]["rgb_gripper"].shape,
-                                      np.uint8))
-            ids, mask = tokens_for(st) if st.active else (
-                np.zeros(text_len, np.int32), np.zeros(text_len, np.int32))
-            idss.append(ids)
-            masks.append(mask)
+                z = np.zeros(obs["rgb_obs"]["rgb_static"].shape, np.uint8)
+                zg = np.zeros(obs["rgb_obs"]["rgb_gripper"].shape, np.uint8)
+                imgs.extend([z] * rep)
+                grips.extend([zg] * rep)
+                if use_state:
+                    states.extend([np.zeros_like(_state_row(obs))] * rep)
+                ids = np.zeros(text_len, np.int32)
+                mask = np.zeros(text_len, np.int32)
+            # use_hist: text rows are per-frame (the adapter tiles the goal
+            # per window position, eval_utils.py:366-378)
+            idss.extend([ids] * (rep if tile_text else 1))
+            masks.extend([mask] * (rep if tile_text else 1))
         img_d = prep(jnp.asarray(np.stack(imgs)))[:, None, None]
         grip_d = prep(jnp.asarray(np.stack(grips)))[:, None, None]
         args = (img_d, grip_d, jnp.asarray(np.stack(idss)),
                 jnp.asarray(np.stack(masks)))
+        if use_state:
+            # (rows, 1, 1, D): the training layout, one row per frame
+            st_d = jnp.asarray(np.stack(states)[:, None, None, :])
+            args = args + (st_d,)
         if n_groups > 1 and hasattr(gpol[g], "dispatch_batch"):
             return ("async", gpol[g].dispatch_batch(*args))
         return ("sync", gpol[g].step_batch(*args))

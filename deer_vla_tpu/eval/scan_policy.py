@@ -266,8 +266,10 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
             """Per-stream carry commit for the chosen exit.  The carry
             layout is head-type specific (models/heads.any_zero_carry):
             LSTM-style tuples of (L, B, H) for deterministic/diffusion,
-            GPTCarry(buffer (B, W, D), count scalar) for gpt (the count
-            advances identically on every candidate), () for fc."""
+            GPTCarry(buffer (B, W, D), count (B,)) for gpt (every
+            candidate advances every stream's count by exactly one this
+            timestep, so the candidate's counts are correct for taken and
+            not-yet-taken streams alike), () for fc."""
             if cfg.head_type == "fc":
                 return best
             if cfg.head_type == "gpt":
@@ -630,13 +632,22 @@ class ScanDeerPolicy:
         dispatch is async, so the host returns immediately and can do other
         work (e.g. step ANOTHER lane group's envs) while this group
         computes; convert with finish_batch.  Used by the pipelined batched
-        rollout (eval/batched_rollout.py pipeline>1)."""
-        if self.cfg.use_hist or self.cfg.fusion_mode == "vit_concat":
-            # the batched rollout feeds one frame per lane; window-folded
-            # models need the single-stream windowed adapter
-            raise NotImplementedError(
-                "batched lanes do not serve window-folded models "
-                "(use_hist / vit_concat); run without --lanes")
+        rollout (eval/batched_rollout.py pipeline>1).
+
+        Window-folded models (vit_concat / use_hist): image/gripper rows are
+        B*W stream-major frame windows (the batched rollout's per-lane
+        rolling queues); text rows are B (vit_concat) or B*W tiled per frame
+        (use_hist) — the same program layout as single-stream step()."""
+        w = (self.cfg.window_size
+             if (self.cfg.use_hist or self.cfg.fusion_mode == "vit_concat")
+             else 1)
+        streams = input_ids.shape[0] // (w if self.cfg.use_hist else 1)
+        if image.shape[0] != streams * w:
+            raise ValueError(
+                f"batched window-folded step: image rows ({image.shape[0]}) "
+                f"must be streams*window ({streams}*{w}) stream-major frame "
+                "windows (eval/batched_rollout.py feeds per-lane rolling "
+                "queues)")
         self._ensure_carry(input_ids.shape[0])
         arm, grip, self.carry, exit_layer = self._step(
             self.params, self.stacked, image, gripper, input_ids,
@@ -667,16 +678,19 @@ class ScanDeerPolicy:
             image, gripper, input_ids, attention_mask, state))
 
     def reset_streams(self, stream_mask) -> None:
-        """Per-stream episode reset for step_batch."""
-        if self.carry is None:
+        """Per-stream episode reset for step_batch, routed by carry layout
+        (models/heads.any_zero_carry): LSTM tuples (deterministic /
+        diffusion features), GPTCarry with per-stream counts (gpt), no-op
+        for the stateless fc head."""
+        if self.carry is None or self.cfg.head_type == "fc":
             return
-        if self.cfg.head_type != "deterministic":
-            # LSTM-carry layout only; cli.eval keeps --lanes off alt heads
-            raise NotImplementedError(
-                "per-stream reset in batched mode serves the deterministic "
-                "head only (the gpt carry's step count is batch-global)")
         m = jnp.asarray(stream_mask)
-        fresh = zero_carry(self.cfg.head.lstm_num_layers, m.shape[0],
-                           self.cfg.head.hidden_size, jnp.float32)
+        fresh = any_zero_carry(self.cfg, int(m.shape[0]))
+        if self.cfg.head_type == "gpt":
+            self.carry = type(self.carry)(
+                jnp.where(m[:, None, None], fresh.history,
+                          self.carry.history),
+                jnp.where(m, fresh.count, self.carry.count))
+            return
         self.carry = tuple(jnp.where(m[None, :, None], f, c)
                            for f, c in zip(fresh, self.carry))

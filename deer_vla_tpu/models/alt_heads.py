@@ -219,35 +219,40 @@ def gpt_decoder_forward(p: dict, feat: jnp.ndarray, cfg: GPTDecoderConfig,
 
 class GPTCarry(NamedTuple):
     history: jnp.ndarray  # (B, hist_len, d)
-    count: jnp.ndarray    # () int32
+    count: jnp.ndarray    # (B,) int32 — PER-STREAM frame counts so batched
+    #                       serving can reset one lane without touching the
+    #                       others (scan_policy.reset_streams)
 
 
 def gpt_zero_carry(cfg: GPTDecoderConfig, batch: int, dtype=jnp.float32) -> GPTCarry:
     return GPTCarry(jnp.zeros((batch, cfg.hist, cfg.dim), dtype),
-                    jnp.zeros((), jnp.int32))
+                    jnp.zeros((batch,), jnp.int32))
 
 
 def gpt_decoder_step(p: dict, feat: jnp.ndarray, carry: GPTCarry,
                      cfg: GPTDecoderConfig) -> Tuple[HeadOutput, GPTCarry]:
     """Streaming: push the new frame into the rolling history buffer and
     attend over the valid slots (action_head.py:702-719 semantics —
-    recompute over the window each step, oldest frame dropped)."""
+    recompute over the window each step, oldest frame dropped).  All
+    buffer updates are vectorized over per-stream counts."""
     x = pool_tokens(feat, cfg.head.pooling) if feat.ndim == 3 else feat
     if "fc" in p:
         x = linear(p["fc"], x)
     hist, count = carry
-    full = count >= cfg.hist
-    hist = jnp.where(full,
-                     jnp.concatenate([hist[:, 1:], x[:, None]], 1),
-                     jax.lax.dynamic_update_slice_in_dim(
-                         hist, x[:, None], jnp.minimum(count, cfg.hist - 1), 1))
+    full = count >= cfg.hist                            # (B,)
+    shifted = jnp.concatenate([hist[:, 1:], x[:, None]], 1)
+    pos = jnp.minimum(count, cfg.hist - 1)              # (B,) insert slot
+    onehot = jnp.arange(cfg.hist)[None, :] == pos[:, None]
+    inserted = jnp.where(onehot[:, :, None], x[:, None], hist)
+    hist = jnp.where(full[:, None, None], shifted, inserted)
     count = jnp.minimum(count + 1, jnp.int32(cfg.hist))
-    valid = (jnp.arange(cfg.hist) < count)[None].repeat(x.shape[0], 0)
+    valid = jnp.arange(cfg.hist)[None, :] < count[:, None]  # (B, hist)
     y = _gpt_backbone(p, hist, cfg, valid)
-    # last valid position
-    idx = jnp.clip(count - 1, 0, cfg.hist - 1)
-    y_last = jnp.take_along_axis(y, idx[None, None, None].repeat(
-        y.shape[0], 0).repeat(y.shape[-1], 2), axis=1)
+    # last valid position, per stream
+    idx = jnp.clip(count - 1, 0, cfg.hist - 1)          # (B,)
+    y_last = jnp.take_along_axis(
+        y, jnp.broadcast_to(idx[:, None, None],
+                            (y.shape[0], 1, y.shape[2])), axis=1)
     hcfg = _head_cfg_with_hidden(cfg)
     act = jnp.tanh(_mlp_head_forward(p["actions"], y_last, hcfg))
     glog = _mlp_head_forward(p["gripper"], y_last, hcfg)

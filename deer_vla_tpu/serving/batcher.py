@@ -13,8 +13,15 @@ thresholds) and token cache.
 Same HTTP protocol as DeerActionServer (make_server takes either core);
 `deer-serve --batch_lanes N [--batch_window_ms W]` selects this core.
 
+Window-folded models (vit_concat / use_hist) batch too: each lane keeps a
+rolling W-frame window of preprocessed frames (the per-stream adapter's
+img_queue, reference eval_utils.py:344-386) fed as W stream-major batch
+rows, with use_hist goal text tiled per frame.  Proprio models
+(--use_state) send ``robot_obs`` per request (same key as the per-stream
+core); rows ride the frame window for folded modes.
+
 Restrictions (the batched engine's): deterministic LSTM head only
-(scan_policy.reset_streams), no window-folded models, no proprio state.
+(scan_policy.reset_streams), no stage reuse (steps_per_stage>1).
 """
 
 from __future__ import annotations
@@ -59,14 +66,8 @@ class BatchedActionServer:
 
         from deer_vla_tpu.data.preprocess import clip_preprocess
         cfg = policy.cfg
-        if cfg.use_hist or cfg.fusion_mode == "vit_concat":
-            raise ServeError("batched serving does not serve window-folded "
-                             "models (use_hist / vit_concat)")
         if cfg.head_type != "deterministic":
             raise ServeError("batched serving is deterministic-head only")
-        if cfg.use_state or cfg.head.use_state:
-            raise ServeError("batched serving does not thread proprio "
-                             "state; use the per-stream core")
         if getattr(policy, "steps_per_stage", 1) != 1:
             raise ServeError("batched serving overwrites the policy's "
                              "threshold rows per window and keeps no "
@@ -95,9 +96,22 @@ class BatchedActionServer:
         self._park_row = policy.threshold_row(
             {e: (1e30 if e == policy.exits[0] else -1e30)
              for e in policy.exits})
+        # window-folded serving: per-lane rolling W-frame windows of
+        # PREPROCESSED frames (empty = fresh; left-padded with the first
+        # frame on the lane's first step, eval_utils.py:344-349)
+        self._folded_w = (cfg.window_size
+                          if (cfg.use_hist or cfg.fusion_mode == "vit_concat")
+                          else 0)
+        self._tile_text = cfg.use_hist
+        self._use_state = cfg.use_state or cfg.head.use_state
+        self._win_rgb: List[list] = [[] for _ in range(lanes)]
+        self._win_grip: List[list] = [[] for _ in range(lanes)]
+        self._win_state: List[list] = [[] for _ in range(lanes)]
         # materialize the batched carry up front so parked-lane restoration
-        # has a base on the very first dispatch
-        policy._ensure_carry(lanes)
+        # has a base on the very first dispatch (text rows are per-frame
+        # under use_hist — _ensure_carry divides back to lane rows)
+        policy._ensure_carry(lanes * (self._folded_w
+                                      if cfg.use_hist else 1))
         self._tok_cache: Dict[str, tuple] = {}
         self._tok_cache_cap = 512  # oldest-out; unbounded growth = OOM
         self._pending: Dict[int, _Pending] = {}  # lane -> request
@@ -140,6 +154,9 @@ class BatchedActionServer:
 
     def _reset_lane(self, lane: int):
         self._policy.reset_streams(np.arange(self.lanes) == lane)
+        self._win_rgb[lane] = []
+        self._win_grip[lane] = []
+        self._win_state[lane] = []
 
     # -- endpoints (same surface as DeerActionServer) -----------------------
 
@@ -196,13 +213,30 @@ class BatchedActionServer:
             raise ServeError("'instruction' must be a non-empty string")
         rgb = _decode_image(payload, "rgb")
         grip = _decode_image(payload, "gripper")
+        state_row = None
+        if self._use_state:
+            # same request key as the per-stream core; accept raw CALVIN
+            # robot_obs (clip_state trims to ee-pose + gripper like the
+            # adapter) or the pre-clipped training layout
+            ro = payload.get("robot_obs")
+            if ro is None:
+                raise ServeError("this model was trained with proprio "
+                                 "state; send 'robot_obs': [floats]")
+            ro = np.asarray(ro, np.float32).reshape(-1)
+            if self.cfg.clip_state and ro.shape[0] != self.cfg.state_dim:
+                ro = np.concatenate([ro[:6], ro[-1:]], -1)
+            if ro.shape[0] != self.cfg.state_dim:
+                raise ServeError(
+                    f"'robot_obs' must have {self.cfg.state_dim} values "
+                    "(after clip_state)")
+            state_row = ro
         # preprocess on the REQUEST thread (clients send arbitrary HxW;
         # the batch stack needs uniform (3, size, size) tensors) — same
         # per-request device resize the per-stream core pays
         jnp = self._jnp
         rgb_p = self._prep(jnp.asarray(rgb)[None])[0]
         grip_p = self._prep(jnp.asarray(grip)[None])[0]
-        req = _Pending((instruction, rgb_p, grip_p))
+        req = _Pending((instruction, rgb_p, grip_p, state_row))
         with self._cond:
             if self._stop:
                 # the loop thread's final drain already ran (or will run
@@ -282,16 +316,50 @@ class BatchedActionServer:
             # until the carry write-back lands
             try:
                 t0 = time.perf_counter()
-                imgs = [self._zero_prep] * self.lanes
-                grips = [self._zero_prep] * self.lanes
-                idss = np.zeros((self.lanes, s), np.int32)
-                masks = np.zeros((self.lanes, s), np.int32)
-                for lane, req in batch.items():
-                    instruction, rgb_p, grip_p = req.payload
-                    imgs[lane] = rgb_p
-                    grips[lane] = grip_p
-                    ids, m = self._tokens(instruction)
-                    idss[lane], masks[lane] = ids, m
+                rep = self._folded_w or 1  # frame rows per lane
+                imgs, grips, states = [], [], []
+                trep = rep if self._tile_text else 1  # text rows per lane
+                idss = np.zeros((self.lanes * trep, s), np.int32)
+                masks = np.zeros((self.lanes * trep, s), np.int32)
+                zero_state = (np.zeros(self.cfg.state_dim, np.float32)
+                              if self._use_state else None)
+                for lane in range(self.lanes):
+                    req = batch.get(lane)
+                    if req is not None:
+                        instruction, rgb_p, grip_p, st = req.payload
+                        if rep > 1:
+                            # rolling W-frame window (left-padded with the
+                            # lane's first frame; parked windows untouched)
+                            if not self._win_rgb[lane]:
+                                self._win_rgb[lane] = [rgb_p] * rep
+                                self._win_grip[lane] = [grip_p] * rep
+                                if self._use_state:
+                                    self._win_state[lane] = [st] * rep
+                            else:
+                                self._win_rgb[lane] = (
+                                    self._win_rgb[lane] + [rgb_p])[-rep:]
+                                self._win_grip[lane] = (
+                                    self._win_grip[lane] + [grip_p])[-rep:]
+                                if self._use_state:
+                                    self._win_state[lane] = (
+                                        self._win_state[lane] + [st])[-rep:]
+                            imgs.extend(self._win_rgb[lane])
+                            grips.extend(self._win_grip[lane])
+                            if self._use_state:
+                                states.extend(self._win_state[lane])
+                        else:
+                            imgs.append(rgb_p)
+                            grips.append(grip_p)
+                            if self._use_state:
+                                states.append(st)
+                        ids, m = self._tokens(instruction)
+                        idss[lane * trep:(lane + 1) * trep] = ids
+                        masks[lane * trep:(lane + 1) * trep] = m
+                    else:  # parked lane: zero rows, window untouched
+                        imgs.extend([self._zero_prep] * rep)
+                        grips.extend([self._zero_prep] * rep)
+                        if self._use_state:
+                            states.extend([zero_state] * rep)
                 in_batch = np.zeros(self.lanes, bool)
                 in_batch[list(batch)] = True
                 rows[~in_batch] = self._park_row
@@ -299,8 +367,11 @@ class BatchedActionServer:
                 grip_d = jnp.stack(grips)[:, None, None]
                 self._policy.set_threshold_array(rows)
                 old_carry = self._policy.carry
+                st_d = (jnp.asarray(np.stack(states)[:, None, None, :])
+                        if self._use_state else None)
                 acts, exits = self._policy.step_batch(
-                    img_d, grip_d, jnp.asarray(idss), jnp.asarray(masks))
+                    img_d, grip_d, jnp.asarray(idss), jnp.asarray(masks),
+                    st_d)
                 # parked lanes rode along on zero frames: restore their
                 # carry rows so skipping a window never mutates a stream
                 m = jnp.asarray(in_batch)

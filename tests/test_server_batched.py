@@ -265,11 +265,90 @@ def test_token_cache_bounded(setup):
 
 def test_batched_core_refuses_unsupported(setup):
     cfg, params, tok = setup
-    cfg_hist = dataclasses.replace(cfg, use_hist=True)
-    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
-    pol.cfg = cfg_hist
-    with pytest.raises(ServeError, match="window-folded"):
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8],
+                         steps_per_stage=3)
+    with pytest.raises(ServeError, match="stage"):
         BatchedActionServer(pol, tok)
+
+
+def _folded_cfg(cfg, use_hist=False, mode=None, use_state=False, window=2):
+    return dataclasses.replace(
+        cfg, use_hist=use_hist, fusion_mode=mode or cfg.fusion_mode,
+        window_size=window, use_state=use_state,
+        head=dataclasses.replace(cfg.head, window_size=window,
+                                 use_state=use_state))
+
+
+def _per_stream_core(cfg, params, tok):
+    from deer_vla_tpu.serving.server import DeerActionServer
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    return DeerActionServer(pol, tok)
+
+
+@pytest.mark.parametrize("kind", ["vit_concat", "use_hist"])
+def test_batched_folded_matches_per_stream(setup, kind):
+    """Window-folded lanes: the micro-batching core's per-lane rolling
+    frame window must reproduce the per-stream adapter core exactly, with
+    a parked-lane interferer riding along."""
+    cfg0, _, tok = setup
+    cfg = _folded_cfg(cfg0, use_hist=(kind == "use_hist"),
+                      mode=("vit_concat" if kind == "vit_concat" else None))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    core = BatchedActionServer(pol, tok, lanes=2, window_ms=20.0)
+    ref = _per_stream_core(cfg, params, tok)
+    try:
+        got, want = [], []
+        for i, seed in enumerate([30, 31, 32]):
+            got.append(core.step(_payload(cfg, "a", seed))["action"])
+            if i == 1:  # interferer: b steps once, a's window untouched
+                core.step(_payload(cfg, "b", 99))
+            want.append(ref.step(_payload(cfg, "a", seed))["action"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    finally:
+        core.shutdown()
+
+
+def test_batched_state_required_and_matches(setup):
+    """Proprio lanes: robot_obs is mandatory for state models, rides the
+    batch as per-frame rows, and matches the per-stream core."""
+    cfg0, _, tok = setup
+    cfg = _folded_cfg(cfg0, mode="vit_concat", use_state=True)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    core = BatchedActionServer(pol, tok, lanes=2, window_ms=20.0)
+    ref = _per_stream_core(cfg, params, tok)
+    try:
+        with pytest.raises(ServeError, match="robot_obs"):
+            core.step(_payload(cfg, "a", 40))
+        r = np.random.RandomState(7)
+        got, want = [], []
+        for seed in (41, 42):
+            p = _payload(cfg, "a", seed)
+            p["robot_obs"] = r.randn(cfg.state_dim).tolist()
+            got.append(core.step(p)["action"])
+            want.append(ref.step(p)["action"])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    finally:
+        core.shutdown()
+
+
+def test_batched_folded_reset_clears_window(setup):
+    """reset must clear the lane's rolling frame window: the next step
+    re-left-pads like a fresh stream."""
+    cfg0, _, tok = setup
+    cfg = _folded_cfg(cfg0, mode="vit_concat")
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    core = BatchedActionServer(pol, tok, lanes=2, window_ms=20.0)
+    try:
+        first = core.step(_payload(cfg, "a", 50))["action"]
+        core.step(_payload(cfg, "a", 51))
+        core.reset({"stream": "a"})
+        again = core.step(_payload(cfg, "a", 50))["action"]
+        np.testing.assert_allclose(again, first, rtol=1e-5, atol=1e-5)
+    finally:
+        core.shutdown()
 
 
 def test_batched_http_surface(setup):

@@ -56,17 +56,17 @@ def run_parallel_bo(args, base, init_th, init_len, init_exit, bounds,
     q = args.parallel
     b = q * args.lanes_per_candidate
     cfg, params = load_model(args)
-    if cfg.head_type != "deterministic":
-        # same guard as cli.eval --lanes: batched per-stream resets serve
-        # the LSTM-carry layout only (scan_policy.reset_streams)
-        raise SystemExit(f"--parallel does not serve head_type "
-                         f"{cfg.head_type!r} (batched lanes are "
-                         "deterministic-head only); run without --parallel")
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
     policy = ScanDeerPolicy(params, cfg,
                             max_layer=args.max_layer if args.max_layer > 0
                             else None)
+    if cfg.head_type == "diffusion":
+        # batched DDPM plan sampling around the candidates' lanes (the
+        # thresholds being optimized act on the feature deltas; the plan
+        # wrapper is downstream of the exit decision)
+        from deer_vla_tpu.eval.diffusion_policy import BatchedDiffusionSampler
+        policy = BatchedDiffusionSampler(policy, params, seed=args.seed)
     if args.debug or not args.calvin_conf_path:
         envs = [DebugEnv(img_hw=cfg.vit.image_size,
                          grip_hw=cfg.vit.image_size) for _ in range(b)]

@@ -307,11 +307,6 @@ def main(argv=None):
         # single program) or the bucketed DeerPolicy for --multi_execution /
         # --use_action_ensemble; cli routes like the reference selects
         # decoder_type at construction (eval_calvin.py:520,528)
-        if args.lanes > 1 and cfg.head_type == "diffusion":
-            raise SystemExit("--lanes does not wrap the DDPM/DDIM sampling "
-                             "plan around the batched program; run "
-                             "diffusion heads without --lanes (fc/gpt "
-                             "heads batch fine)")
         if cfg.head_type == "diffusion" and args.action_cache_tau > 0:
             raise SystemExit("--action_cache_tau does not compose with the "
                              "diffusion head's plan sampling")
@@ -432,13 +427,29 @@ def main(argv=None):
         if args.replan != -1:
             raise SystemExit("--lanes has no per-lane replan counter; "
                              "run --replan without --lanes")
-        bpolicy = policy if isinstance(policy, ScanDeerPolicy) else \
+        # reuse an already-built while-loop engine where possible (the
+        # sequential path may have wrapped one inside the DDPM sampler —
+        # engine compiles are ~90 s at 3B over the tunnel)
+        inner = policy.policy if (cfg.head_type == "diffusion"
+                                  and isinstance(
+                                      getattr(policy, "policy", None),
+                                      ScanDeerPolicy)) else policy
+        bpolicy = inner if isinstance(inner, ScanDeerPolicy) else \
             ScanDeerPolicy(params, cfg, threshold_type=args.threshold_type,
                            max_layer=max_layer,
                            steps_per_stage=args.steps_per_stage,
                            quantize=args.quantize)
-        if not isinstance(policy, ScanDeerPolicy):
+        if not isinstance(inner, ScanDeerPolicy):
             bpolicy.set_thresholds(controller.thresholds)
+        if cfg.head_type == "diffusion":
+            # batched DDPM/DDIM plan sampling: per-lane histories + rng
+            # counters around the batched feature program
+            from deer_vla_tpu.eval.diffusion_policy import \
+                BatchedDiffusionSampler
+            bpolicy = BatchedDiffusionSampler(
+                bpolicy, params, future_act_len=args.future_act_len,
+                seed=args.seed, sample_steps=args.diff_steps,
+                ddim_eta=args.ddim_eta)
         if args.debug or not args.calvin_conf_path:
             envs = [DebugEnv(img_hw=cfg.vit.image_size,
                              grip_hw=cfg.vit.image_size)

@@ -135,10 +135,14 @@ def build_core(args):
                              "counter for stage reuse; use the "
                              "per-stream core for --steps_per_stage")
         if cfg.head_type == "diffusion":
-            raise SystemExit("--batch_lanes does not wrap the DDPM/DDIM "
-                             "sampler (clients would receive raw exit "
-                             "features, not action plans); serve diffusion "
-                             "heads with the per-stream core")
+            # batched DDPM/DDIM plan sampling: per-lane histories + rng
+            # counters around the batched feature program; clients receive
+            # (k, 7) plans under the usual "action" key
+            from deer_vla_tpu.eval.diffusion_policy import \
+                BatchedDiffusionSampler
+            policy = BatchedDiffusionSampler(
+                policy, params, seed=args.seed,
+                sample_steps=args.diff_steps, ddim_eta=args.ddim_eta)
         return BatchedActionServer(policy, tok, lanes=args.batch_lanes,
                                    window_ms=args.batch_window_ms), cfg
     if cfg.head_type == "diffusion":

@@ -20,8 +20,10 @@ rows, with use_hist goal text tiled per frame.  Proprio models
 (--use_state) send ``robot_obs`` per request (same key as the per-stream
 core); rows ride the frame window for folded modes.
 
-Restrictions (the batched engine's): deterministic LSTM head only
-(scan_policy.reset_streams), no stage reuse (steps_per_stage>1).
+Heads: deterministic LSTM, or diffusion via a BatchedDiffusionSampler
+(per-lane DDPM/DDIM plan sampling around the batched feature program —
+clients receive (k, 7) plans under the same "action" key).  fc/gpt heads
+use the per-stream core.  No stage reuse (steps_per_stage>1).
 """
 
 from __future__ import annotations
@@ -65,9 +67,17 @@ class BatchedActionServer:
         import jax.numpy as jnp
 
         from deer_vla_tpu.data.preprocess import clip_preprocess
+        from deer_vla_tpu.eval.diffusion_policy import BatchedDiffusionSampler
         cfg = policy.cfg
-        if cfg.head_type != "deterministic":
-            raise ServeError("batched serving is deterministic-head only")
+        # diffusion heads batch through the BatchedDiffusionSampler wrapper
+        # (per-lane histories/rng around the batched feature program);
+        # clients receive (k, 7) plans under the usual "action" key
+        self._diff = isinstance(policy, BatchedDiffusionSampler)
+        if cfg.head_type != "deterministic" and not self._diff:
+            raise ServeError("batched serving covers the deterministic "
+                             "LSTM head and diffusion heads (via "
+                             "BatchedDiffusionSampler); fc/gpt heads use "
+                             "the per-stream core")
         if getattr(policy, "steps_per_stage", 1) != 1:
             raise ServeError("batched serving overwrites the policy's "
                              "threshold rows per window and keeps no "
@@ -75,6 +85,10 @@ class BatchedActionServer:
                              "(steps_per_stage>1) needs the per-stream "
                              "core")
         self._policy = policy
+        # engine-internal surgery (carry rows, _ensure_carry) targets the
+        # inner ScanDeerPolicy — setattr on the wrapper would shadow its
+        # delegation instead of writing the engine's carry
+        self._engine = policy.policy if self._diff else policy
         self._text_fn = text_fn
         self.cfg = cfg
         self.lanes = lanes
@@ -110,8 +124,8 @@ class BatchedActionServer:
         # materialize the batched carry up front so parked-lane restoration
         # has a base on the very first dispatch (text rows are per-frame
         # under use_hist — _ensure_carry divides back to lane rows)
-        policy._ensure_carry(lanes * (self._folded_w
-                                      if cfg.use_hist else 1))
+        self._engine._ensure_carry(lanes * (self._folded_w
+                                            if cfg.use_hist else 1))
         self._tok_cache: Dict[str, tuple] = {}
         self._tok_cache_cap = 512  # oldest-out; unbounded growth = OOM
         self._pending: Dict[int, _Pending] = {}  # lane -> request
@@ -365,19 +379,26 @@ class BatchedActionServer:
                 rows[~in_batch] = self._park_row
                 img_d = jnp.stack(imgs)[:, None, None]
                 grip_d = jnp.stack(grips)[:, None, None]
-                self._policy.set_threshold_array(rows)
-                old_carry = self._policy.carry
+                self._engine.set_threshold_array(rows)
+                old_carry = self._engine.carry
                 st_d = (jnp.asarray(np.stack(states)[:, None, None, :])
                         if self._use_state else None)
-                acts, exits = self._policy.step_batch(
-                    img_d, grip_d, jnp.asarray(idss), jnp.asarray(masks),
-                    st_d)
+                if self._diff:
+                    # parked lanes' plan histories / rng counters are
+                    # protected by the wrapper's active mask
+                    acts, exits = self._policy.step_batch(
+                        img_d, grip_d, jnp.asarray(idss),
+                        jnp.asarray(masks), st_d, active=in_batch)
+                else:
+                    acts, exits = self._policy.step_batch(
+                        img_d, grip_d, jnp.asarray(idss),
+                        jnp.asarray(masks), st_d)
                 # parked lanes rode along on zero frames: restore their
                 # carry rows so skipping a window never mutates a stream
                 m = jnp.asarray(in_batch)
-                self._policy.carry = tuple(
+                self._engine.carry = tuple(
                     jnp.where(m[None, :, None], new, old)
-                    for new, old in zip(self._policy.carry, old_carry))
+                    for new, old in zip(self._engine.carry, old_carry))
                 dt = round(1000 * (time.perf_counter() - t0), 2)
                 for lane, req in batch.items():
                     req.result = {

@@ -85,6 +85,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference rule (0.05 real data, else 0.01 — "
                         "train_utils.py:314-316; the reference --bin_coef "
                         "flag only renames the checkpoint)")
+    p.add_argument("--exit_strategy", default="post", choices=["post"],
+                   help="accepted for launch-command parity; the reference "
+                        "declares pre/joint but only implements the post "
+                        "two-phase schedule (the flag is consumed solely by "
+                        "checkpoint naming, train_utils.py:69-75; phase "
+                        "logic is hard-wired post, "
+                        "train_calvin_post_strategy.py:644-660)")
+    p.add_argument("--loss_multiplier_calvin", type=float, default=1.0,
+                   help="scales the CALVIN imitation loss before the "
+                        "gradient (train_utils.py:322,549)")
+    p.add_argument("--save_freq", type=int, default=1,
+                   help="save an epoch checkpoint every N epochs "
+                        "(train_calvin_post_strategy.py:688); the final "
+                        "epoch is always saved")
     p.add_argument("--head_type", default="deterministic",
                    choices=["deterministic", "fc", "gpt", "diffusion"])
     p.add_argument("--hidden_size", type=int, default=None,
@@ -302,6 +316,8 @@ def main(argv=None):
         rgb_pad=args.rgb_pad, gripper_pad=args.gripper_pad,
         traj_cons=args.traj_cons, real_data=args.real_data,
         bin_coef=args.bin_coef, tcp_rel=args.tcp_rel,
+        loss_multiplier_calvin=args.loss_multiplier_calvin,
+        save_freq=args.save_freq,
         logging_steps=args.logging_steps, seed=args.seed,
         save_every_iter=args.save_every_iter,
         ema_decay=args.ema_decay)

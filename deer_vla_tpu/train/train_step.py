@@ -76,6 +76,7 @@ def _apply_update(optimizer, state: TrainState, grads, loss, metrics,
 
 def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                     *, phase: str = "joint", bin_coef: float = 0.01,
+                    calvin_multiplier: float = 1.0,
                     donate: bool = True, grad_accum: int = 1,
                     trainable=None):
     """Returns jitted train_step(state, batch, rng) -> (state, metrics).
@@ -107,11 +108,16 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
             # losses.multi_exit_diffusion_loss).  fold_in keeps the
             # forward_train rng stream identical to the other head types.
             drng = jax.random.fold_in(rng, 99)
-            return multi_exit_diffusion_loss(out, batch["labels"],
-                                             params["diffusion"], cfg, drng)
-        return multi_exit_loss(
+            dloss, dmetrics = multi_exit_diffusion_loss(
+                out, batch["labels"], params["diffusion"], cfg, drng)
+            return calvin_multiplier * dloss, dmetrics
+        loss, metrics = multi_exit_loss(
             out, batch["labels"], bin_coef,
             last_step_only=cfg.use_hist or cfg.fusion_mode == "vit_concat")
+        # the logged "loss" is the scaled backward loss (the reference's
+        # logged loss_calvin is also post-multiplier, train_utils.py:549);
+        # per-exit metric entries stay unscaled
+        return calvin_multiplier * loss, metrics
 
     def step_fn(state: TrainState, batch: Dict, rng) -> Tuple[TrainState, Dict]:
         if grad_accum == 1:
@@ -143,7 +149,8 @@ def make_train_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
 
 def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                       *, phase: str = "joint", bin_coef: float = 0.01,
-                      vl_weight: float = 1.0, donate: bool = True,
+                      vl_weight: float = 1.0, calvin_multiplier: float = 1.0,
+                      donate: bool = True,
                       grad_accum: int = 1, trainable=None):
     """Co-training step (--cotrain, train_calvin_post_strategy.py:296-302):
     one update from the CALVIN imitation loss PLUS the vision-language LM
@@ -176,7 +183,7 @@ def make_cotrain_step(cfg: DeerConfig, optimizer: optax.GradientTransformation,
                                  loss_mask=vl_batch.get("answer_mask"))
         metrics = dict(metrics)
         metrics.update(vl_metrics)
-        return calvin_loss + vl_weight * vl, metrics
+        return calvin_multiplier * calvin_loss + vl_weight * vl, metrics
 
     def _split_vl(vl_batch: Dict) -> Dict:
         bs = next(iter(vl_batch.values())).shape[0]

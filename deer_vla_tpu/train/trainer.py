@@ -60,6 +60,14 @@ class TrainConfig:
     # else 0.01 — train_utils.py:314-316)
     bin_coef: Optional[float] = None
     save_every_epoch: bool = True
+    # save an epoch checkpoint only when epoch % save_freq == 0
+    # (--save_freq, train_calvin_post_strategy.py:688); the final epoch is
+    # always saved so auto-resume/eval have a terminal artifact
+    save_freq: int = 1
+    # scales the CALVIN imitation loss before the gradient (the reference's
+    # --loss_multiplier_calvin, train_utils.py:322,549); the logged loss is
+    # post-multiplier, matching the reference's loss_calvin log
+    loss_multiplier_calvin: float = 1.0
     # >0: also checkpoint every N optimizer steps within an epoch
     # (--save_every_iter, train_utils.py:626-628)
     save_every_iter: int = -1
@@ -246,12 +254,14 @@ class Trainer:
                     cfg, opt, phase=phase,
                     bin_coef=bin_coef,
                     vl_weight=vl_weight,
+                    calvin_multiplier=tcfg.loss_multiplier_calvin,
                     grad_accum=tcfg.gradient_accumulation_steps,
                     trainable=mask)
             else:
                 step = make_train_step(
                     cfg, opt, phase=phase,
                     bin_coef=bin_coef,
+                    calvin_multiplier=tcfg.loss_multiplier_calvin,
                     grad_accum=tcfg.gradient_accumulation_steps,
                     trainable=mask)
             self._phases[phase] = (opt, step)
@@ -376,7 +386,9 @@ class Trainer:
             last_metrics.update(epoch=epoch, phase=phase,
                                 epoch_time=time.time() - t0)
             self.log_fn(last_metrics)
-            if tcfg.save_every_epoch:
+            if tcfg.save_every_epoch and (
+                    epoch % max(1, tcfg.save_freq) == 0
+                    or epoch == num_epochs - 1):
                 self.save(epoch)
         return last_metrics
 

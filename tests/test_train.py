@@ -396,3 +396,58 @@ def test_unfreeze_vit_gradients_actually_flow(setup):
             assert d > 0, "--unfreeze_vit did not move the ViT"
         else:
             assert d == 0
+
+
+def test_save_freq_skips_epochs(tmp_path):
+    """save_freq=3 over 4 joint epochs saves epochs 0 and 3 only
+    (train_calvin_post_strategy.py:688; final epoch always saved)."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id,
+                              eoc_token_id=tok.eoc_token_id)
+    loader = DebugBatcher(cfg, tok, batch_size=2, num_batches=1,
+                          img_hw=cfg.vit.image_size,
+                          grip_hw=cfg.vit.image_size)
+    tcfg = TrainConfig(run_dir=str(tmp_path), num_joint_epochs=4,
+                       num_exit_epochs=0, joint_lr=1e-3, exit_lr=1e-3,
+                       joint_warmup_steps=0, exit_warmup_steps=0,
+                       rgb_pad=2, gripper_pad=2, logging_steps=100,
+                       batch_size=2, save_freq=3)
+    Trainer(cfg, tcfg, loader).train()
+    saved = sorted(f for f in os.listdir(tmp_path)
+                   if f.startswith("deer_") and f.endswith(".ckpt"))
+    assert saved == ["deer_0.ckpt", "deer_3.ckpt"], saved
+
+
+def test_loss_multiplier_calvin_scales_gradient_not_metrics(tmp_path):
+    """--loss_multiplier_calvin scales the backward loss only
+    (train_utils.py:322,549): logged loss is unscaled, updates differ."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id,
+                              eoc_token_id=tok.eoc_token_id)
+
+    def run(mult, sub):
+        loader = DebugBatcher(cfg, tok, batch_size=2, num_batches=1,
+                              img_hw=cfg.vit.image_size,
+                              grip_hw=cfg.vit.image_size)
+        tcfg = TrainConfig(run_dir=str(tmp_path / sub), num_joint_epochs=1,
+                           num_exit_epochs=0, joint_lr=1e-3, exit_lr=1e-3,
+                           joint_warmup_steps=0, exit_warmup_steps=0,
+                           rgb_pad=2, gripper_pad=2, logging_steps=100,
+                           batch_size=2, save_every_epoch=False,
+                           seed=7, loss_multiplier_calvin=mult)
+        tr = Trainer(cfg, tcfg, loader)
+        m = tr.train()
+        return m, tr.params
+
+    m1, p1 = run(1.0, "m1")
+    m2, p2 = run(2.0, "m2")
+    # identical seed + data: the logged backward loss is exactly 2x
+    # (the reference's logged loss_calvin is post-multiplier too)
+    np.testing.assert_allclose(2.0 * m1["loss"], m2["loss"], rtol=1e-4)
+    # but the optimizer saw a 2x gradient, so the trained heads differ
+    d = np.max(np.abs(
+        np.asarray(p1["extra_exit"]["rnn"]["layers"][0]["wi"])
+        - np.asarray(p2["extra_exit"]["rnn"]["layers"][0]["wi"])))
+    assert d > 0

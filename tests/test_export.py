@@ -137,7 +137,7 @@ def test_export_gpt_head_roundtrip(tmp_path):
         img, grip, ids, mask = _inputs(cfg, seed=step_i)
         np.testing.assert_array_equal(live.step(img, grip, ids, mask),
                                       aot.step(img, grip, ids, mask))
-    assert int(aot.carry.count) == 3
+    assert int(np.asarray(aot.carry.count)[0]) == 3
     assert aot.last_exit_layer == live.last_exit_layer
 
 

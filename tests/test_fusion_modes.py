@@ -235,10 +235,11 @@ def test_use_hist_serving_rollout():
     # (helpers.py:236-279), so media cannot move the ACTION yet)
 
 def test_window_folded_refusals():
-    """Batched lanes refuse window-folded models with clear errors;
-    mis-shaped proprio state (rows != frame window) is rejected loudly
-    instead of crashing in a reshape; use_hist+vit_concat combined serving
-    is rejected."""
+    """Window-folded batched serving validates its inputs loudly:
+    step_batch now SUPPORTS window-folded models (stream-major B*W frame
+    rows) but rejects malformed row counts with a clear error instead of
+    crashing in a reshape; mis-shaped proprio state is rejected the same
+    way; use_hist+vit_concat combined serving is refused."""
     import pytest as _pytest
     from deer_vla_tpu.data.text import HashTokenizer
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
@@ -251,7 +252,9 @@ def test_window_folded_refusals():
     hw = cfg.vit.image_size
     img = jnp.asarray(r.randn(2, 1, 1, 3, hw, hw), jnp.float32)
     ids = np.full((2, cfg.text_len), 7, np.int32)
-    with _pytest.raises(NotImplementedError):
+    # 2 text rows declare 2 streams; a 2-frame window then needs 4
+    # stream-major image rows — 2 rows is a malformed batch
+    with _pytest.raises(ValueError, match="streams\\*window"):
         pol.step_batch(img, img, jnp.asarray(ids),
                        jnp.ones((2, cfg.text_len), jnp.int32))
     # one state row for a 2-frame window: clear ValueError, not a reshape

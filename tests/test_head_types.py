@@ -123,8 +123,9 @@ def test_gpt_head_serves_dynamic_exit():
     a2 = pol.step(img, grip, ids, mask)
     assert a1.shape == (7,) and np.all(np.isfinite(a1))
     assert pol.last_exit_layer == cfg.all_exit_ids()[0]  # huge thresholds
-    # the GPT history carry advanced between steps
-    assert int(pol.carry.count) == 2
+    # the GPT history carry advanced between steps (per-stream (B,)
+    # counts since the batched-lane redesign; B=1 here)
+    assert int(np.asarray(pol.carry.count)[0]) == 2
     assert np.all(np.isfinite(a2))
 
 
@@ -169,7 +170,7 @@ def test_scan_engine_matches_bucketed_per_head(head_type, kw, th):
         np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_b),
                                    rtol=2e-4, atol=2e-4)
     if head_type == "gpt":
-        assert int(scan.carry.count) == 3  # history advanced once per step
+        assert int(np.asarray(scan.carry.count)[0]) == 3  # advanced per step
 
 
 def test_diffusion_scan_engine_through_sampler():

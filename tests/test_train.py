@@ -420,8 +420,10 @@ def test_save_freq_skips_epochs(tmp_path):
 
 
 def test_loss_multiplier_calvin_scales_gradient_not_metrics(tmp_path):
-    """--loss_multiplier_calvin scales the backward loss only
-    (train_utils.py:322,549): logged loss is unscaled, updates differ."""
+    """--loss_multiplier_calvin scales the backward loss
+    (train_utils.py:322,549): the logged loss is post-multiplier like the
+    reference, and the optimizer sees a scaled gradient so trained params
+    differ."""
     cfg = deer_tiny()
     tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id,

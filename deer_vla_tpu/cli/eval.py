@@ -473,6 +473,30 @@ def main(argv=None):
     hist = np.add(report["success_exit_hist"], report["fail_exit_hist"]) \
         / max(1e-9, sum(report["success_exit_hist"]) + sum(report["fail_exit_hist"]))
     report["avg_llm_gflops"] = avg_llm_gflops(cfg, hist)
+    if controller is not None and controller.thresholds and not args.thresholds:
+        # realized-vs-target exit-distribution contract rows: the paper's
+        # quantitative claim is that calibrated thresholds make the serving
+        # exit mix match the solver's target probs (value_net.py:206-272;
+        # avg exit printed at eval_calvin.py:646-653).  Asserted numerically
+        # in tests/test_exit_contract.py; reported here per run.
+        from deer_vla_tpu.models.value_net import exit_probs as _exit_probs
+        real_ids = [e for e in exits if e <= controller.effective_max]
+        probs = _exit_probs(len(real_ids), args.exit_ratio, args.exit_dist,
+                            args.model)
+        realized = [float(hist[e]) for e in real_ids]
+        report["exit_contract"] = {
+            "exit_ids": [int(e) for e in real_ids],
+            "target_probs": [float(p) for p in probs],
+            "realized": realized,
+            "avg_exit_target": float(sum(p * (e + 1)
+                                         for p, e in zip(probs, real_ids))),
+            "avg_exit_realized": float(report["avg_exit_layer"]),
+            "max_abs_gap": float(max(abs(r - p)
+                                     for r, p in zip(realized, probs))),
+        }
+        print(f"exit contract: target={[round(p, 3) for p in probs]} "
+              f"realized={[round(r, 3) for r in realized]} "
+              f"max gap {report['exit_contract']['max_abs_gap']:.3f}")
     # paper-convention number for Table-2 comparison (thop MACs, ~13-token
     # unpadded text; see eval/flops.paper_convention_gflops)
     from deer_vla_tpu.eval.flops import paper_convention_gflops

@@ -44,6 +44,43 @@ def over_budget(margin_s: float) -> bool:
     return time.time() - _START > BUDGET_S - margin_s
 
 
+# one-chip peak dense-matmul throughput by device kind (bf16), TFLOP/s.
+# Source: public TPU spec sheets; int8 peak is 2x bf16 on v5e/v6e MXUs.
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0, "TPU v5e": 197.0, "TPU v5": 197.0,
+    "TPU v5p": 459.0, "TPU v4": 275.0, "TPU v4 lite": 137.5,
+    "TPU v6 lite": 918.0, "TPU v6e": 918.0,
+}
+
+
+def peak_tflops() -> float:
+    """bf16 peak of the attached chip, or 0.0 when unknown (CPU runs)."""
+    kind = jax.devices()[0].device_kind
+    for k, v in PEAK_BF16_TFLOPS.items():
+        if kind.startswith(k):
+            return v
+    return 0.0
+
+
+def mfu_fields(gflops_per_unit: float, seconds_per_unit: float,
+               peak: float, int8_peak: bool = False) -> dict:
+    """Chip-weather-independent accounting for one measured section
+    (VERDICT r2 item 2): analytic FLOPs per action/sample, achieved
+    TFLOP/s, MFU vs the one-chip peak, and the compute-floor latency the
+    analytic FLOPs imply at peak.  Convention: model FLOPs (2*MAC), remat
+    recompute NOT counted — the standard MFU definition."""
+    if seconds_per_unit <= 0:
+        return {}
+    achieved = gflops_per_unit / seconds_per_unit / 1e3  # TFLOP/s
+    out = {"gflops_per_unit": round(gflops_per_unit, 2),
+           "achieved_tflops": round(achieved, 2)}
+    p = peak * (2.0 if int8_peak else 1.0)
+    if p > 0:
+        out["mfu"] = round(achieved / p, 4)
+        out["floor_ms"] = round(1000 * gflops_per_unit / (p * 1e3), 3)
+    return out
+
+
 def run_model(bench_model: str) -> dict:
     from deer_vla_tpu.core.config import MODEL_REGISTRY
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
@@ -145,6 +182,14 @@ def run_model(bench_model: str) -> dict:
     expected_t = float((probs * per_depth_t).sum())
     aps = 1.0 / expected_t
     aps_full = 1.0 / per_depth_t[-1]
+
+    # analytic FLOPs / MFU accounting (eval/flops.py): makes the numbers
+    # comparable across rounds despite the time-shared chip (CLAUDE.md:
+    # 15-195 ms/step session variance) — MFU moves only when the CODE does
+    from deer_vla_tpu.eval.flops import full_step_flops
+    peak = peak_tflops()
+    per_depth_gflops = np.array([full_step_flops(cfg, e) for e in exits])
+    expected_gflops = float((probs * per_depth_gflops).sum())
     # measure the sync step NOW, while only `policy` holds device memory —
     # the batched and int8 engines below each stack their own weight trees
     # and the three together (plus fp32 params) don't fit a 16GB chip
@@ -235,6 +280,9 @@ def run_model(bench_model: str) -> dict:
                     "actions_per_sec": round(B / t_w8, 2),
                     "bf16_adjacent_actions_per_sec": round(B / t_bf, 2),
                     "speedup_vs_bf16": round(t_bf / t_w8, 3),
+                    # int8 x int8 rides the 2x MXU path -> int8 peak basis
+                    **mfu_fields(float(per_depth_gflops[-1]), t_w8 / B,
+                                 peak, int8_peak=True),
                 }
                 del w8, imgW
             except Exception as e:
@@ -284,6 +332,8 @@ def run_model(bench_model: str) -> dict:
                 "per_depth_ms": [round(1000 * t, 2) for t in per_depth_q8],
                 "bf16_adjacent_per_depth_ms":
                     [round(1000 * t, 2) for t in per_depth_fp2],
+                # weight-only int8 still computes in bf16 -> bf16 peak basis
+                **mfu_fields(expected_gflops, 1.0 / aps_q8, peak),
             }
             del q8
         except Exception as e:
@@ -303,6 +353,15 @@ def run_model(bench_model: str) -> dict:
             "sync_step_ms": sync_step_ms,
             "execution_model": "while_loop_single_program",
             "backend": jax.default_backend(),
+            "peak_bf16_tflops": peak,
+            "per_depth_gflops_per_action":
+                [round(float(g), 2) for g in per_depth_gflops],
+            "dynamic_mfu": mfu_fields(expected_gflops, expected_t, peak),
+            "full_depth_mfu": mfu_fields(float(per_depth_gflops[-1]),
+                                         float(per_depth_t[-1]), peak),
+            "batched32_mfu": mfu_fields(float(per_depth_gflops[-1]),
+                                        1.0 / batched_aps, peak)
+            if batched_aps > 0 else {},
         },
     }
     if int8_detail:
@@ -365,9 +424,13 @@ def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dic
     jax.block_until_ready((state, metrics))
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(float(metrics["loss"]))
+    from deer_vla_tpu.eval.flops import train_step_flops
     return {"samples_per_sec": round(batch_size / dt, 2),
             "step_ms": round(1000 * dt, 1),
-            "batch_size": batch_size, "window": w}
+            "batch_size": batch_size, "window": w,
+            # 3x-forward convention, remat recompute uncounted (flops.py)
+            **mfu_fields(train_step_flops(cfg), dt / batch_size,
+                         peak_tflops())}
 
 
 def wait_for_device(max_wait_s: float) -> bool:
@@ -437,6 +500,8 @@ def main():
                 "full_depth_actions_per_sec":
                     r9["detail"]["full_depth_actions_per_sec"],
                 "per_depth_ms": r9["detail"]["per_depth_ms"],
+                "dynamic_mfu": r9["detail"].get("dynamic_mfu", {}),
+                "full_depth_mfu": r9["detail"].get("full_depth_mfu", {}),
             }
         except Exception as e:  # 9B is best-effort: never sink the 3B line
             result["detail"]["mpt_9b"] = {"error": repr(e)[:200]}

@@ -108,6 +108,31 @@ def avg_llm_gflops(cfg: DeerConfig, exit_histogram) -> float:
     return float(sum(per_exit[i] * p for i, p in enumerate(exit_histogram)))
 
 
+def train_step_flops(cfg: DeerConfig) -> float:
+    """Analytic GFLOPs per SAMPLE (one window_size-frame trajectory) for one
+    multi-exit train step, in the standard MFU convention:
+
+      fwd  = W frames x (dual-camera ViT + perceiver + FULL-depth LLM)
+             + head applications: final + per-exit (if multi_exit) + the two
+               random-exit samplings (models/flamingo.forward_train)
+      step = 3 x fwd   (backward = 2x forward: activation grads + weight
+             grads; frozen subtrees still compute activation grads, so 3x is
+             the honest upper bound the community quotes MFU against)
+
+    Remat recompute is deliberately NOT counted (standard MFU definition),
+    so the remat-enabled bench step's true hardware FLOPs are higher — MFU
+    here is a conservative floor.  The tiny value-net MLP (<0.1% of a layer)
+    is omitted.  Reference accounting: mosaic_gpt_3b.py:401-407."""
+    w = cfg.window_size
+    fwd_frame = 2 * vit_flops(cfg.vit) \
+        + 2 * perceiver_flops(cfg.perceiver, cfg.vit.num_patches) \
+        + llm_flops_per_exit(cfg)[cfg.n_layers - 1] * 1e9
+    # final head + 2 random-exit samplings + one head per internal exit
+    n_heads = 3 + (len(cfg.exit_layer_ids()) if cfg.multi_exit else 0)
+    fwd = w * (fwd_frame + n_heads * head_flops(cfg))
+    return 3 * fwd / 1e9
+
+
 def paper_convention_gflops(cfg: DeerConfig, exit_layer: int,
                             text_len: int = 13) -> float:
     """LLM G'FLOPs' in the PAPER's convention for comparing against Table 2

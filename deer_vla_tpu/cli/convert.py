@@ -33,9 +33,19 @@ import json
 def build_parser():
     p = argparse.ArgumentParser("deer-convert")
     p.add_argument("--openflamingo_checkpoint", default="",
-                   help="OpenFlamingo base .pt (eval_calvin.py:543)")
+                   help="OpenFlamingo base .pt (eval_calvin.py:543): the "
+                        "perceiver/x-attn/embedding trainables")
     p.add_argument("--deer_checkpoint", default="",
                    help="DeeR trainable-delta .pth (eval_calvin.py:577)")
+    p.add_argument("--clip_checkpoint", default="",
+                   help="raw open_clip ViT-L-14 checkpoint (.pt or HF "
+                        "snapshot dir) — the frozen vision tower the "
+                        "reference downloads via open_clip "
+                        "(factory.py:109-113)")
+    p.add_argument("--mpt_checkpoint", default="",
+                   help="raw HF MPT backbone (.bin/.safetensors file or "
+                        "snapshot dir) — the frozen decoder the reference "
+                        "downloads from HF (factory.py:124-139)")
     p.add_argument("--out", required=True,
                    help="output path prefix (writes <out>.ckpt + <out>.json)")
     p.add_argument("--model", default="mpt_dolly_3b",
@@ -74,16 +84,20 @@ from deer_vla_tpu.utils.errors import record
 @record
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if not args.openflamingo_checkpoint and not args.deer_checkpoint:
-        raise SystemExit("need --openflamingo_checkpoint and/or "
-                         "--deer_checkpoint")
-    if not args.openflamingo_checkpoint:
-        print("WARNING: no --openflamingo_checkpoint — the frozen backbone "
-              "in the output is RANDOM init from --seed; the result only "
+    if not (args.openflamingo_checkpoint or args.deer_checkpoint
+            or args.clip_checkpoint or args.mpt_checkpoint):
+        raise SystemExit("need at least one source checkpoint "
+                         "(--openflamingo_checkpoint / --deer_checkpoint / "
+                         "--clip_checkpoint / --mpt_checkpoint)")
+    if not (args.openflamingo_checkpoint
+            or (args.clip_checkpoint and args.mpt_checkpoint)):
+        print("WARNING: missing backbone sources — the frozen tower(s) in "
+              "the output are RANDOM init from --seed; the result only "
               "serves if eval reconstructs the same seed (it does, via the "
               "sidecar meta) AND the published delta was trained against "
-              "that same random backbone (it was not). Compose the base "
-              "checkpoint for real artifacts.")
+              "that same random backbone (it was not). Compose "
+              "--clip_checkpoint/--mpt_checkpoint/--openflamingo_checkpoint "
+              "for real artifacts.")
     import jax
     # host-side job: eager per-tensor init/readback over the axon tunnel is
     # pathological (CLAUDE.md) and no device is needed — force CPU
@@ -142,7 +156,9 @@ def main(argv=None):
 
     params = init_deer(jax.random.PRNGKey(args.seed), cfg)
     sources = []
-    for label, path in (("openflamingo_base", args.openflamingo_checkpoint),
+    for label, path in (("clip_vit", args.clip_checkpoint),
+                        ("mpt_backbone", args.mpt_checkpoint),
+                        ("openflamingo_base", args.openflamingo_checkpoint),
                         ("deer_delta", args.deer_checkpoint)):
         if not path:
             continue
@@ -154,6 +170,7 @@ def main(argv=None):
         consumed = sum(counts.values())
         print(f"{label}: {consumed} tensors consumed "
               f"({len(report['ignored'])} ignored, "
+              f"{len(report['truncated'])} beyond-truncation, "
               f"{len(report['unconsumed'])} unconsumed) from {path}")
         if report["unconsumed"]:
             sample = sorted(report["unconsumed"])[:12]

@@ -208,22 +208,31 @@ def convert_state_dict(sd: Dict[str, np.ndarray], params: dict,
     """Full MPTFlamingo state dict -> our param tree (in place); returns
     per-component tensor counts for audit."""
     counts = {}
-    counts["vit"] = convert_vit(sd, params)
+    # the ViT arrives either inside a composed checkpoint
+    # (vision_encoder.visual.*) or as a raw open_clip checkpoint (visual.*,
+    # factory.py:109-113 downloads it separately)
+    vit_prefix = "vision_encoder.visual."
+    if vit_prefix + "conv1.weight" not in sd and "visual.conv1.weight" in sd:
+        vit_prefix = "visual."
+    counts["vit"] = convert_vit(sd, params, prefix=vit_prefix)
     counts["perceiver"] = convert_perceiver(sd, params["perceiver"])
     if "perceiver_gripper" in params:
         counts["perceiver_gripper"] = convert_perceiver(
             sd, params["perceiver_gripper"], "perceiver_gripper.")
 
-    # wte: reference name lang_encoder.transformer.wte.weight
-    key = "lang_encoder.transformer.wte.weight"
-    if key in sd:
-        w = np.asarray(sd[key], np.float32)
-        ours = params["decoder"]["wte"]["w"]
-        m = min(w.shape[0], ours.shape[0])
-        new = np.array(ours)
-        new[:m] = w[:m]
-        params["decoder"]["wte"]["w"] = new
-        counts["wte"] = 1
+    # wte: lang_encoder.transformer.wte.weight in composed checkpoints,
+    # transformer.wte.weight in a raw HF MPT backbone state dict
+    for key in ("lang_encoder.transformer.wte.weight",
+                "transformer.wte.weight"):
+        if key in sd:
+            w = np.asarray(sd[key], np.float32)
+            ours = params["decoder"]["wte"]["w"]
+            m = min(w.shape[0], ours.shape[0])
+            new = np.array(ours)
+            new[:m] = w[:m]
+            params["decoder"]["wte"]["w"] = new
+            counts["wte"] = 1
+            break
 
     # decoder layers: after init_flamingo the blocks live under
     # lang_encoder.transformer.blocks.N.decoder_layer.* with x-attn at
@@ -276,8 +285,16 @@ IGNORED_KEY_PATTERNS = [
     # visual.proj / pooled-path ln_post feed the CLIP embedding, not the
     # token features Flamingo consumes (output_tokens=True, factory.py:114)
     r"^vision_encoder\.visual\.proj$",
+    # the same glue in a RAW open_clip checkpoint (no vision_encoder. prefix)
+    r"^visual\.proj$",
+    r"^(token_embedding|ln_final|text_projection|positional_embedding"
+    r"|attn_mask|transformer\.resblocks)(\.|$)",
     # HF buffers that show up in torch state dicts
     r"rotary_emb\.inv_freq$",
+    # raw HF MPT extras: learned positions (alibi models don't load one) and
+    # tied-embedding lm_head mirrors
+    r"^transformer\.wpe\.weight$",
+    r"^lm_head_embedding\.weight$",
     # MosaicGPT optional logit temperature (mosaic_gpt_3b.py:112-118)
     r"logit_scale$",
 ]
@@ -295,30 +312,53 @@ class _TrackingDict(dict):
         return super().__getitem__(key)
 
 
+_BLOCK_INDEX_RE = re.compile(
+    r"^(?:lang_encoder\.)?(?:transformer\.blocks|gated_cross_attn_layers)"
+    r"\.(\d+)\.")
+
+
 def convert_with_audit(sd: Dict[str, np.ndarray], params: dict, cfg):
     """convert_state_dict + name-coverage audit (VERDICT r2 item 6).
 
-    Returns (counts, report) where report = {consumed, ignored, unconsumed}
-    key sets.  `unconsumed` non-empty means the reference renamed something
-    the converter doesn't know about — fail loudly before real artifacts
-    produce silently-random weights.
-    """
+    Returns (counts, report) where report = {consumed, ignored, truncated,
+    unconsumed} key sets.  `unconsumed` non-empty means the reference renamed
+    something the converter doesn't know about — fail loudly before real
+    artifacts produce silently-random weights.
+
+    Decoder blocks/x-attn at index >= cfg.n_layers are expected extras, not
+    drift: the reference DELETES those layers before loading the full-depth
+    base checkpoint with strict=False (eval_calvin.py:543-577 via the
+    early-exit truncation, mosaic_gpt_3b early_exit_layer), so a 24-layer
+    OpenFlamingo base composed into a max_layer=12 DeeR model legitimately
+    carries 12 layers of unloadable keys."""
     tracked = _TrackingDict(sd)
     counts = convert_state_dict(tracked, params, cfg)
     ignored = {k for k in tracked
                if any(re.search(p, k) for p in IGNORED_KEY_PATTERNS)}
-    unconsumed = set(tracked) - tracked.consumed - ignored
+    truncated = set()
+    for k in tracked:
+        m = _BLOCK_INDEX_RE.match(k)
+        if m and int(m.group(1)) >= cfg.n_layers:
+            truncated.add(k)
+    unconsumed = set(tracked) - tracked.consumed - ignored - truncated
     return counts, {"consumed": tracked.consumed, "ignored": ignored,
-                    "unconsumed": unconsumed}
+                    "truncated": truncated, "unconsumed": unconsumed}
 
 
 def torch_state_dict_to_numpy(obj) -> Dict[str, np.ndarray]:
     """Torch ckpt object (or bare state dict) -> fp32 numpy state dict;
-    strips DDP 'module.' prefixes and drops non-tensor entries."""
+    strips DDP 'module.' prefixes and drops non-tensor entries.  Unwraps
+    the common container keys ('model_state_dict' from the reference's
+    train loop, 'state_dict' from open_clip releases)."""
     import torch
-    sd = obj.get("model_state_dict", obj) if isinstance(obj, dict) else obj
+    if isinstance(obj, dict):
+        for container in ("model_state_dict", "state_dict"):
+            inner = obj.get(container)
+            if isinstance(inner, dict) and inner:
+                obj = inner
+                break
     out = {}
-    for k, v in sd.items():
+    for k, v in obj.items():
         k = k.removeprefix("module.")
         if hasattr(v, "numpy"):
             out[k] = v.to(torch.float32).numpy()
@@ -326,7 +366,39 @@ def torch_state_dict_to_numpy(obj) -> Dict[str, np.ndarray]:
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a torch .pt/.pth file to a numpy state dict (CPU torch)."""
+    """Load published weights to a numpy state dict (CPU torch).
+
+    Accepts a torch .pt/.pth/.bin file, a .safetensors file, or a
+    DIRECTORY of shards (an HF snapshot: every *.safetensors /
+    pytorch_model*.bin merged) — the forms the real artifact set arrives
+    in: open_clip ViT .pt, HF MPT snapshot dir, OpenFlamingo
+    checkpoint.pt, DeeR delta .pth."""
+    import os
+
     import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    return torch_state_dict_to_numpy(obj)
+
+    def one(p: str) -> Dict[str, np.ndarray]:
+        if p.endswith(".safetensors"):
+            from safetensors import safe_open
+            out = {}
+            with safe_open(p, framework="np") as f:
+                for k in f.keys():
+                    out[k.removeprefix("module.")] = np.asarray(
+                        f.get_tensor(k), np.float32)
+            return out
+        return torch_state_dict_to_numpy(
+            torch.load(p, map_location="cpu", weights_only=False))
+
+    if os.path.isdir(path):
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".safetensors")
+            or (f.startswith("pytorch_model") and f.endswith(".bin")))
+        if not files:
+            raise FileNotFoundError(
+                f"{path}: no *.safetensors or pytorch_model*.bin shards")
+        merged: Dict[str, np.ndarray] = {}
+        for f in files:
+            merged.update(one(os.path.join(path, f)))
+        return merged
+    return one(path)

@@ -168,7 +168,12 @@ class TorchComposedDeer(nn.Module):
                  for _ in range(cfg.n_layers)]),
             "ln_f": nn.LayerNorm(d),
         })
-        _strip_biases(self.lang_encoder.transformer["blocks"])
+        # MPT's no_bias zap runs during MPT __init__ (mosaic_gpt_3b.py:
+        # 147-153), BEFORE Flamingo wrapping — so only the decoder_layer
+        # halves are bias-less; the gated x-attn (open_flamingo helpers.py)
+        # keeps its LayerNorm biases.
+        for blk in self.lang_encoder.transformer["blocks"]:
+            _strip_biases(blk.decoder_layer)
         self.lang_encoder.transformer["ln_f"].register_parameter("bias", None)
 
         self.lm_head = TorchHead(cfg.head)
@@ -220,6 +225,30 @@ def test_full_inventory_zero_unconsumed():
     np.testing.assert_array_equal(
         np.asarray(params["decoder"]["blocks"][0]["q_ln"]["scale"]),
         sd["lang_encoder.transformer.blocks.0.decoder_layer.attn.q_ln.weight"])
+
+
+def test_truncated_base_blocks_not_drift():
+    """A FULL-depth base checkpoint composed into a truncated config must
+    not trip the naming-drift error: the reference deletes layers >= the
+    early-exit depth and loads strict=False (eval_calvin.py:543), so e.g.
+    OpenFlamingo-3B's blocks 12-23 are expected extras under max_layer=12."""
+    full = deer_tiny(n_layers=4)
+    trunc = deer_tiny(n_layers=2, exit_interval=2)
+    from deer_vla_tpu.models.flamingo import init_deer
+    params = init_deer(jax.random.PRNGKey(0), trunc)
+
+    mirror = TorchComposedDeer(full)  # 4-layer "published base"
+    # a base checkpoint carries no action/exit heads — those live in the delta
+    sd = {k: v.detach().to(torch.float32).numpy()
+          for k, v in mirror.state_dict().items()
+          if not k.startswith(("lm_head.", "lm_exit_modules.",
+                               "extra_exit."))}
+    counts, report = convert_with_audit(sd, params, trunc)
+    assert not report["unconsumed"], sorted(report["unconsumed"])
+    assert report["truncated"], "expected beyond-truncation keys"
+    assert all(".blocks.2." in k or ".blocks.3." in k
+               for k in report["truncated"]), sorted(report["truncated"])
+    assert counts["mpt_blocks"] == 6 * trunc.n_layers
 
 
 def test_state_embed_keys_consumed():

@@ -371,23 +371,24 @@ def run_model(bench_model: str) -> dict:
     return result
 
 
-def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dict:
-    """3B joint-phase train-step throughput on one chip (the reference's
-    per-GPU training unit: batch_size_calvin=6, window 12 — the canonical
-    train script's per-device load).  Device-pipelined like time_depth: the
-    TrainState threads step-to-step on device, every step gets DISTINCT
-    images (runtime dedupe protection), one sync at the end."""
+def _bench_train_cfg():
+    """3B joint-phase config for the train benches.  B=6/W=12 activations
+    at 3B don't fit 16GB without remat — same trade the --remat train flag
+    makes (jax.checkpoint per layer)."""
+    import dataclasses
+
     from deer_vla_tpu.core.config import MODEL_REGISTRY
+    cfg = MODEL_REGISTRY["mpt_dolly_3b"](max_layer=12)
+    return dataclasses.replace(cfg, remat_layers=True)
+
+
+def _make_train_state(cfg):
+    """Init the joint-phase train step + state (frozen leaves in bf16)."""
     from deer_vla_tpu.models.flamingo import (cast_frozen_to_bf16, init_deer,
                                               trainable_mask)
     from deer_vla_tpu.train.optimizer import make_optimizer
     from deer_vla_tpu.train.train_step import init_train_state, make_train_step
 
-    import dataclasses
-    cfg = MODEL_REGISTRY["mpt_dolly_3b"](max_layer=12)
-    # B=6/W=12 activations at 3B don't fit 16GB without remat — same
-    # trade the --remat train flag makes (jax.checkpoint per layer)
-    cfg = dataclasses.replace(cfg, remat_layers=True)
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     mask = trainable_mask(params, cfg, "joint")
     params = jax.jit(lambda p: cast_frozen_to_bf16(p, mask))(params)
@@ -397,6 +398,17 @@ def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dic
     state = init_train_state(params, opt)
     del params
     jax.block_until_ready(state)
+    return step, state
+
+
+def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dict:
+    """3B joint-phase train-step throughput on one chip (the reference's
+    per-GPU training unit: batch_size_calvin=6, window 12 — the canonical
+    train script's per-device load).  Device-pipelined like time_depth: the
+    TrainState threads step-to-step on device, every step gets DISTINCT
+    images (runtime dedupe protection), one sync at the end."""
+    cfg = _bench_train_cfg()
+    step, state = _make_train_state(cfg)
 
     hw, s, w = cfg.vit.image_size, cfg.text_len, cfg.window_size
     r = np.random.RandomState(0)
@@ -431,6 +443,115 @@ def run_train_bench(batch_size: int = 6, iters: int = 8, warmup: int = 2) -> dic
             # 3x-forward convention, remat recompute uncounted (flops.py)
             **mfu_fields(train_step_flops(cfg), dt / batch_size,
                          peak_tflops())}
+
+
+def run_pipeline_bench(batch_size: int = 6, iters: int = 8,
+                       warmup: int = 2, cfg=None) -> dict:
+    """3B train step fed by the REAL input pipeline (VERDICT r2 item 5):
+    synthetic CALVIN shards at real frame sizes (200x200 static / 84x84
+    gripper uint8 npz) on disk -> DiskCalvinDataset window assembly through
+    the native C++ reader -> CalvinLoader background prefetch -> on-device
+    clip-preprocess + RandomShiftsAug (prepare_batch) -> train step.
+
+    Reports the numbers that decide whether the loader can keep the chip
+    fed (the reference's persistent-worker/prefetch-3 loader concern,
+    robot_flamingo/data/data.py:1064-1130): host-only loader rate,
+    loader-idle wait per step, and an adjacent same-process A/B of
+    overlapped (async dispatch, fetch during device compute) vs serialized
+    (block on the step before fetching) epochs."""
+    import dataclasses
+    import tempfile
+
+    from deer_vla_tpu.data import native_loader
+    from deer_vla_tpu.data.calvin import (CalvinDataConfig, CalvinLoader,
+                                          DiskCalvinDataset)
+    from deer_vla_tpu.data.debug_data import make_synthetic_calvin
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.train.trainer import TrainConfig, prepare_batch
+
+    cfg = cfg or _bench_train_cfg()
+    # tokenizer/model contract: HashTokenizer at the model vocab, cfg
+    # re-pointed at its media token (what cli.train.make_tokenizer does)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    tcfg = TrainConfig()  # reference aug defaults: rgb_pad 10, gripper_pad 4
+
+    tmp = tempfile.TemporaryDirectory(prefix="deer_pipe_")
+    split = make_synthetic_calvin(tmp.name, n_episodes=3, ep_len=40,
+                                  img_hw=200, grip_hw=84)
+    ds = DiskCalvinDataset(
+        CalvinDataConfig(dataset_dir=split, window_size=cfg.window_size),
+        validation=False)
+    loader = CalvinLoader(ds, tok, batch_size, workers=4, prefetch=3, seed=0)
+    assert len(loader) >= warmup + iters, (len(loader), warmup + iters)
+
+    # host-only loader rate: disk -> native reader -> collate, no device
+    t0 = time.perf_counter()
+    nb = 0
+    for _ in loader:
+        nb += 1
+        if nb >= 12:
+            break
+    loader_only_bps = nb / (time.perf_counter() - t0)
+
+    step, state = _make_train_state(cfg)
+    rng = jax.random.PRNGKey(2)
+
+    def timed_epoch(epoch, overlap):
+        """One measured epoch; returns (step_s, loader_wait_s) per step.
+        Distinct epoch => distinct shuffle + distinct aug rng folds, so no
+        two dispatches ever see identical argument buffers (runtime dedupe
+        protection); the TrainState threads through on device."""
+        nonlocal state
+        loader.set_epoch(epoch)
+        it = iter(loader)
+        wait_s, t_start, metrics = 0.0, 0.0, None
+        for i in range(warmup + iters):
+            if i == warmup:
+                jax.block_until_ready((state, metrics))
+                wait_s, t_start = 0.0, time.perf_counter()
+            t0 = time.perf_counter()
+            raw = next(it)
+            wait_s += time.perf_counter() - t0
+            batch = prepare_batch(raw, cfg,
+                                  jax.random.fold_in(rng, 1000 * epoch + i),
+                                  tcfg)
+            state, metrics = step(state, batch,
+                                  jax.random.fold_in(rng, 7000 + 100 * epoch + i))
+            if not overlap:
+                jax.block_until_ready(metrics)
+        jax.block_until_ready((state, metrics))
+        assert np.isfinite(float(metrics["loss"]))
+        return (time.perf_counter() - t_start) / iters, wait_s / iters
+
+    # chip-weather robustness (CLAUDE.md: identical compiled programs vary
+    # 15-195 ms/step across time windows): interleave the two modes
+    # O,S,O,S and take the best epoch per mode — only adjacent same-process
+    # comparisons are meaningful on this runtime
+    step_overlap, wait_overlap = timed_epoch(0, overlap=True)
+    step_serial, wait_serial = timed_epoch(1, overlap=False)
+    step_overlap, wait_overlap = min(
+        (step_overlap, wait_overlap), timed_epoch(2, overlap=True))
+    step_serial, wait_serial = min(
+        (step_serial, wait_serial), timed_epoch(3, overlap=False))
+    from deer_vla_tpu.eval.flops import train_step_flops
+    out = {
+        "samples_per_sec": round(batch_size / step_overlap, 2),
+        "step_ms": round(1000 * step_overlap, 1),
+        "loader_idle_ms_per_step": round(1000 * wait_overlap, 2),
+        "serialized_step_ms": round(1000 * step_serial, 1),
+        "serialized_loader_wait_ms": round(1000 * wait_serial, 2),
+        "overlap_speedup": round(step_serial / step_overlap, 3),
+        "loader_only_batches_per_sec": round(loader_only_bps, 2),
+        "native_reader": bool(native_loader.available()),
+        "batch_size": batch_size, "window": cfg.window_size,
+        "frame_hw": [200, 84],
+        **mfu_fields(train_step_flops(cfg), step_overlap / batch_size,
+                     peak_tflops()),
+    }
+    tmp.cleanup()
+    return out
 
 
 def wait_for_device(max_wait_s: float) -> bool:
@@ -484,6 +605,20 @@ def main():
                 break
             except Exception as e:  # best-effort: never sink the serving line
                 result["detail"]["train_3b"] = {"error": repr(e)[:200]}
+    # real-loader-fed train step (VERDICT r2 item 5): at the batch size the
+    # synthetic train bench fit (or the smallest, if it was skipped)
+    pipe_on = (BENCH_MODEL == "mpt_dolly_3b"
+               and os.environ.get("DEER_BENCH_PIPELINE", "1") != "0")
+    if pipe_on and over_budget(360):
+        result["detail"]["train_pipeline"] = {"skipped": "time budget"}
+    elif pipe_on:
+        tb = result["detail"].get("train_3b", {}).get("batch_size", 2)
+        try:
+            result["detail"]["train_pipeline"] = run_pipeline_bench(
+                batch_size=tb)
+        except Exception as e:  # best-effort: never sink the serving line
+            result["detail"]["train_pipeline"] = {"error": repr(e)[:200]}
+
     # the sharded-config claim needs a number attached (VERDICT r2 item 10):
     # fold a truncated-9B measurement into the same driver artifact line
     if BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_9B",

@@ -136,6 +136,11 @@ class BatchedActionServer:
         # unconditional carry write-back can never clobber their mutation
         self._dispatching = False
         self.total_steps = 0
+        # batched-exit waste (the while_loop runs all lanes to the deepest
+        # exit): per dispatch, each live lane wastes (max_exit - own_exit)
+        # layers.  Exposed via healthz as avg_wasted_layers_per_step.
+        self._waste_layers = 0.0
+        self._waste_steps = 0
         self.started = time.time()
         # parked lanes ride along on one shared preprocessed zero frame
         self._zero_prep = self._prep(
@@ -178,9 +183,12 @@ class BatchedActionServer:
         with self._cond:
             streams = sorted(self._lane_of)
             steps = self.total_steps
+            waste = (self._waste_layers / self._waste_steps
+                     if self._waste_steps else 0.0)
         return {
             "ok": True,
             "mode": "batched",
+            "avg_wasted_layers_per_step": round(waste, 3),
             "lanes": self.lanes,
             "exits": [int(e) for e in self._policy.exits],
             "n_layers": self.cfg.n_layers,
@@ -400,10 +408,16 @@ class BatchedActionServer:
                     jnp.where(m[None, :, None], new, old)
                     for new, old in zip(self._engine.carry, old_carry))
                 dt = round(1000 * (time.perf_counter() - t0), 2)
+                ex = np.asarray(exits, int)
+                live = sorted(batch)
+                batch_max = int(ex[live].max())  # parked lanes are forced
+                # to the first exit (_park_row), so the device depth is the
+                # live lanes' max
                 for lane, req in batch.items():
                     req.result = {
                         "action": np.asarray(acts[lane]).tolist(),
                         "exit_layer": int(exits[lane]),
+                        "batch_max_exit": batch_max,
                         "step_ms": dt,
                         "batched_with": len(batch),
                     }
@@ -416,7 +430,12 @@ class BatchedActionServer:
                     req.event.set()
             finally:
                 with self._cond:
-                    self.total_steps += sum(
-                        1 for r in batch.values() if r.result is not None)
+                    done = [r for r in batch.values()
+                            if r.result is not None]
+                    self.total_steps += len(done)
+                    for r in done:
+                        self._waste_layers += (r.result["batch_max_exit"]
+                                               - r.result["exit_layer"])
+                    self._waste_steps += len(done)
                     self._dispatching = False
                     self._cond.notify_all()

@@ -123,6 +123,35 @@ def test_batched_rollout_more_lanes_than_sequences():
     assert len(out["task_info"]) >= 1
 
 
+def test_batched_exit_waste_report():
+    """The lockstep batch runs every lane to the dispatch's deepest exit;
+    the report must quantify the forfeited early-exit layers (VERDICT r2
+    item 6).  Force lane 0 to the first exit and lane 1 to the last via
+    per-lane threshold rows: every dispatch then wastes exactly
+    (last - first) layers on lane 0 and none on lane 1."""
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size, max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = ScanDeerPolicy(params, cfg)
+    e0, e_last = pol.exits[0], pol.exits[-1]
+    rows = np.full((2, cfg.n_layers), -1e30, np.float32)
+    rows[0, e0] = 1e30
+    rows[1, e_last] = 1e30
+    pol.set_threshold_array(rows)
+    envs = [DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+            for _ in range(2)]
+    out = evaluate_policy_batched(
+        pol, envs, make_debug_sequences(2), {},
+        DebugTaskOracle(threshold=1e9),  # never succeeds: lanes stay in
+        tok, text_len=cfg.text_len, ep_len=4, n_layers=cfg.n_layers)
+    w = out["batched_exit_waste"]
+    assert w["dispatches"] >= 4
+    assert w["avg_batch_max_exit"] == pytest.approx(e_last + 1)
+    assert w["avg_exit_layer"] == pytest.approx((e0 + e_last) / 2 + 1)
+    assert w["avg_wasted_layers_per_step"] == pytest.approx((e_last - e0) / 2)
+
+
 def test_batched_reset_mode_resets_per_subtask():
     """reset=True: every subtask (after the first) re-resets that lane's
     env to the chain's initial state (eval_utils.py:603-606)."""

@@ -100,7 +100,9 @@ def test_candidates_batched_rollout_isolated_reports(setup):
 def test_batched_stage_reuse_rows(setup):
     """--steps_per_stage in the batched rollout: mid-stage dispatches force
     each stream's previous exit through per-stream threshold rows; fresh
-    stage steps use the pristine base rows."""
+    stage steps restore the pristine base rows.  A dispatch whose rows
+    already sit in the engine (step 0: all lanes active and fresh) skips
+    the redundant set_threshold_array call entirely."""
     from deer_vla_tpu.eval.batched_rollout import evaluate_policy_batched
     from deer_vla_tpu.eval.rollout import (DebugEnv, DebugTaskOracle,
                                            make_debug_sequences)
@@ -122,19 +124,21 @@ def test_batched_stage_reuse_rows(setup):
         pol, envs, make_debug_sequences(2), {},
         DebugTaskOracle(threshold=1e9),  # never succeeds: no mid-run resets
         tok, text_len=cfg.text_len, ep_len=4, n_layers=cfg.n_layers)
-    assert len(rows_log) >= 3
-    # dispatch 1 (step 0, fresh): pristine base rows for both streams
-    assert rows_log[0].shape == (2, cfg.n_layers)
-    assert (rows_log[0][0] == rows_log[0][1]).all()
-    assert rows_log[0][0, exits[0]] == np.float32(1e8)
-    # dispatch 2 (step 1, mid-stage): both streams force their previous
-    # exit (the first exit layer under these thresholds)
-    forced = rows_log[1]
+    assert len(rows_log) >= 2
+    # dispatch 1 (step 0, fresh, all active): the engine already holds the
+    # pristine base rows, so NO set_threshold_array call happens — the
+    # first recorded call is the step-1 mid-stage force, where both streams
+    # force their previous exit (the first exit layer under these
+    # thresholds)
+    forced = rows_log[0]
+    assert forced.shape == (2, cfg.n_layers)
     assert forced[0, exits[0]] == np.float32(1e30)
     assert (forced[0][np.arange(cfg.n_layers) != exits[0]]
             == np.float32(-1e30)).all()
-    # dispatch 3 (step 2): fresh stage again
-    assert rows_log[2][0, exits[0]] == np.float32(1e8)
+    # dispatch 3 (step 2, fresh stage): the pristine base rows are RESTORED
+    # with an explicit call (the engine held dirty forced rows)
+    assert rows_log[1][0, exits[0]] == np.float32(1e8)
+    assert (rows_log[1][0] == rows_log[1][1]).all()
 
 
 def test_gp_batch_converges_quadratic():

@@ -86,6 +86,11 @@ def test_concurrent_streams_one_dispatch(setup):
         assert not np.allclose(outs[0]["action"], outs[1]["action"])
         h = core.healthz()
         assert h["mode"] == "batched" and h["steps"] == 2
+        # batched-exit waste accounting: both lanes exited somewhere, the
+        # dispatch's device depth is their max, waste = max - own
+        assert h["avg_wasted_layers_per_step"] >= 0.0
+        assert (outs[0]["batch_max_exit"] == outs[1]["batch_max_exit"]
+                == max(outs[0]["exit_layer"], outs[1]["exit_layer"]))
     finally:
         core.shutdown()
 

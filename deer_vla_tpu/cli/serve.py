@@ -130,10 +130,6 @@ def build_core(args):
             raise SystemExit("--batch_lanes does not apply the tcp->world "
                              "action-frame conversion; serve tcp_rel "
                              "models with the per-stream core")
-        if args.steps_per_stage > 1:
-            raise SystemExit("--batch_lanes has no per-stream step "
-                             "counter for stage reuse; use the "
-                             "per-stream core for --steps_per_stage")
         if cfg.head_type == "diffusion":
             # batched DDPM/DDIM plan sampling: per-lane histories + rng
             # counters around the batched feature program; clients receive

@@ -23,7 +23,13 @@ core); rows ride the frame window for folded modes.
 Heads: deterministic LSTM, or diffusion via a BatchedDiffusionSampler
 (per-lane DDPM/DDIM plan sampling around the batched feature program —
 clients receive (k, 7) plans under the same "action" key).  fc/gpt heads
-use the per-stream core.  No stage reuse (steps_per_stage>1).
+use the per-stream core.
+
+Stage reuse (steps_per_stage>1, reference value_net.py:284-286): the
+batcher keeps a per-lane step counter and last exit; mid-stage dispatches
+force each lane's previous exit through its threshold row — the same
+per-stream-row mechanism as eval/batched_rollout.py, so lanes on
+different stage phases batch together.
 """
 
 from __future__ import annotations
@@ -78,12 +84,6 @@ class BatchedActionServer:
                              "LSTM head and diffusion heads (via "
                              "BatchedDiffusionSampler); fc/gpt heads use "
                              "the per-stream core")
-        if getattr(policy, "steps_per_stage", 1) != 1:
-            raise ServeError("batched serving overwrites the policy's "
-                             "threshold rows per window and keeps no "
-                             "per-stream step counter; stage reuse "
-                             "(steps_per_stage>1) needs the per-stream "
-                             "core")
         self._policy = policy
         # engine-internal surgery (carry rows, _ensure_carry) targets the
         # inner ScanDeerPolicy — setattr on the wrapper would shadow its
@@ -104,6 +104,14 @@ class BatchedActionServer:
         th = np.asarray(policy.thresholds, np.float32)
         self._default_row = (th if th.ndim == 1 else th[0]).copy()
         self._rows = np.tile(self._default_row, (lanes, 1))
+        # stage reuse (value_net.py:284-286): a lane recomputes its exit
+        # every steps_per_stage steps; mid-stage its previous exit is
+        # forced through the lane's threshold row (the batched rollout's
+        # per-stream-row mechanism) — lanes on different stage phases
+        # share one dispatch
+        self._sps = int(getattr(self._engine, "steps_per_stage", 1) or 1)
+        self._lane_step = np.zeros(lanes, np.int64)
+        self._lane_last_exit = np.full(lanes, -1, np.int64)
         # a parked lane (no request this window) must exit at the FIRST
         # exit layer so it never prolongs the batch's while_loop; its
         # result and carry are discarded/restored anyway
@@ -176,6 +184,8 @@ class BatchedActionServer:
         self._win_rgb[lane] = []
         self._win_grip[lane] = []
         self._win_state[lane] = []
+        self._lane_step[lane] = 0
+        self._lane_last_exit[lane] = -1
 
     # -- endpoints (same surface as DeerActionServer) -----------------------
 
@@ -189,6 +199,7 @@ class BatchedActionServer:
             "ok": True,
             "mode": "batched",
             "avg_wasted_layers_per_step": round(waste, 3),
+            "steps_per_stage": self._sps,
             "lanes": self.lanes,
             "exits": [int(e) for e in self._policy.exits],
             "n_layers": self.cfg.n_layers,
@@ -330,6 +341,12 @@ class BatchedActionServer:
                 batch = dict(self._pending)
                 self._pending.clear()
                 rows = self._rows.copy()
+                if self._sps > 1:
+                    for lane in batch:
+                        if (self._lane_step[lane] % self._sps != 0
+                                and self._lane_last_exit[lane] >= 0):
+                            rows[lane] = -1e30
+                            rows[lane, self._lane_last_exit[lane]] = 1e30
                 self._dispatching = True
             # build batch arrays OUTSIDE the lock (decode/step latency
             # must not block enqueues for the next window); the whole
@@ -430,12 +447,14 @@ class BatchedActionServer:
                     req.event.set()
             finally:
                 with self._cond:
-                    done = [r for r in batch.values()
+                    done = [(lane, r) for lane, r in batch.items()
                             if r.result is not None]
                     self.total_steps += len(done)
-                    for r in done:
+                    for lane, r in done:
                         self._waste_layers += (r.result["batch_max_exit"]
                                                - r.result["exit_layer"])
+                        self._lane_last_exit[lane] = r.result["exit_layer"]
+                        self._lane_step[lane] += 1
                     self._waste_steps += len(done)
                     self._dispatching = False
                     self._cond.notify_all()

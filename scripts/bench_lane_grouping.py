@@ -21,8 +21,16 @@ runtime, see CLAUDE.md):
              autocorrelation rho — synthetic AR here, --rho)
 
 Depths are drawn per stream from the exp(exit_ratio=0.8) solver target
-(models/value_net.exit_probs) with AR(rho) temporal persistence, and forced
-through per-stream runtime threshold rows — the real program, real work.
+(models/value_net.exit_probs) with AR(rho) temporal persistence.
+
+Timing realism note: the while_loop runs EVERY lane to the dispatch's max
+depth regardless of per-stream rows (scan_policy.step docstring), so for
+timing each dispatch forces its batch/group MAX depth through the 1D
+runtime threshold vector — device-work-identical to per-stream rows, and
+the only threshold variant whose chained timing verifies against a
+post-block host readback on this tunnel (per-stream (B, n_layers)-row
+programs returned non-physical 0.01 ms/action timings).  Per-stream exits
+enter the analytic wasted-layer columns, which are exact.
 
 Usage:  python scripts/bench_lane_grouping.py [--rounds 10] [--rho 0.7]
         [--model mpt_dolly_3b] [--groups 4]
@@ -60,7 +68,8 @@ def main():
     from deer_vla_tpu.models.value_net import exit_probs
     from deer_vla_tpu.ops.lstm import zero_carry
 
-    cfg = MODEL_REGISTRY[args.model](max_layer=12)
+    cfg = (MODEL_REGISTRY[args.model](max_layer=12)
+           if args.model != "tiny" else MODEL_REGISTRY["tiny"]())
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     policy = ScanDeerPolicy(params, cfg)
@@ -82,14 +91,15 @@ def main():
         depths[t] = np.where(keep, depths[t - 1],
                              r.choice(len(exits), size=B, p=probs))
 
-    def rows_for(ks: np.ndarray) -> jnp.ndarray:
-        """(n,) depth indices -> (n, n_layers) forced-depth threshold rows
-        (bench.py full_thresholds per stream)."""
-        out = np.full((len(ks), nl), -1e30, np.float32)
+    # one 1D forced-depth threshold vector per exit index (bench.py
+    # full_thresholds), built once as constant device arrays
+    def _row(k):
+        out = np.full(nl, -1e30, np.float32)
         for e in exits:
-            out[:, e] = -1e8
-        out[np.arange(len(ks)), np.asarray([exits[k] for k in ks])] = 1e30
+            out[e] = -1e8
+        out[exits[k]] = 1e30
         return jnp.asarray(out)
+    th1d = [_row(k) for k in range(len(exits))]
 
     hw, s = cfg.vit.image_size, cfg.text_len
     rr = np.random.RandomState(1)
@@ -107,19 +117,35 @@ def main():
                           jnp.float32)
 
     def run_b32():
+        """One B=32 dispatch per round.  Rounds are serialized through an
+        INPUT dependency (next round's images depend on this round's action)
+        — on this runtime a carry-only chain's block_until_ready returned
+        in 0.003 ms/action while the subsequent readback took 44 s (the
+        block lies); the timed window therefore ends at a real host
+        readback, whose cost is reported as the sanity column."""
         carry = fresh_carry()
-        el = None
+        out = None
+        chain = jnp.float32(0)
         t0 = 0.0
         for t in range(T):
             if t == args.warmup:
-                jax.block_until_ready((carry, el))
+                jax.block_until_ready((carry, out))
+                if out is not None:
+                    float(np.asarray(out[0]).sum())
                 t0 = time.perf_counter()
-            th = rows_for(depths[t])
-            _, _, carry, el = policy._step(policy.params, policy.stacked,
-                                           imgs[t], grip, ids, mask, carry,
-                                           th)
-        jax.block_until_ready((carry, el))
-        return (time.perf_counter() - t0) / (args.rounds * B)
+            th = th1d[int(depths[t].max())]  # batch runs to its max depth
+            arm, gp, carry, el = policy._step(policy.params, policy.stacked,
+                                              imgs[t] + chain, grip, ids,
+                                              mask, carry, th)
+            chain = (el[0].astype(jnp.float32)
+                     + arm.reshape(-1)[0].astype(jnp.float32)) * 0
+            out = (arm, gp, el)
+        jax.block_until_ready((carry, out))
+        t1 = time.perf_counter()
+        float(np.asarray(out[0]).sum())
+        t2 = time.perf_counter()
+        dt = (t2 - t0) / (args.rounds * B)
+        return dt, 1000 * (t2 - t1)
 
     def run_grouped(order_of):
         """order_of(t) -> (B,) permutation; group g serves streams
@@ -129,32 +155,43 @@ def main():
         fake the numbers).  Carry rows are gathered per group and scattered
         back per round — the cost a real regrouping engine pays."""
         carry = fresh_carry()
-        el = None
+        out = None
         chain = jnp.float32(0)
         t0 = 0.0
         for t in range(T):
             if t == args.warmup:
-                jax.block_until_ready((carry, el))
+                jax.block_until_ready((carry, out))
                 t0 = time.perf_counter()
             order = order_of(t)
             new_rows = []
+            outs = []
             for g in range(G):
                 idx = jnp.asarray(order[g * gb:(g + 1) * gb])
-                th = rows_for(depths[t][order[g * gb:(g + 1) * gb]])
+                ks = depths[t][order[g * gb:(g + 1) * gb]]
+                th = th1d[int(ks.max())]  # group runs to ITS max depth
                 img_g = jnp.take(imgs[t], idx, axis=0) + chain
                 sub = tuple(jnp.take(c, idx, axis=1) for c in carry)
-                _, _, sub, el = policy._step(
+                arm, gp, sub, el = policy._step(
                     policy.params, policy.stacked, img_g,
                     jnp.take(grip, idx, axis=0), jnp.take(ids, idx, axis=0),
                     jnp.take(mask, idx, axis=0), sub, th)
-                chain = el[0].astype(jnp.float32) * 0
+                # the next group's images depend on this group's ACTION —
+                # a full serialization barrier (arm, not just el)
+                chain = (el[0].astype(jnp.float32)
+                         + arm.reshape(-1)[0].astype(jnp.float32)) * 0
                 new_rows.append(sub)
+                outs.append((arm, gp, el))
+            out = outs
             inv = jnp.asarray(np.argsort(order))
             carry = tuple(
                 jnp.take(jnp.concatenate(parts, axis=1), inv, axis=1)
                 for parts in zip(*new_rows))
-        jax.block_until_ready((carry, el))
-        return (time.perf_counter() - t0) / (args.rounds * B)
+        jax.block_until_ready((carry, out))
+        t1 = time.perf_counter()
+        float(np.asarray(out[-1][0]).sum())
+        t2 = time.perf_counter()
+        dt = (t2 - t0) / (args.rounds * B)
+        return dt, 1000 * (t2 - t1)
 
     def waste_of(order_fn):
         w = 0.0
@@ -187,9 +224,10 @@ def main():
          lambda: waste_of(sort_last)),
     ]
     for name, fn, wfn in variants:
-        dt = fn()
+        dt, read_ms = fn()
         results[name] = {"ms_per_action": round(1000 * dt, 3),
                          "actions_per_sec": round(1 / dt, 1),
+                         "readback_sanity_ms": round(read_ms, 2),
                          "analytic_wasted_layers_per_action":
                              round(wfn(), 3)}
         print(json.dumps({name: results[name]}), flush=True)

@@ -141,6 +141,146 @@ def test_make_calvin_env_contract(monkeypatch, tmp_path):
                                         {"push_red_block"}) == set()
 
 
+def _real_calvin_obs(seed=0):
+    """The exact obs-dict schema calvin_env's PlayTableSimEnv returns —
+    keys, dtypes and the pinned camera shapes (static 200x200, gripper
+    84x84; reference eval_utils.py:160-161 builds debug obs to this same
+    schema, eval_utils.py:292,317 consumes it)."""
+    r = np.random.RandomState(seed)
+    return {
+        "rgb_obs": {
+            "rgb_static": r.randint(0, 255, (200, 200, 3)).astype(np.uint8),
+            "rgb_gripper": r.randint(0, 255, (84, 84, 3)).astype(np.uint8),
+        },
+        "depth_obs": {"depth_static": np.zeros((200, 200), np.float32),
+                      "depth_gripper": np.zeros((84, 84), np.float32)},
+        "robot_obs": r.randn(15).astype(np.float64),
+        "scene_obs": r.randn(24).astype(np.float64),
+        "rel_actions": r.randn(7).astype(np.float64),
+    }
+
+
+class _RecordingDict(dict):
+    """Obs wrapper that records which top-level keys the adapter touches
+    (schema-freeze: new key dependencies must update this contract)."""
+
+    def __init__(self, data, touched):
+        super().__init__(data)
+        self._touched = touched
+
+    def __getitem__(self, k):
+        self._touched.add(k)
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self._touched.add(k)
+        return super().__contains__(k)
+
+
+def _tiny_adapter(use_state=False):
+    import dataclasses
+
+    import jax
+
+    from deer_vla_tpu.core.config import deer_tiny
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.rollout import CalvinPolicyAdapter
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.flamingo import init_deer
+    cfg = deer_tiny()
+    if use_state:
+        cfg = dataclasses.replace(
+            cfg, use_state=True,
+            head=dataclasses.replace(cfg.head, use_state=True))
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8])
+    return CalvinPolicyAdapter(pol, tok, text_len=cfg.text_len)
+
+
+@pytest.mark.parametrize("use_state", [False, True])
+def test_adapter_consumes_real_obs_schema(use_state):
+    """CalvinPolicyAdapter.step runs on the REAL CALVIN obs schema (200x200
+    static / 84x84 gripper uint8, 15-dof float64 robot_obs) and touches
+    ONLY the keys this contract pins — so the first real-simulator run
+    cannot be the first execution of the obs plumbing."""
+    adapter = _tiny_adapter(use_state=use_state)
+    touched = set()
+    obs = _real_calvin_obs()
+    obs = _RecordingDict(
+        {**obs, "rgb_obs": dict(obs["rgb_obs"])}, touched)
+    action = adapter.step(obs, "push the red block")
+    assert action.shape == (7,) and np.isfinite(action).all()
+    assert action.dtype == np.float32
+    # gripper channel is binarized to ±1 (eval_utils.py:498-501)
+    assert action[6] in (1.0, -1.0)
+    want = {"rgb_obs", "robot_obs"} if use_state else {"rgb_obs"}
+    assert touched == want, touched
+    # a second step threads the carry on the same schema
+    a2 = adapter.step(_RecordingDict(_real_calvin_obs(1), set()),
+                      "push the red block")
+    assert np.isfinite(a2).all()
+
+
+def test_rollout_on_real_schema_env():
+    """evaluate_sequence drives an env that emits the REAL CALVIN schema
+    and enforces the gym 4-tuple step contract + 7-dof float action."""
+    from deer_vla_tpu.eval.rollout import evaluate_sequence
+
+    class RealSchemaEnv:
+        def __init__(self):
+            self.t = 0
+
+        def reset(self, robot_obs=None, scene_obs=None):
+            assert robot_obs is None or np.shape(robot_obs) == (15,)
+            assert scene_obs is None or np.shape(scene_obs) == (24,)
+            self.t = 0
+            return self.get_obs()
+
+        def get_obs(self):
+            return _real_calvin_obs(self.t)
+
+        def get_info(self):
+            return {"scene_info": {}, "robot_info": {}}
+
+        def step(self, action):
+            action = np.asarray(action)
+            assert action.shape == (7,) and action.dtype == np.float32
+            self.t += 1
+            return self.get_obs(), 0.0, False, self.get_info()
+
+    class Oracle:
+        def get_task_info_for_set(self, start_info, current_info, subtasks):
+            assert isinstance(subtasks, (set, frozenset))
+            return set()  # never succeeds: the loop runs all ep_len steps
+
+    adapter = _tiny_adapter()
+    n, s_exits, f_exits, s_steps, s_times = evaluate_sequence(
+        RealSchemaEnv(), adapter, Oracle(), {}, ["push_red_block"],
+        {"push_red_block": "push the red block"}, ep_len=3)
+    assert n == 0  # oracle never fires; 3 real-schema steps executed
+
+
+def test_reset_env_to_initial_state_sequences_schema():
+    """The frozen eval_sequences.json initial_state dict (robot_obs (15,),
+    scene_obs (24,)) reaches env.reset(robot_obs=..., scene_obs=...) —
+    the reference's get_env_state_for_initial_condition fallback path
+    (eval_utils.py:603-606)."""
+    from deer_vla_tpu.eval.rollout import reset_env_to_initial_state
+
+    calls = []
+
+    class Env:
+        def reset(self, robot_obs=None, scene_obs=None):
+            calls.append((np.shape(robot_obs), np.shape(scene_obs)))
+
+    reset_env_to_initial_state(Env(), {"robot_obs": np.zeros(15),
+                                       "scene_obs": np.zeros(24)})
+    assert calls == [((15,), (24,))]
+
+
 def test_rollout_drives_stub_oracle(monkeypatch, tmp_path):
     """evaluate_sequence runs against the stubbed oracle/env contract: the
     reset path accepts a chain initial_state and the oracle is queried with

@@ -268,12 +268,78 @@ def test_token_cache_bounded(setup):
         core.shutdown()
 
 
-def test_batched_core_refuses_unsupported(setup):
+def test_stage_reuse_per_lane_rows(setup):
+    """steps_per_stage>1 in the micro-batcher (value_net.py:284-286): a
+    lane's mid-stage dispatch forces its previous exit through its own
+    threshold row; a fresh-stage dispatch uses the lane's base row; reset
+    restarts the lane's stage counter."""
     cfg, params, tok = setup
-    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8, 1e8],
-                         steps_per_stage=3)
-    with pytest.raises(ServeError, match="stage"):
-        BatchedActionServer(pol, tok)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[-1e8, 1e8],
+                         steps_per_stage=2)
+    core = BatchedActionServer(pol, tok, lanes=2, window_ms=0.0)
+    try:
+        rows_log = []
+        orig = core._engine.set_threshold_array
+
+        def rec(arr):
+            rows_log.append(np.asarray(arr, np.float32).copy())
+            return orig(arr)
+
+        core._engine.set_threshold_array = rec
+        e0, e_last = pol.exits[0], pol.exits[-1]
+        o1 = core.step(_payload(cfg, "a", 1))
+        o2 = core.step(_payload(cfg, "a", 2))
+        o3 = core.step(_payload(cfg, "a", 3))
+        lane = core._lane_of["a"]
+        assert core.healthz()["steps_per_stage"] == 2
+        # fresh decisions under [-1e8, 1e8] land on the last exit; the
+        # mid-stage step REUSES it
+        assert o1["exit_layer"] == e_last
+        assert o2["exit_layer"] == o1["exit_layer"]
+        d1, d2, d3 = rows_log[:3]
+        assert d1[lane, e0] == np.float32(-1e8)    # base row (fresh)
+        assert d2[lane, e0] == np.float32(-1e30)   # forced: only last exit
+        assert d2[lane, e_last] == np.float32(1e30)
+        assert d3[lane, e0] == np.float32(-1e8)    # fresh stage again
+        assert o3["exit_layer"] == e_last
+        # reset restarts the stage counter: the NEXT step is fresh even
+        # though the lane sits mid-stage (step 4 of sps=2)
+        core.step(_payload(cfg, "a", 4))
+        core.reset({"stream": "a"})
+        core.step(_payload(cfg, "a", 5))
+        assert rows_log[-1][lane, e0] == np.float32(-1e8)
+    finally:
+        core.shutdown()
+
+
+def test_stage_reuse_mixed_phases_share_dispatch(setup):
+    """Lanes on DIFFERENT stage phases batch together: stream a (mid-stage,
+    forced row) and stream b (fresh, base row) land in one dispatch."""
+    cfg, params, tok = setup
+    pol = ScanDeerPolicy(params, cfg, thresholds=[-1e8, 1e8],
+                         steps_per_stage=2)
+    core = BatchedActionServer(pol, tok, lanes=2, window_ms=150.0)
+    try:
+        core.step(_payload(cfg, "a", 1))          # a: step 0 (fresh)
+        rows_log = []
+        orig = core._engine.set_threshold_array
+
+        def rec(arr):
+            rows_log.append(np.asarray(arr, np.float32).copy())
+            return orig(arr)
+
+        core._engine.set_threshold_array = rec
+        core.reset({"stream": "b"})               # pre-register b's lane
+        outs = _concurrent_steps(
+            core, [_payload(cfg, "a", 2), _payload(cfg, "b", 3)])
+        assert outs[0]["batched_with"] == outs[1]["batched_with"] == 2
+        la, lb = core._lane_of["a"], core._lane_of["b"]
+        e0 = pol.exits[0]
+        d = rows_log[0]
+        assert d[la, e0] == np.float32(-1e30)     # a mid-stage: forced
+        assert d[lb, e0] == np.float32(-1e8)      # b fresh: base row
+    finally:
+        core.shutdown()
 
 
 def _folded_cfg(cfg, use_hist=False, mode=None, use_state=False, window=2):

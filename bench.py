@@ -18,6 +18,7 @@ cost (1000 sequences in ~4.5 h on 8x V100, README.md:126; ~650 env steps per
 sequence) the per-GPU policy rate is ~4 actions/s.  vs_baseline = ours / 4.
 """
 
+import functools
 import json
 import os
 import time
@@ -335,6 +336,19 @@ def run_model(bench_model: str) -> dict:
                 # weight-only int8 still computes in bf16 -> bf16 peak basis
                 **mfu_fields(expected_gflops, 1.0 / aps_q8, peak),
             }
+            # fp-vs-int8 exit-choice agreement under calibrated thresholds
+            # (VERDICT r2 item 7) — needs the raw param tree (freed on 9B)
+            if (BENCH_MODEL != "mpt_9b"
+                    and os.environ.get("DEER_BENCH_INT8_AGREE", "1") != "0"):
+                if over_budget(180):
+                    int8_detail["exit_agreement"] = {"skipped": "time budget"}
+                else:
+                    try:
+                        int8_detail["exit_agreement"] = run_int8_agreement(
+                            policy, q8, params, cfg)
+                    except Exception as e:
+                        int8_detail["exit_agreement"] = {
+                            "error": repr(e)[:200]}
             del q8
         except Exception as e:
             int8_detail = {"error": repr(e)[:200]}
@@ -369,6 +383,117 @@ def run_model(bench_model: str) -> dict:
     if batched_w8a8:
         result["detail"]["batched32_w8a8"] = batched_w8a8
     return result
+
+
+def run_int8_agreement(policy, q8, params, cfg, steps: int = 24,
+                       exit_ratio: float = 0.8, seed: int = 123) -> dict:
+    """Trajectory-level exit-CHOICE agreement, fp vs int8, under CALIBRATED
+    thresholds (VERDICT r2 item 7) — the quantity that actually moves the
+    GFLOPs/success trade-off, which action-drift bounds don't capture.
+
+    A random-init model has ZERO x-attn gates (helpers.py:255-258 parity),
+    so deltas depend on text alone and any threshold is degenerate; the
+    gates are first opened with shared random values IDENTICALLY in the
+    raw params (calibration pass) and both engines' stacked trees (the
+    tests/test_exit_contract.py trick).  Thresholds are then solved from a
+    real calibration pass (eval/calibrate.py) and the SAME held-out frame/
+    text trajectory is stepped through the fp and int8 engines, each
+    threading its own carry.  Mutates the passed trees (bench-final use).
+    """
+    import dataclasses as _dc
+
+    from deer_vla_tpu.data.debug_data import DebugBatcher
+    from deer_vla_tpu.data.preprocess import clip_preprocess
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.calibrate import generate_calibration_values
+    from deer_vla_tpu.models.value_net import solve_thresholds
+    from deer_vla_tpu.ops.lstm import zero_carry
+
+    exits = list(policy.exits)
+    # shared random gate values into all three trees (gates are (n_x, 1)
+    # scalars — no HBM cost, no recompile: same shapes/dtypes)
+    n_x = policy.stacked["xattn"]["attn_gate"].shape[0]
+    kg = jax.random.PRNGKey(seed)
+    ag = jax.random.normal(jax.random.fold_in(kg, 0), (n_x, 1)) * 0.5
+    fg = jax.random.normal(jax.random.fold_in(kg, 1), (n_x, 1)) * 0.5
+    xi = 0
+    for x in params["decoder"]["xattn"]:
+        if x is None:
+            continue
+        x["attn_gate"], x["ff_gate"] = ag[xi], fg[xi]
+        xi += 1
+    assert xi == n_x, (xi, n_x)
+    for tree in (policy.stacked, q8.stacked):
+        tree["xattn"]["attn_gate"] = ag
+        tree["xattn"]["ff_gate"] = fg
+
+    # calibration over synthetic CALVIN-shaped batches; ids remapped to the
+    # engines' compiled media token (the tokenizer/model contract)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+
+    def remap(ids):
+        ids = np.asarray(ids).copy()
+        if tok.media_token_id != cfg.media_token_id:
+            ids[ids == tok.media_token_id] = cfg.media_token_id
+        return ids
+
+    def batches(seed_, num):
+        for b in DebugBatcher(cfg, tok, batch_size=4, num_batches=num,
+                              img_hw=cfg.vit.image_size,
+                              grip_hw=cfg.vit.image_size, seed=seed_):
+            yield {**b, "input_ids": remap(b["input_ids"])}
+
+    values = generate_calibration_values(params, cfg, batches(seed, 3))
+    if len(np.unique(values[0])) < max(4, len(exits)):
+        return {"error": "degenerate calibration deltas (gates)"}
+    th_map, probs = solve_thresholds(values, exit_ratio, exits, exits[-1])
+    th_row = jnp.asarray(policy.threshold_row(th_map))
+
+    # held-out trajectory: per-frame serving steps on IDENTICAL inputs
+    prep = jax.jit(functools.partial(clip_preprocess,
+                                     size=cfg.vit.image_size))
+    frames = []
+    for b in batches(seed + 1000, 4):
+        s = b["input_ids"].shape[-1]
+        for row in range(b["rgb_static"].shape[0]):
+            ids_row = jnp.asarray(b["input_ids"][row].reshape(1, s))
+            m_row = jnp.ones((1, s), jnp.int32)
+            for t in range(b["rgb_static"].shape[1]):
+                img = prep(jnp.asarray(
+                    b["rgb_static"][row, t][None]))[:, None, None]
+                grp = prep(jnp.asarray(
+                    b["rgb_gripper"][row, t][None]))[:, None, None]
+                frames.append((img, grp, ids_row, m_row))
+                if len(frames) >= steps:
+                    break
+            if len(frames) >= steps:
+                break
+        if len(frames) >= steps:
+            break
+
+    def run(engine):
+        carry = zero_carry(cfg.head.lstm_num_layers, 1,
+                           cfg.head.hidden_size, jnp.float32)
+        taken = []
+        for img, grp, ids_row, m_row in frames:
+            _, _, carry, el = engine._step(engine.params, engine.stacked,
+                                           img, grp, ids_row, m_row, carry,
+                                           th_row)
+            taken.append(int(el[0]))  # host readback: honest per-step sync
+        return np.asarray(taken)
+
+    fp_e, q8_e = run(policy), run(q8)
+    hist = [int((fp_e == e).sum()) for e in exits]
+    return {
+        "steps": len(fp_e),
+        "exit_agreement": round(float((fp_e == q8_e).mean()), 4),
+        "mean_abs_exit_gap_layers":
+            round(float(np.abs(fp_e - q8_e).mean()), 3),
+        "fp_exit_hist": hist,
+        "exit_ratio": exit_ratio,
+        "target_probs": [round(float(p), 3) for p in probs],
+    }
 
 
 def _bench_train_cfg():

@@ -1,17 +1,25 @@
-"""Single-program dynamic-exit inference: the whole per-timestep decision
-chain compiles into ONE XLA program with `lax.cond`-guarded segments.
+"""lax.cond-chain dynamic-exit engine — EQUIVALENCE ORACLE, not a serving
+path.
 
-This is the BASELINE.json north-star execution model: "the data-dependent
-exit decision runs under lax.cond/scan with no host round-trips".  Each exit
-bucket (decoder layers (prev_exit, exit_k] + speculative head + delta
-compare) sits inside a lax.cond whose predicate is "not exited yet" — XLA
-executes only the taken branch, so early exit still skips the FLOPs of the
-remaining layers, and the host dispatches exactly one program per action
-(vs one per bucket in eval/policy.DeerPolicy — decisive when dispatch
-latency is non-trivial, e.g. remote/tunneled TPUs or tight control loops).
+STATUS (deliberate): the production single-program engine is
+eval/scan_policy.ScanDeerPolicy (lax.while_loop; what `--engine fused`,
+bench.py and all serving surfaces run).  This unrolled cond-chain variant
+computes the identical math through an independent program structure but
+compiles 30x slower at 3B over a tunneled backend (45+ min vs ~90 s —
+CLAUDE.md), so it is kept ONLY as the cross-engine equivalence oracle on
+CPU-sized configs (tests/test_scan_policy.py, tests/test_fusion_modes.py);
+new engine features (quantize modes, proprio, plans) land on the while-loop
+engine first and are NOT required here.  Do not wire it into CLIs or
+serving.
 
-Thresholds are a runtime ARRAY argument, so Bayesian-optimization sweeps
-(cli/bayes_opt.py) re-use one compiled program across candidate thresholds.
+Original design notes: the whole per-timestep decision chain compiles into
+ONE XLA program — each exit bucket (decoder layers (prev_exit, exit_k] +
+speculative head + delta compare) sits inside a lax.cond whose predicate is
+"not exited yet", so XLA executes only the taken branch, early exit skips
+the remaining layers' FLOPs, and the host dispatches one program per action
+(the BASELINE.json north-star property, shared by the while-loop engine).
+Thresholds are a runtime ARRAY argument, so BO sweeps reuse one compiled
+program across candidates.
 """
 
 from __future__ import annotations

@@ -98,3 +98,34 @@ def test_supports_kv_cache_gates_llama():
     llama = dataclasses.replace(
         cfg, mpt=dataclasses.replace(cfg.mpt, arch="llama"))
     assert not supports_kv_cache(llama)
+
+
+def test_auto_engine_switches_on_prompt_length(setup, monkeypatch):
+    """decode_engine='auto' (the harness default): short prompts stay on
+    the full-recompute generator, long few-shot buffers route through the
+    KV cache (reference open_flamingo.py generates with use_cache=True)."""
+    from deer_vla_tpu.eval import eval_models
+    from deer_vla_tpu.eval import kv_decode as kvmod
+    from deer_vla_tpu.eval import vl_eval as vlmod
+
+    cfg, params, tok = setup
+    model = eval_models.FlamingoEvalModel(cfg, params, tok)
+    assert model.decode_engine == "auto"
+    used = []
+
+    def fake_cached(*a, **kw):
+        used.append("kv_cache")
+        return np.zeros((1, 4), np.int32)
+
+    def fake_recompute(*a, **kw):
+        used.append("recompute")
+        return np.zeros((1, 4), np.int32)
+
+    monkeypatch.setattr(kvmod, "greedy_generate_cached", fake_cached)
+    monkeypatch.setattr(vlmod, "greedy_generate", fake_recompute)
+    vision = np.zeros((1, 1, 1, 3, cfg.vit.image_size, cfg.vit.image_size),
+                      np.float32)
+    model.get_outputs(vision, ["a b"], max_new_tokens=4)
+    long_prompt = "<image>" + " word" * 150 + " answer:"
+    model.get_outputs(vision, [long_prompt], max_new_tokens=4, raw=True)
+    assert used == ["recompute", "kv_cache"], used

@@ -275,3 +275,40 @@ def test_quantized_stacked_block_forward_close(tiny_setup):
         rel = (np.abs(np.asarray(y - yq)).max()
                / (np.abs(np.asarray(y)).max() + 1e-9))
         assert rel < 0.05, rel
+
+
+def test_int8_exit_agreement_trajectory():
+    """VERDICT r2 item 7: trajectory-level exit-CHOICE agreement, fp vs
+    int8, under CALIBRATED thresholds — the quantity that moves the
+    GFLOPs/success trade-off (action-drift bounds don't capture it).
+    Drives bench.run_int8_agreement, the same code the TPU bench records
+    in BENCH detail.int8.exit_agreement."""
+    import sys
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+
+    # fresh params (run_int8_agreement opens the x-attn gates in place);
+    # 8 layers -> >2 exits so mid-distribution thresholds exist
+    cfg = deer_tiny(n_layers=8)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    policy = ScanDeerPolicy(params, cfg)
+    q8 = SimpleNamespace(params=policy.params,
+                         stacked=quantize_serving_stacked(policy.stacked,
+                                                          "int8"),
+                         _step=policy._step)
+    out = bench.run_int8_agreement(policy, q8, params, cfg, steps=24,
+                                   exit_ratio=0.8)
+    assert "error" not in out, out
+    assert out["steps"] == 24
+    assert 0.0 <= out["exit_agreement"] <= 1.0
+    # int8 is a small perturbation: most exit choices must survive it
+    assert out["exit_agreement"] >= 0.5, out
+    assert out["mean_abs_exit_gap_layers"] < cfg.n_layers / 2, out
+    assert sum(out["fp_exit_hist"]) == 24
+    # the measurement has power only if fp exits actually spread
+    assert sum(1 for c in out["fp_exit_hist"] if c > 0) >= 2, out

@@ -204,6 +204,7 @@ def run_model(bench_model: str) -> dict:
     # via sync_step_ms)
     batched_aps = 0.0
     batched_w8a8 = {}
+    batched_tome = {}
     if BENCH_MODEL != "mpt_9b":  # 9B keeps HBM headroom for stacked weights
         B = 32
         bp = ScanDeerPolicy(params, cfg,
@@ -234,18 +235,70 @@ def run_model(bench_model: str) -> dict:
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
 
+        del imgB_pool, carryB, armB, gpB, elB  # HBM headroom for A/Bs below
+        from types import SimpleNamespace
+        iters_w, warm_w = 10, 3
+
+        def time_b(p, pool):
+            c = zero_carry(cfg.head.lstm_num_layers, B,
+                           cfg.head.hidden_size, jnp.float32)
+            for i in range(warm_w):
+                a_, g_, c, e_ = p._step(p.params, p.stacked, pool[i],
+                                        pool[i], idsB, maskB, c, thB)
+            jax.block_until_ready((a_, g_, c, e_))
+            t0 = time.perf_counter()
+            for i in range(warm_w, warm_w + iters_w):
+                a_, g_, c, e_ = p._step(p.params, p.stacked, pool[i],
+                                        pool[i], idsB, maskB, c, thB)
+            jax.block_until_ready((a_, g_, c, e_))
+            return (time.perf_counter() - t0) / iters_w
+
+        # ToMe batched serving (--vit_tome_r 8, ops/tome.py): the B=32 step
+        # is COMPUTE-bound (~50% MFU), so the -36% analytic-FLOPs merge cut
+        # translates ~1:1 (scripts/bench_tome.py measured 1.41x).  The tome
+        # engine shares bp's packed weights (ToMe is weight-free) — only a
+        # second program compiles.  Approximate accel: the HEADLINE value
+        # stays the exact tower; this section records the opt-in gain.
+        batched_tome = {}
+        if os.environ.get("DEER_BENCH_TOME", "1") != "0" and over_budget(300):
+            batched_tome = {"skipped": "time budget"}
+        elif os.environ.get("DEER_BENCH_TOME", "1") != "0":
+            try:
+                import dataclasses as _dc
+
+                from deer_vla_tpu.eval.scan_policy import build_scan_step
+                cfg_t = _dc.replace(cfg, vit=_dc.replace(cfg.vit, tome_r=8))
+                tm = SimpleNamespace(
+                    params=bp.params, stacked=bp.stacked,
+                    _step=build_scan_step(cfg_t, exits, "L2", None)[0])
+                imgT = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw), jnp.float32)
+                        for _ in range(2 * (iters_w + warm_w))]
+                t_tm = time_b(tm, imgT[:iters_w + warm_w])
+                t_bf2 = time_b(bp, imgT[iters_w + warm_w:])
+                g_t = full_step_flops(cfg_t, exits[-1])
+                batched_tome = {
+                    "r": 8,
+                    "actions_per_sec": round(B / t_tm, 2),
+                    "bf16_exact_adjacent_actions_per_sec":
+                        round(B / t_bf2, 2),
+                    "speedup_vs_exact": round(t_bf2 / t_tm, 3),
+                    "analytic_flops_ratio":
+                        round(g_t / float(per_depth_gflops[-1]), 3),
+                    **mfu_fields(g_t, t_tm / B, peak),
+                }
+                del tm, imgT
+            except Exception as e:
+                batched_tome = {"error": repr(e)[:200]}
+
         # w8a8 at batch (--quantize int8_w8a8): the B=32 step is
         # COMPUTE-bound, so int8 x int8 MXU matmuls (2x bf16 MXU on v5e)
         # are the lever weight-only int8 isn't.  Same-process adjacent
         # A/B: re-time bf16 next to the w8a8 run (time-shared chip).
-        del imgB_pool, carryB, armB, gpB, elB  # HBM headroom for w8a8
         batched_w8a8 = {}
         if os.environ.get("DEER_BENCH_W8A8", "1") != "0" and over_budget(240):
             batched_w8a8 = {"skipped": "time budget"}
         elif os.environ.get("DEER_BENCH_W8A8", "1") != "0":
             try:
-                from types import SimpleNamespace
-
                 from deer_vla_tpu.ops.quant import quantize_serving_stacked
                 w8 = SimpleNamespace(
                     params=bp.params,
@@ -254,27 +307,9 @@ def run_model(bench_model: str) -> dict:
                     _step=bp._step)
                 # small distinct-image pools: 2*(10+3) B=32 fp32 frames is
                 # ~0.5 GB — 100 would be ~2 GB of HBM on top of 3 stacks
-                iters_w, warm_w = 10, 3
                 imgW = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw),
                                     jnp.float32)
                         for _ in range(2 * (iters_w + warm_w))]
-
-                def time_b(p, pool):
-                    c = zero_carry(cfg.head.lstm_num_layers, B,
-                                   cfg.head.hidden_size, jnp.float32)
-                    for i in range(warm_w):
-                        a_, g_, c, e_ = p._step(p.params, p.stacked,
-                                                pool[i], pool[i], idsB,
-                                                maskB, c, thB)
-                    jax.block_until_ready((a_, g_, c, e_))
-                    t0 = time.perf_counter()
-                    for i in range(warm_w, warm_w + iters_w):
-                        a_, g_, c, e_ = p._step(p.params, p.stacked,
-                                                pool[i], pool[i], idsB,
-                                                maskB, c, thB)
-                    jax.block_until_ready((a_, g_, c, e_))
-                    return (time.perf_counter() - t0) / iters_w
-
                 t_w8 = time_b(w8, imgW[:iters_w + warm_w])
                 t_bf = time_b(bp, imgW[iters_w + warm_w:])
                 batched_w8a8 = {
@@ -382,6 +417,8 @@ def run_model(bench_model: str) -> dict:
         result["detail"]["int8"] = int8_detail
     if batched_w8a8:
         result["detail"]["batched32_w8a8"] = batched_w8a8
+    if batched_tome:
+        result["detail"]["batched32_tome8"] = batched_tome
     return result
 
 

@@ -115,6 +115,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "latents across near-identical frames (exact head "
                         "semantics; composes with both the while-loop and "
                         "bucketed engines; not with --lanes)")
+    p.add_argument("--vit_tome_r", type=int, default=0,
+                   help="ToMe token merging: merge N ViT patch-token pairs "
+                        "per layer (ops/tome.py). Training-free vision-FLOPs "
+                        "reduction (~40%% of the dominant encode at r=8 on "
+                        "ViT-L); approximate — validate task success before "
+                        "production. 0 = exact tower (default)")
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -211,6 +217,11 @@ def main(argv=None):
     cfg, params = load_model(args)
     tok = make_tokenizer(args, cfg)
     cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    if args.vit_tome_r > 0:
+        # weight-free: safe to flip post-load; calibration and serving then
+        # share the merged tower so thresholds match the served deltas
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, tome_r=args.vit_tome_r))
     if args.env_workers > 1 and args.lanes <= 1:
         raise SystemExit("--env_workers only applies to the batched "
                          "rollout; add --lanes N")

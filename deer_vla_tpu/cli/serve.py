@@ -61,6 +61,11 @@ def build_parser():
                    help="direct per-exit thresholds (BO output); overrides "
                         "the sidecar solve")
     p.add_argument("--steps_per_stage", type=int, default=1)
+    p.add_argument("--vit_tome_r", type=int, default=0,
+                   help="ToMe token merging in the ViT tower (ops/tome.py): "
+                        "merge N patch-token pairs per layer. Weight-free "
+                        "opt-in vision-FLOPs cut; validate task success "
+                        "before production. 0 = exact (default)")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "int8_w8a8"])
     p.add_argument("--tcp_rel", action="store_true")
@@ -106,6 +111,10 @@ def build_core(args):
         cfg, params = load_model(args)
         tok = make_tokenizer(args, cfg)
         cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+        if args.vit_tome_r > 0:  # weight-free: safe post-load (cli/eval.py)
+            cfg = dataclasses.replace(
+                cfg, vit=dataclasses.replace(cfg.vit,
+                                             tome_r=args.vit_tome_r))
         max_layer = args.max_layer if args.max_layer > 0 else None
         quantize = None if args.quantize == "none" else args.quantize
 

@@ -170,6 +170,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vqa_ann", default="")
     p.add_argument("--vl_weight", type=float, default=1.0)
     p.add_argument("--vl_batch_size", type=int, default=None)
+    p.add_argument("--vit_tome_r", type=int, default=0,
+                   help="ToMe token merging in the frozen ViT (ops/tome.py): "
+                        "merge N patch-token pairs per layer; cuts the "
+                        "dominant per-frame vision FLOPs. Approximate — "
+                        "validate quality. 0 = exact tower (default)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize decoder layers (activation memory)")
     p.add_argument("--remat_policy", default="full", choices=["full", "dots"],
@@ -243,6 +248,12 @@ def make_model_config(args):
             updates["state_dim"] = 7
     if head_updates:
         updates["head"] = dataclasses.replace(cfg.head, **head_updates)
+    if getattr(args, "vit_tome_r", 0) > 0:
+        # ToMe merged tower for training too (vision_tokens routes on cfg):
+        # the frozen ViT dominates per-frame train FLOPs the same way it
+        # dominates serving; weight-free, so checkpoints stay loadable with
+        # any tome_r at eval
+        updates["vit"] = dataclasses.replace(cfg.vit, tome_r=args.vit_tome_r)
     return dataclasses.replace(cfg, **updates)
 
 

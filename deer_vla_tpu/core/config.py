@@ -68,6 +68,11 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     # CLIP ViT uses QuickGELU in the MLP for the OpenAI weights.
     use_quick_gelu: bool = True
+    # ToMe token merging: merge `tome_r` patch-token pairs per layer
+    # (ops/tome.py; opt-in --vit_tome_r).  0 = exact tower (the default and
+    # the reference behavior).  Approximate — validate task success against
+    # real checkpoints before production use.
+    tome_r: int = 0
 
     @property
     def grid(self) -> int:

@@ -26,13 +26,32 @@ def attention_flops(tokens_q: int, tokens_kv: int, dim: int, inner: int) -> int:
 
 
 def vit_flops(cfg: ViTConfig) -> int:
-    s = cfg.seq_len
+    """Exact tower, or the ToMe-merged tower when cfg.tome_r > 0: layer i's
+    attention runs on the pre-merge token count, its MLP on the post-merge
+    count, plus the (B-independent) bipartite similarity matmul."""
+    from deer_vla_tpu.ops.tome import tome_schedule
+
     d = cfg.width
-    per_layer = (attention_flops(s, s, d, d)
-                 + linear_flops(s, d, int(d * cfg.mlp_ratio))
-                 + linear_flops(s, int(d * cfg.mlp_ratio), d))
-    patch = linear_flops(cfg.num_patches, 3 * cfg.patch_size ** 2, d)
-    return patch + cfg.layers * per_layer
+    inner = int(d * cfg.mlp_ratio)
+    schedule = tome_schedule(cfg.num_patches, cfg.layers, cfg.tome_r)
+    total = linear_flops(cfg.num_patches, 3 * cfg.patch_size ** 2, d)
+    n = cfg.num_patches
+    for r in schedule:
+        s = n + 1  # + CLS
+        total += attention_flops(s, s, d, d)
+        if r > 0:
+            total += 2 * ((n + 1) // 2) * (n // 2) * cfg.head_dim
+        n -= r
+        total += linear_flops(n + 1, d, inner) + linear_flops(n + 1, inner, d)
+    return total
+
+
+def final_vit_tokens(cfg: ViTConfig) -> int:
+    """Patch tokens the tower emits (feeds the perceiver): num_patches
+    minus the ToMe schedule's total merges."""
+    from deer_vla_tpu.ops.tome import tome_schedule
+    return cfg.num_patches - sum(tome_schedule(cfg.num_patches, cfg.layers,
+                                               cfg.tome_r))
 
 
 def perceiver_flops(cfg: PerceiverConfig, num_media_tokens: int) -> int:
@@ -94,7 +113,7 @@ def llm_flops_per_exit(cfg: DeerConfig) -> Dict[int, float]:
 def full_step_flops(cfg: DeerConfig, exit_layer: int) -> float:
     """GFLOPs for one full streaming action at a given exit (2 cameras)."""
     total = 2 * vit_flops(cfg.vit)
-    total += 2 * perceiver_flops(cfg.perceiver, cfg.vit.num_patches)
+    total += 2 * perceiver_flops(cfg.perceiver, final_vit_tokens(cfg.vit))
     total += llm_flops_per_exit(cfg)[exit_layer] * 1e9
     total += head_flops(cfg)
     return total / 1e9
@@ -125,7 +144,7 @@ def train_step_flops(cfg: DeerConfig) -> float:
     is omitted.  Reference accounting: mosaic_gpt_3b.py:401-407."""
     w = cfg.window_size
     fwd_frame = 2 * vit_flops(cfg.vit) \
-        + 2 * perceiver_flops(cfg.perceiver, cfg.vit.num_patches) \
+        + 2 * perceiver_flops(cfg.perceiver, final_vit_tokens(cfg.vit)) \
         + llm_flops_per_exit(cfg)[cfg.n_layers - 1] * 1e9
     # final head + 2 random-exit samplings + one head per internal exit
     n_heads = 3 + (len(cfg.exit_layer_ids()) if cfg.multi_exit else 0)

@@ -163,7 +163,14 @@ def vision_tokens(params: dict, v: jnp.ndarray, cfg: DeerConfig,
     stacked = stacked or {}
     b, t, f = v.shape[:3]
     flat = v.reshape((b * t * f,) + v.shape[3:]).astype(cfg.dtypes.cdt)
-    if "vit" in stacked:
+    if cfg.vit.tome_r > 0:
+        # ToMe token merging (ops/tome.py): fewer tokens per layer, exact
+        # when tome_r == 0 — the perceiver consumes tokens as a set, so the
+        # shorter token list flows through every fusion mode unchanged
+        from deer_vla_tpu.models.vit import vit_forward_tome
+        _, tokens = vit_forward_tome(params["vit"], flat, cfg.vit,
+                                     stacked.get("vit"))
+    elif "vit" in stacked:
         _, tokens = vit_forward_stacked(params["vit"], stacked["vit"], flat,
                                         cfg.vit)
     else:

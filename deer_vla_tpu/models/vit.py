@@ -101,6 +101,62 @@ def vit_forward(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> Tuple[jnp.ndarr
     return h[:, 0], h[:, 1:]
 
 
+def _block_tome(p: dict, x: jnp.ndarray, sizes: jnp.ndarray, heads: int,
+                act, r: int, any_merged: bool):
+    """One ViT block with ToMe merging between attention and MLP
+    (ops/tome.py).  x: (B, 1+n, D) with CLS at 0; sizes: (B, n) patch-token
+    multiplicities.  Returns (x', sizes') with n' = n - r.  ``any_merged``
+    is a STATIC flag: until the first merge all sizes are exactly 1 and the
+    proportional-attention bias (log 1 = 0) is skipped, keeping the
+    pre-merge layers bit-identical to the exact tower."""
+    from deer_vla_tpu.ops.tome import bipartite_merge, proportional_attn_bias
+
+    h = layernorm(p["ln_1"], x)
+    qkv = linear(p["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (split_heads(t, heads) for t in (q, k, v))
+    bias = None
+    if any_merged:
+        ones = jnp.ones_like(sizes[:, :1])
+        bias = proportional_attn_bias(
+            jnp.concatenate([ones, sizes], axis=1), x.shape[1])
+    attn = merge_heads(dot_attention(q, k, v, bias=bias))
+    x = x + linear(p["out"], attn)
+    if r > 0:
+        metric = k.mean(axis=1)  # (B, 1+n, head_dim): mean attention keys
+        patches, sizes = bipartite_merge(x[:, 1:], metric[:, 1:], sizes, r)
+        x = jnp.concatenate([x[:, :1], patches], axis=1)
+    h = layernorm(p["ln_2"], x)
+    h = linear(p["mlp_proj"], act(linear(p["mlp_fc"], h)))
+    return x + h, sizes
+
+
+def vit_forward_tome(params: dict, x: jnp.ndarray, cfg: ViTConfig,
+                     stacked_blocks: dict = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """vit_forward with ToMe token merging (cfg.tome_r per layer; see
+    ops/tome.py for the design and the quality caveat).  The layer loop is
+    UNROLLED — the token count shrinks per layer, so shapes are per-layer
+    static and lax.scan cannot apply; with ``stacked_blocks`` the packed
+    serving pytree is sliced per layer (argument-leaf count stays low, see
+    stack_vit_blocks).  Returns (pooled_CLS, tokens) like vit_forward, with
+    tokens (B, P - sum(schedule), width)."""
+    from deer_vla_tpu.ops.tome import tome_schedule
+
+    h = _prologue(params, x, cfg)
+    act = quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
+    schedule = tome_schedule(cfg.num_patches, cfg.layers, cfg.tome_r)
+    sizes = jnp.ones(h.shape[:1] + (cfg.num_patches,), jnp.float32)
+    any_merged = False
+    for i in range(cfg.layers):
+        blk = (params["blocks"][i] if stacked_blocks is None
+               else jax.tree.map(lambda a: a[i], stacked_blocks))
+        h, sizes = _block_tome(blk, h, sizes, cfg.heads, act, schedule[i],
+                               any_merged)
+        any_merged = any_merged or schedule[i] > 0
+    h = layernorm(params["ln_post"], h)
+    return h[:, 0], h[:, 1:]
+
+
 def stack_vit_blocks(params: dict, dtype=None) -> dict:
     """blocks list -> one pytree with leading L dim (serving path).
 

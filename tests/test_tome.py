@@ -227,3 +227,42 @@ def test_tome_composes_with_int8_quantized_stack():
     ids[0, 0] = cfg.media_token_id
     a = pol.step(img, img, jnp.asarray(ids), jnp.ones((1, s), jnp.int32))
     assert np.isfinite(np.asarray(a)).all()
+
+
+def test_tome_engine_equivalence_scan_vs_bucketed():
+    """Both serving engines route vision through vision_tokens, so under
+    --vit_tome_r they must still agree on actions AND exit choices — the
+    cross-engine contract the serving matrix pins for the exact tower."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.flamingo import init_deer
+    from deer_vla_tpu.models.value_net import ExitController
+
+    cfg = MODEL_REGISTRY["tiny"]()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(
+        cfg, media_token_id=tok.media_token_id,
+        vit=dataclasses.replace(cfg.vit, image_size=56, tome_r=1))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    exits = list(cfg.all_exit_ids())
+    th = [0.05, 1e8]
+    ctrl = ExitController(exit_id_list=exits, max_layer=cfg.n_layers)
+    ctrl.set_thresholds({e: t for e, t in zip(exits, th)})
+    host = DeerPolicy(params, cfg, controller=ctrl)
+    scan = ScanDeerPolicy(params, cfg, thresholds=list(th))
+    r = np.random.RandomState(0)
+    hw, s = cfg.vit.image_size, cfg.text_len
+    ids = np.full((1, s), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((1, s), jnp.int32)
+    for t in range(3):
+        img = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+        grip = jnp.asarray(r.randn(1, 1, 1, 3, hw, hw), jnp.float32)
+        host.set_timestep(t)
+        a_h = host.step(img, grip, ids, mask)
+        a_s = scan.step(img, grip, ids, mask)
+        assert scan.last_exit_layer == host.last_exit_layer
+        np.testing.assert_allclose(a_s, a_h, rtol=2e-4, atol=2e-4)

@@ -32,11 +32,13 @@ REFERENCE_ACTIONS_PER_SEC = 4.0
 # DEER_BENCH_MODEL=mpt_9b benches the truncated 9B (DeeR-B on MPT-7B)
 BENCH_MODEL = os.environ.get("DEER_BENCH_MODEL", "mpt_dolly_3b")
 
-# wall-clock budget for OPTIONAL sections (w8a8/int8/train/9B): each checks
-# remaining budget before starting and records a skip instead of delaying
-# the headline JSON line past the driver's patience.  The core serving
-# measurement always runs to completion.
-BUDGET_S = float(os.environ.get("DEER_BENCH_BUDGET_S", "1500"))
+# wall-clock budget for OPTIONAL sections (tome/w8a8/int8/train/9B): each
+# checks remaining budget before starting and records a skip instead of
+# delaying the headline JSON line past the driver's patience.  The core
+# serving measurement always runs to completion.  2100s fits every section
+# incl. the tome A/B and the 9B sweep (a full r03 run measured ~33 min
+# wall; rounds 1-2 the driver waited through comparable runs).
+BUDGET_S = float(os.environ.get("DEER_BENCH_BUDGET_S", "2100"))
 _START = time.time()
 
 

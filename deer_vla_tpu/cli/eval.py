@@ -49,7 +49,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exit_id", type=int, default=None,
                    help="fixed exit layer (static eval, disables dynamic exit)")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int8_w8a8"],
+                   choices=["none", "int8", "int8_w8a8", "int4"],
                    help="quantized serving (ops/quant.py): int8 = "
                         "weight-only (halves weight HBM traffic of the "
                         "B=1 step, dequant fused into the dots); "

@@ -36,7 +36,7 @@ def build_parser():
     p.add_argument("--max_layer", type=int, default=-1)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int8_w8a8"],
+                   choices=["none", "int8", "int8_w8a8", "int4"],
                    help="bake the weight-only int8 stacked layout "
                         "(ops/quant.py) into the artifact; the serving "
                         "host quantizes checkpoint weights to match")

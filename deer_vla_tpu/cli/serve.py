@@ -67,7 +67,7 @@ def build_parser():
                         "opt-in vision-FLOPs cut; validate task success "
                         "before production. 0 = exact (default)")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int8_w8a8"])
+                   choices=["none", "int8", "int8_w8a8", "int4"])
     p.add_argument("--tcp_rel", action="store_true")
     p.add_argument("--diff_steps", type=int, default=0,
                    help="diffusion head: >0 samples with a DDIM "

@@ -137,6 +137,7 @@ def mpt_block_forward_stacked(stacked: dict, i, x: jnp.ndarray,
     scales/biases are tiny and sliced normally.
     """
     from deer_vla_tpu.ops.pallas.indexed_matmul import (indexed_matmul,
+                                                        indexed_matmul_q4,
                                                         indexed_matmul_q8)
 
     def imm(p: dict, h):
@@ -148,6 +149,8 @@ def mpt_block_forward_stacked(stacked: dict, i, x: jnp.ndarray,
                             p["q"], i, 0, keepdims=False),
                         "s8": jax.lax.dynamic_index_in_dim(
                             p["s8"], i, 0, keepdims=False)}, h)
+        elif "q4" in p:  # weight-only int4 stack (ops/quant.py, packed)
+            y = indexed_matmul_q4(h, p["q4"], p["s4"], i)
         elif "q" in p:  # weight-only int8 stack (ops/quant.py)
             y = indexed_matmul_q8(h, p["q"], p["s"], i)
         else:

@@ -80,6 +80,15 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.int32)
         y = (acc.astype(jnp.float32) * sx
              * p["s8"].astype(jnp.float32)).astype(x.dtype)
+    elif "q4" in p:
+        # weight-only int4 (ops/quant.py quantize_weight4): nibble-packed
+        # two rows per byte — HALF the int8 weight bytes on the
+        # bandwidth-bound B=1 step.  The halves-split packing unpacks as
+        # shifts + one concat, which XLA fuses into the dot's operand
+        # fetch; the per-column scale rides the epilogue like int8.
+        from deer_vla_tpu.ops.quant import unpack_int4
+        y = (jnp.dot(x, unpack_int4(p["q4"]).astype(x.dtype))
+             * p["s4"].astype(x.dtype))
     elif "q" in p:
         # weight-only int8 (ops/quant.py): the int8->compute-dtype cast and
         # the per-output-channel scale both fuse into the dot, so the

@@ -180,6 +180,112 @@ def indexed_matmul_q8(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray, idx,
     return y.reshape(*lead, n)
 
 
+# ---------------------------------------------------------------------------
+# weight-only int4 variant (ops/quant.py quantize_weight4 layout:
+# q4 (L, K/2, N) int8 nibble-packed — low nibbles = rows [0, K/2), high
+# nibbles = rows [K/2, K) — s (L, N) fp32 per-output-channel scales)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_q4(idx_ref, xa_ref, xb_ref, w_ref, s_ref, o_ref, acc_ref,
+               *, nk: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # unpack both nibbles in int32 (arithmetic right-shift sign-extends),
+    # then two MXU dots against the matching x halves: HBM only ever sees
+    # the packed bytes — HALF the int8 kernel's weight traffic
+    w32 = w_ref[0].astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(xa_ref.dtype)
+    hi = jnp.right_shift(w32, 4).astype(xa_ref.dtype)
+    acc_ref[...] += jax.lax.dot_general(
+        xa_ref[...], lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot_general(
+        xb_ref[...], hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] * s_ref[0, 0].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_kp", "block_n"))
+def _run_q4(x, wq4, s, idx, block_kp: int, block_n: int):
+    m, kdim = x.shape
+    nl, kp, n = wq4.shape  # kp = kdim // 2 packed rows
+    nk = pl.cdiv(kp, block_kp)
+    nn = pl.cdiv(n, block_n)
+    s3 = s.reshape(nl, 1, n)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nn, nk),
+        in_specs=[
+            # x twice: packed block k needs original rows [k*bkp, (k+1)*bkp)
+            # (low nibbles) AND [kp + k*bkp, ...) (high nibbles) — the
+            # halves-split packing keeps both fetches contiguous
+            pl.BlockSpec((m, block_kp), lambda j, k, idx: (0, k)),
+            pl.BlockSpec((m, block_kp), lambda j, k, idx: (0, nk + k)),
+            pl.BlockSpec((1, block_kp, block_n),
+                         lambda j, k, idx: (idx[0], k, j)),
+            pl.BlockSpec((1, 1, block_n), lambda j, k, idx: (idx[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda j, k, idx: (0, j)),
+        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_q4, nk=nk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * kdim * n,
+            bytes_accessed=kp * n + 2 * m * kdim * x.dtype.itemsize + n * 4,
+            transcendentals=0),
+    )(idx.reshape(1).astype(jnp.int32), x, x, wq4, s3)
+
+
+def _xla_fallback_q4(x, wq4, s, idx):
+    from deer_vla_tpu.ops.quant import unpack_int4
+    wi = jax.lax.dynamic_index_in_dim(wq4, idx, axis=0, keepdims=False)
+    si = jax.lax.dynamic_index_in_dim(s, idx, axis=0, keepdims=False)
+    return jnp.dot(x, unpack_int4(wi).astype(x.dtype)) * si.astype(x.dtype)
+
+
+def indexed_matmul_q4(x: jnp.ndarray, wq4: jnp.ndarray, s: jnp.ndarray, idx,
+                      *, block_kp: int = 512, block_n: int = 512,
+                      backend: Optional[str] = None) -> jnp.ndarray:
+    """``(x (..., K) @ unpack(wq4 (L, K/2, N))[idx]) * s (L, N)[idx]`` with
+    nibble-packed int4 weights: the layer streams HBM->VMEM at HALF the int8
+    bytes; both nibbles dequantize on-chip fused with two MXU dots (the
+    activations are tiny on the bandwidth-bound B=1 step, so fetching x
+    twice costs nothing)."""
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    lead = x.shape[:-1]
+    kdim = x.shape[-1]
+    if backend != "pallas":
+        return _xla_fallback_q4(x, wq4, s, jnp.asarray(idx))
+    x2 = x.reshape(-1, kdim)
+    m = x2.shape[0]
+    tile_m = 16 if x2.dtype == jnp.bfloat16 else 8
+    mp = _round_up(m, tile_m)
+    kp, n = wq4.shape[1], wq4.shape[2]
+    bkp = min(block_kp, kp)
+    bn = min(block_n, n)
+    if kp % bkp or n % bn or kdim != 2 * kp:
+        return _xla_fallback_q4(x, wq4, s, jnp.asarray(idx))
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    y = _run_q4(x2, wq4, s.astype(jnp.float32), jnp.asarray(idx), bkp, bn)
+    if mp != m:
+        y = y[:m]
+    return y.reshape(*lead, n)
+
+
 def indexed_matmul(x: jnp.ndarray, w: jnp.ndarray, idx,
                    *, block_k: int = 1024, block_n: int = 512,
                    backend: Optional[str] = None) -> jnp.ndarray:

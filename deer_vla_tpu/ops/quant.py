@@ -49,6 +49,52 @@ def dequantize_weight(q: jnp.ndarray, s: jnp.ndarray, dtype=jnp.float32,
             * jnp.expand_dims(s, axis)).astype(dtype)
 
 
+def quantize_weight4(w: jnp.ndarray):
+    """Symmetric per-output-channel int4, nibble-packed two-per-byte.
+
+    Packing layout is a HALVES split along the contraction axis: low nibbles
+    hold rows [0, K/2), high nibbles rows [K/2, K) — so unpacking is a single
+    sublane concat (no row interleave), which both the XLA fallback and the
+    Pallas layer-indexed kernel (ops/pallas/indexed_matmul.indexed_matmul_q4)
+    lower cheaply.  Values clip to [-7, 7] (s = max|w|/7; the -8 code is
+    unused to keep the scale symmetric).
+
+    Returns (q4 int8 (..., K/2, N) with two nibbles per byte,
+             s fp32 (..., N)).  Requires even K (callers fall back to int8
+    otherwise).  Error bound: |w - deq| <= s/2 per element — int4 is COARSE
+    (16 levels); ship behind an opt-in flag and validate quality on real
+    checkpoints.
+    """
+    k = w.shape[-2]
+    assert k % 2 == 0, f"int4 packing needs an even contraction dim, got {k}"
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=-2) / 7.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w32 / jnp.expand_dims(s, -2)), -7, 7
+                 ).astype(jnp.int8)
+    lo = q[..., : k // 2, :]
+    hi = q[..., k // 2:, :]
+    packed = jnp.bitwise_or(jnp.left_shift(hi, 4),
+                            jnp.bitwise_and(lo, 0x0F))
+    return packed.astype(jnp.int8), s
+
+
+def unpack_int4(q4: jnp.ndarray) -> jnp.ndarray:
+    """(..., K/2, N) packed nibbles -> (..., K, N) int8 in [-7, 7] (halves
+    layout, see quantize_weight4).  Shifts run in int32 — arithmetic
+    right-shift sign-extends both nibbles."""
+    w32 = q4.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(w32, 28), 28)
+    hi = jnp.right_shift(w32, 4)
+    return jnp.concatenate([lo, hi], axis=-2).astype(jnp.int8)
+
+
+def dequantize_weight4(q4: jnp.ndarray, s: jnp.ndarray,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    return (unpack_int4(q4).astype(jnp.float32)
+            * jnp.expand_dims(s, -2)).astype(dtype)
+
+
 def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
     """Replace every ``{"w": <matmul weight>}`` entry in a (nested) param
     tree with ``{"q", <scale_key>}``.  Only floating leaves under the key
@@ -62,6 +108,10 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
              runs int8 x int8 -> int32 on the MXU (2x bf16 MXU throughput
              on v5e; for COMPUTE-bound batched serving — weight-only
              already saturates the bandwidth-bound B=1 step)
+      "s4" — weight-only int4, nibble-packed (quantize_weight4): HALF the
+             int8 weight bytes for the bandwidth-bound B=1 step; COARSE
+             (16 levels) — opt-in, validate quality.  Odd-K weights fall
+             back to int8 within the same tree.
 
     Intended for the serving engines' STACKED layer trees
     (eval/scan_policy.stack_decoder_layers output), which contain ONLY
@@ -74,7 +124,12 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
             if (k == "w" and hasattr(v, "ndim") and v.ndim >= 2
                     and jnp.issubdtype(v.dtype, jnp.floating)
                     and v.shape[-1] >= min_dim and v.shape[-2] >= min_dim):
-                out["q"], out[scale_key] = quantize_weight(v)
+                if scale_key == "s4" and v.shape[-2] % 2 == 0:
+                    out["q4"], out["s4"] = quantize_weight4(v)
+                elif scale_key == "s4":  # odd K: int8 keeps the tree servable
+                    out["q"], out["s"] = quantize_weight(v)
+                else:
+                    out["q"], out[scale_key] = quantize_weight(v)
             else:
                 out[k] = quantize_tree(v, min_dim, scale_key)
         return out
@@ -84,7 +139,7 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
     return tree
 
 
-QUANT_MODES = ("int8", "int8_w8a8")
+QUANT_MODES = ("int8", "int8_w8a8", "int4")
 
 
 def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
@@ -93,13 +148,14 @@ def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
     layers).  Index maps / flags (has_xattn, xattn_idx) pass through.
 
     mode: None/"none" = no-op; "int8" = weight-only int8;
-    "int8_w8a8" = int8 weights + dynamic int8 activations (int8 MXU)."""
+    "int8_w8a8" = int8 weights + dynamic int8 activations (int8 MXU);
+    "int4" = weight-only nibble-packed int4 (coarse; opt-in)."""
     if not mode or mode == "none":
         return stacked
     if mode not in QUANT_MODES:
         raise ValueError(f"unknown quantize mode {mode!r} "
                          f"(want one of {QUANT_MODES})")
-    scale_key = "s8" if mode == "int8_w8a8" else "s"
+    scale_key = {"int8_w8a8": "s8", "int4": "s4"}.get(mode, "s")
     out = dict(stacked)
     for k in ("blocks", "xattn", "vit", "perceiver", "perceiver_gripper"):
         if k in out:

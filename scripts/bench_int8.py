@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=4)
     ap.add_argument("--indexed_mm", action="store_true")
+    ap.add_argument("--modes", default="int8",
+                    help="comma list of quant modes to A/B vs bf16 "
+                         "(int8, int4, int8_w8a8)")
     args = ap.parse_args()
 
     from deer_vla_tpu.core.config import MODEL_REGISTRY
@@ -38,11 +41,12 @@ def main():
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    engines = {
-        "bf16": ScanDeerPolicy(params, cfg, indexed_mm=args.indexed_mm),
-        "int8": ScanDeerPolicy(params, cfg, indexed_mm=args.indexed_mm,
-                               quantize="int8"),
-    }
+    engines = {"bf16": ScanDeerPolicy(params, cfg,
+                                      indexed_mm=args.indexed_mm)}
+    for mode in args.modes.split(","):
+        engines[mode] = ScanDeerPolicy(params, cfg,
+                                       indexed_mm=args.indexed_mm,
+                                       quantize=mode)
     from deer_vla_tpu.ops.quant import tree_bytes
     print(json.dumps({k: {"stacked_mb": round(tree_bytes(p.stacked) / 2**20)}
                       for k, p in engines.items()}))
@@ -89,15 +93,16 @@ def main():
     # interleave A/B per depth so chip time-sharing hits both evenly
     for k, name in [(0, "first_exit"), (len(exits) - 1, "full_depth")]:
         t_fp, a_fp = time_depth(engines["bf16"], k)
-        t_q8, a_q8 = time_depth(engines["int8"], k)
+        timed = {m: time_depth(engines[m], k)
+                 for m in engines if m != "bf16"}
         t_fp2, _ = time_depth(engines["bf16"], k)
         t_fp = min(t_fp, t_fp2)
-        out[name] = {
-            "bf16_ms": round(1000 * t_fp, 2),
-            "int8_ms": round(1000 * t_q8, 2),
-            "speedup": round(t_fp / t_q8, 3),
-            "action_max_diff": round(float(np.abs(a_fp - a_q8).max()), 4),
-        }
+        out[name] = {"bf16_ms": round(1000 * t_fp, 2)}
+        for m, (t_q, a_q) in timed.items():
+            out[name][f"{m}_ms"] = round(1000 * t_q, 2)
+            out[name][f"{m}_speedup"] = round(t_fp / t_q, 3)
+            out[name][f"{m}_action_max_diff"] = round(
+                float(np.abs(a_fp - a_q).max()), 4)
         print(json.dumps({name: out[name]}), flush=True)
     print(json.dumps(out))
 

@@ -141,11 +141,12 @@ def test_export_gpt_head_roundtrip(tmp_path):
     assert aot.last_exit_layer == live.last_exit_layer
 
 
-@pytest.mark.parametrize("quantize", [None, "int8"])
+@pytest.mark.parametrize("quantize", [None, "int8", "int4"])
 def test_bundle_roundtrip_no_model_python(setup, tmp_path, quantize):
     """Self-contained bundle: artifact + packed weight trees; the loaded
     BundledScanPolicy runs with no checkpoint and no init_deer, bit-exact
-    vs the live engine (incl. the int8 layout, ~2x smaller weights)."""
+    vs the live engine (incl. the int8/int4 layouts — int4 bundles ship the
+    nibble-packed weights ~4x smaller than bf16)."""
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     from deer_vla_tpu.serving.export import BundledScanPolicy, save_bundle
     cfg, params = setup

@@ -102,3 +102,29 @@ def test_indexed_matmul_traced_idx_under_while():
     ref = sum(float((np.asarray(x) @ np.asarray(w[i])).sum())
               for i in range(4))
     np.testing.assert_allclose(float(total), ref, rtol=1e-4)
+
+
+@pytest.mark.parametrize("m,kdim,n,blk", [
+    (32, 256, 384, (64, 128)),    # multi packed-k/n tiles
+    (7, 256, 128, (128, 128)),    # M padding + single packed-k tile
+])
+def test_indexed_matmul_q4_parity(m, kdim, n, blk):
+    """int4 kernel (nibble-packed, two-x-tile accumulation) vs the XLA
+    unpack fallback vs the dequantized dense product."""
+    from jax.experimental.pallas import tpu as pltpu
+    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul_q4
+    from deer_vla_tpu.ops.quant import dequantize_weight4, quantize_weight4
+    r = np.random.RandomState(3)
+    L = 3
+    x = jnp.asarray(r.randn(m, kdim), jnp.float32)
+    w = jnp.asarray(r.randn(L, kdim, n), jnp.float32)
+    q4, s = quantize_weight4(w)
+    for idx in range(L):
+        ref = np.asarray(x) @ np.asarray(dequantize_weight4(q4[idx], s[idx]))
+        with pltpu.force_tpu_interpret_mode():
+            out = indexed_matmul_q4(x, q4, s, idx, block_kp=blk[0],
+                                    block_n=blk[1], backend="pallas")
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-4)
+        out_xla = indexed_matmul_q4(x, q4, s, jnp.int32(idx), backend="xla")
+        np.testing.assert_allclose(np.asarray(out_xla), ref, rtol=2e-5,
+                                   atol=2e-4)

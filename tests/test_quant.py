@@ -312,3 +312,109 @@ def test_int8_exit_agreement_trajectory():
     assert sum(out["fp_exit_hist"]) == 24
     # the measurement has power only if fp exits actually spread
     assert sum(1 for c in out["fp_exit_hist"] if c > 0) >= 2, out
+
+
+# ---------------------------------------------------------------------------
+# int4 weight-only (nibble-packed; ops/quant.quantize_weight4)
+# ---------------------------------------------------------------------------
+
+
+def test_int4_pack_unpack_roundtrip():
+    from deer_vla_tpu.ops.quant import unpack_int4
+    r = np.random.RandomState(5)
+    q = r.randint(-7, 8, (2, 64, 32)).astype(np.int8)
+    k = q.shape[-2]
+    lo, hi = q[..., : k // 2, :], q[..., k // 2:, :]
+    packed = ((hi.astype(np.int16) << 4) | (lo & 0x0F)).astype(np.int8)
+    out = np.asarray(unpack_int4(jnp.asarray(packed)))
+    np.testing.assert_array_equal(out, q)
+
+
+def test_quantize_weight4_error_bound_and_packing():
+    from deer_vla_tpu.ops.quant import dequantize_weight4, quantize_weight4
+    r = np.random.RandomState(6)
+    for shape in [(64, 96), (3, 64, 96)]:
+        w = jnp.asarray(r.randn(*shape).astype(np.float32))
+        q4, s = quantize_weight4(w)
+        assert q4.dtype == jnp.int8
+        assert q4.shape == shape[:-2] + (shape[-2] // 2, shape[-1])
+        assert s.shape == shape[:-2] + shape[-1:]
+        deq = dequantize_weight4(q4, s)
+        err = np.abs(np.asarray(w) - np.asarray(deq))
+        bound = np.asarray(s)[..., None, :] / 2 + 1e-7
+        assert (err <= np.broadcast_to(bound, err.shape)).all()
+        # max |w| per column maps to the +/-7 code
+        from deer_vla_tpu.ops.quant import unpack_int4
+        assert np.abs(np.asarray(unpack_int4(q4))).max() == 7
+
+
+def test_linear_int4_matches_dequant_exactly():
+    """The q4 linear path must equal x @ dequantize_weight4(...) bit-for-bit
+    in fp32 (same unpack, same epilogue scale ordering)."""
+    from deer_vla_tpu.ops.quant import dequantize_weight4, quantize_weight4
+    r = np.random.RandomState(7)
+    w = jnp.asarray(r.randn(128, 64).astype(np.float32)) * 0.05
+    b = jnp.asarray(r.randn(64).astype(np.float32))
+    x = jnp.asarray(r.randn(4, 128).astype(np.float32))
+    q4, s = quantize_weight4(w)
+    yq = linear({"q4": q4, "s4": s, "b": b}, x)
+    want = jnp.dot(x, jnp.asarray(np.asarray(
+        dequantize_weight4(q4, jnp.ones_like(s))))) * s + b
+    np.testing.assert_allclose(np.asarray(yq), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # and close to the fp product (coarser than int8 but bounded)
+    y = linear({"w": w, "b": b}, x)
+    assert np.abs(np.asarray(yq - y)).max() < 0.35
+
+
+def test_indexed_matmul_q4_fallback_matches_dequant():
+    from deer_vla_tpu.ops.pallas.indexed_matmul import indexed_matmul_q4
+    from deer_vla_tpu.ops.quant import dequantize_weight4, quantize_weight4
+    r = np.random.RandomState(8)
+    w = jnp.asarray(r.randn(3, 128, 256).astype(np.float32))
+    x = jnp.asarray(r.randn(8, 128).astype(np.float32))
+    q4, s = quantize_weight4(w)
+    for i in range(3):
+        got = indexed_matmul_q4(x, q4, s, i, backend="xla")
+        want = jnp.dot(x, dequantize_weight4(q4[i], s[i]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_tree_int4_mode_and_odd_k_fallback():
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+    tree = {"blocks": {"mlp": {"w": jnp.ones((2, 16, 16))},
+                       "odd": {"w": jnp.ones((2, 15, 16))}},
+            "has_xattn": jnp.ones((2,), jnp.bool_)}
+    out = quantize_serving_stacked(tree, "int4")
+    assert set(out["blocks"]["mlp"]) == {"q4", "s4"}
+    assert set(out["blocks"]["odd"]) == {"q", "s"}  # odd K -> int8
+    assert tree_bytes(out["blocks"]) < tree_bytes(tree["blocks"]) / 3
+
+
+def test_scan_policy_int4_serves_and_shrinks(tiny_setup):
+    """--quantize int4 end-to-end: the while-loop engine serves, exits match
+    fp at forced depth, actions stay correlated (int4 is coarse on a random
+    tiny model), and the packed tree is ~4x smaller than fp32."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = tiny_setup
+    fp = ScanDeerPolicy(params, cfg)
+    q4 = ScanDeerPolicy(params, cfg, quantize="int4")
+    th = [-1e8] * (len(fp.exits) - 1) + [1e8]
+    fp.set_thresholds(list(th)), q4.set_thresholds(list(th))
+    for i in range(2):
+        img, grip, ids, mask = _inputs(cfg, seed=40 + i)
+        a = fp.step(img, grip, ids, mask)
+        b = q4.step(img, grip, ids, mask)
+        assert fp.last_exit_layer == q4.last_exit_layer
+        assert np.isfinite(b).all()
+        assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.8, (a, b)
+    big_fp = sum(x.size * x.dtype.itemsize
+                 for k in ("blocks", "xattn", "vit", "perceiver")
+                 if k in fp.stacked
+                 for x in jax.tree_util.tree_leaves(fp.stacked[k]))
+    big_q4 = sum(x.size * x.dtype.itemsize
+                 for k in ("blocks", "xattn", "vit", "perceiver")
+                 if k in q4.stacked
+                 for x in jax.tree_util.tree_leaves(q4.stacked[k]))
+    assert big_q4 < big_fp / 3, (big_q4, big_fp)

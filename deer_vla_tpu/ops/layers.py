@@ -82,12 +82,17 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
              * p["s8"].astype(jnp.float32)).astype(x.dtype)
     elif "q4" in p:
         # weight-only int4 (ops/quant.py quantize_weight4): nibble-packed
-        # two rows per byte — HALF the int8 weight bytes on the
-        # bandwidth-bound B=1 step.  The halves-split packing unpacks as
-        # shifts + one concat, which XLA fuses into the dot's operand
-        # fetch; the per-column scale rides the epilogue like int8.
-        from deer_vla_tpu.ops.quant import unpack_int4
-        y = (jnp.dot(x, unpack_int4(p["q4"]).astype(x.dtype))
+        # two rows per byte — HALF the int8 weight bytes.  Concat-free
+        # unpack: the halves-split packing makes each nibble a contiguous
+        # K/2 row block, so the product is two dots against the matching x
+        # halves (an unpack+concat would materialize the full int8 weight
+        # and forfeit the bandwidth saving); the per-column scale rides the
+        # epilogue like int8.
+        kp = p["q4"].shape[-2]
+        w32 = p["q4"].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(x.dtype)
+        hi = jnp.right_shift(w32, 4).astype(x.dtype)
+        y = ((jnp.dot(x[..., :kp], lo) + jnp.dot(x[..., kp:], hi))
              * p["s4"].astype(x.dtype))
     elif "q" in p:
         # weight-only int8 (ops/quant.py): the int8->compute-dtype cast and

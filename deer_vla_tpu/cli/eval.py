@@ -121,6 +121,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "reduction (~40%% of the dominant encode at r=8 on "
                         "ViT-L); approximate — validate task success before "
                         "production. 0 = exact tower (default)")
+    p.add_argument("--gripper_res", type=int, default=-1,
+                   help="native-resolution gripper tower: run the wrist "
+                        "camera through the shared ViT at this size (84 = "
+                        "CALVIN native; pos-embeds interpolate). Weight-"
+                        "free opt-in; cuts dual-camera vision FLOPs ~43%% "
+                        "at 84. -1 = inherit the checkpoint config "
+                        "(default); 0 = force off")
     p.add_argument("--value_cache", default="",
                    help="values .npz sidecar; defaults to ckpt path")
     p.add_argument("--recompute_values", action="store_true")
@@ -222,6 +229,11 @@ def main(argv=None):
         # share the merged tower so thresholds match the served deltas
         cfg = dataclasses.replace(
             cfg, vit=dataclasses.replace(cfg.vit, tome_r=args.vit_tome_r))
+    if args.gripper_res >= 0:  # -1 = inherit the (sidecar) config
+        if args.gripper_res and args.gripper_res % cfg.vit.patch_size:
+            raise SystemExit(f"--gripper_res must be a multiple of the "
+                             f"ViT patch size {cfg.vit.patch_size}")
+        cfg = dataclasses.replace(cfg, gripper_res=args.gripper_res)
     if args.env_workers > 1 and args.lanes <= 1:
         raise SystemExit("--env_workers only applies to the batched "
                          "rollout; add --lanes N")

@@ -35,6 +35,10 @@ def build_parser():
     p.add_argument("--threshold_type", default="L2")
     p.add_argument("--max_layer", type=int, default=-1)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--gripper_res", type=int, default=-1,
+                   help="native-resolution gripper tower baked into the "
+                        "exported program's input shapes (see deer-eval "
+                        "--gripper_res). -1 = inherit the checkpoint config")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "int8_w8a8", "int4"],
                    help="bake the weight-only int8 stacked layout "
@@ -64,6 +68,12 @@ def main(argv=None):
                                              export_policy, save_exported)
 
     cfg, params = load_model(args)
+    if args.gripper_res >= 0:  # -1 = inherit the (sidecar) config
+        import dataclasses
+        if args.gripper_res and args.gripper_res % cfg.vit.patch_size:
+            raise SystemExit(f"--gripper_res must be a multiple of the "
+                             f"ViT patch size {cfg.vit.patch_size}")
+        cfg = dataclasses.replace(cfg, gripper_res=args.gripper_res)
     quantize = None if args.quantize == "none" else args.quantize
     out = export_policy(
         params, cfg, batch_size=args.batch,
@@ -104,8 +114,9 @@ def main(argv=None):
                  if (cfg.fusion_mode == "vit_concat" or cfg.use_hist) else 1)
         rows = args.batch * enc_w
         hw, s = cfg.vit.image_size, cfg.text_len
+        ghw = cfg.gripper_res or hw  # native-res gripper tower
         img = r.randn(rows, 1, 1, 3, hw, hw).astype(np.float32)
-        grip = r.randn(rows, 1, 1, 3, hw, hw).astype(np.float32)
+        grip = r.randn(rows, 1, 1, 3, ghw, ghw).astype(np.float32)
         trows = rows if cfg.use_hist else args.batch
         ids = np.full((trows, s), 7, np.int32)
         ids[:, 0] = cfg.media_token_id

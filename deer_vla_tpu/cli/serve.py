@@ -66,6 +66,10 @@ def build_parser():
                         "merge N patch-token pairs per layer. Weight-free "
                         "opt-in vision-FLOPs cut; validate task success "
                         "before production. 0 = exact (default)")
+    p.add_argument("--gripper_res", type=int, default=-1,
+                   help="native-resolution gripper tower (see deer-eval "
+                        "--gripper_res). -1 = inherit the checkpoint "
+                        "config; 0 = force off")
     p.add_argument("--quantize", default="none",
                    choices=["none", "int8", "int8_w8a8", "int4"])
     p.add_argument("--tcp_rel", action="store_true")
@@ -115,6 +119,11 @@ def build_core(args):
             cfg = dataclasses.replace(
                 cfg, vit=dataclasses.replace(cfg.vit,
                                              tome_r=args.vit_tome_r))
+        if args.gripper_res >= 0:  # -1 = inherit the (sidecar) config
+            if args.gripper_res and args.gripper_res % cfg.vit.patch_size:
+                raise SystemExit(f"--gripper_res must be a multiple of "
+                                 f"the ViT patch size {cfg.vit.patch_size}")
+            cfg = dataclasses.replace(cfg, gripper_res=args.gripper_res)
         max_layer = args.max_layer if args.max_layer > 0 else None
         quantize = None if args.quantize == "none" else args.quantize
 

@@ -175,6 +175,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "merge N patch-token pairs per layer; cuts the "
                         "dominant per-frame vision FLOPs. Approximate — "
                         "validate quality. 0 = exact tower (default)")
+    p.add_argument("--gripper_res", type=int, default=0,
+                   help="native-resolution gripper tower: train the wrist "
+                        "camera through the shared ViT at this input size "
+                        "(84 = CALVIN native, no upsample; pos-embeds "
+                        "interpolate). Cuts dual-camera vision FLOPs ~43%% "
+                        "at 84. Saved in the checkpoint config so eval/"
+                        "serve inherit it. 0 = off (default)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize decoder layers (activation memory)")
     p.add_argument("--remat_policy", default="full", choices=["full", "dots"],
@@ -254,6 +261,11 @@ def make_model_config(args):
         # dominates serving; weight-free, so checkpoints stay loadable with
         # any tome_r at eval
         updates["vit"] = dataclasses.replace(cfg.vit, tome_r=args.vit_tome_r)
+    if getattr(args, "gripper_res", 0) > 0:
+        if args.gripper_res % cfg.vit.patch_size:
+            raise SystemExit(f"--gripper_res must be a multiple of the "
+                             f"ViT patch size {cfg.vit.patch_size}")
+        updates["gripper_res"] = args.gripper_res
     return dataclasses.replace(cfg, **updates)
 
 

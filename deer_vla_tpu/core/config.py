@@ -243,6 +243,17 @@ class DeerConfig:
     # (flamingo_mpt.py:700-740, train_utils.py:277)
     use_hist: bool = False
     use_gripper: bool = True
+    # native-resolution gripper tower (--gripper_res, opt-in): run the wrist
+    # camera through the shared ViT at this input size (e.g. CALVIN's native
+    # 84) instead of upsampling to vit.image_size, with position embeddings
+    # interpolated to the grid (vit.resize_pos_embed).  The reference's 224
+    # upsample exists only because its CLIP preprocess is fixed-res
+    # (factory.py:109-114) — at 84 the gripper pass costs (6/16)^2 ~ 14% of
+    # the static tower, cutting dual-camera vision FLOPs ~43%.  0 = off
+    # (exact parity).  Must be a multiple of vit.patch_size.  Weight-free:
+    # can be enabled at serving time on any checkpoint, but training with it
+    # on is recommended before production (input distribution shifts).
+    gripper_res: int = 0
     use_state: bool = False
     state_dim: int = 15
     # --clip_state: keep only arm pose (6) + gripper (1) of the 15-dim

@@ -42,7 +42,8 @@ def clip_preprocess(images: jnp.ndarray, size: int = 224,
 def preprocess_train_frames(rng, static_u8: jnp.ndarray, gripper_u8: jnp.ndarray,
                             *, rgb_pad: int = 10, gripper_pad: int = 4,
                             traj_cons: bool = True, window: int = 12,
-                            size: int = 224, dtype=jnp.float32):
+                            size: int = 224, gripper_size: Optional[int] = None,
+                            dtype=jnp.float32):
     """Full train-time vision preprocessing for one batch.
 
     static_u8/gripper_u8: (B*W, H, W, 3) uint8.
@@ -50,12 +51,18 @@ def preprocess_train_frames(rng, static_u8: jnp.ndarray, gripper_u8: jnp.ndarray
     RandomShiftsAug runs at the *source* resolution like the reference
     (aug before CLIP transform order differs upstream: reference augments
     after resize — we match that by augmenting after resize too).
+
+    gripper_size: target size for the wrist camera (cfg.gripper_res —
+    native-res gripper tower); None = same as ``size``.  The reference's
+    gripper_pad=4 aug amplitude was chosen for 224-res frames; it is kept
+    as-is at native res (84), where it corresponds to the same +-4px jitter
+    the 84x84 SOURCE frames would see before upsampling.
     """
     from deer_vla_tpu.ops.rand_shift import random_shift, random_shift_traj
 
     k1, k2 = jax.random.split(rng)
     stat = clip_preprocess(static_u8, size, dtype)
-    grip = clip_preprocess(gripper_u8, size, dtype)
+    grip = clip_preprocess(gripper_u8, gripper_size or size, dtype)
     if rgb_pad > 0:
         if traj_cons:
             b = stat.shape[0] // window

@@ -111,8 +111,14 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
     size = cfg.vit.image_size
     if preprocess is None:
         prep = jax.jit(lambda x: clip_preprocess(x, size))
+        gsize = cfg.gripper_res or size
+        # native-res gripper (cfg.gripper_res): wrist frames prep to their
+        # own size; a caller-supplied preprocess is used for both cameras
+        prep_grip = (prep if gsize == size
+                     else jax.jit(lambda x: clip_preprocess(x, gsize)))
     else:
         prep = preprocess
+        prep_grip = preprocess
     # window-folded models (vit_concat / use_hist): each lane feeds its
     # rolling W-frame window as W stream-major batch rows (the engine folds
     # the window into the media tokens exactly as the single-stream windowed
@@ -318,7 +324,7 @@ def evaluate_policy_batched(policy, envs: List, sequences: List,
             idss.extend([ids] * (rep if tile_text else 1))
             masks.extend([mask] * (rep if tile_text else 1))
         img_d = prep(jnp.asarray(np.stack(imgs)))[:, None, None]
-        grip_d = prep(jnp.asarray(np.stack(grips)))[:, None, None]
+        grip_d = prep_grip(jnp.asarray(np.stack(grips)))[:, None, None]
         args = (img_d, grip_d, jnp.asarray(np.stack(idss)),
                 jnp.asarray(np.stack(masks)))
         if use_state:

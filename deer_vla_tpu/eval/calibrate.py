@@ -68,7 +68,7 @@ def generate_calibration_values(params: dict, cfg: DeerConfig,
         img, gri = preprocess_train_frames(
             prep_rng, jnp.asarray(stat), jnp.asarray(grip),
             rgb_pad=0, gripper_pad=0, window=cfg.window_size,
-            size=cfg.vit.image_size)
+            size=cfg.vit.image_size, gripper_size=cfg.gripper_res or None)
         bsw = img.shape[0]
         s = batch["input_ids"].shape[-1]
         if cfg.fusion_mode == "vit_concat":

@@ -110,10 +110,29 @@ def llm_flops_per_exit(cfg: DeerConfig) -> Dict[int, float]:
     return out
 
 
+def gripper_vit_cfg(cfg: DeerConfig) -> ViTConfig:
+    """The ViT config the WRIST camera actually runs: cfg.vit, or (with
+    cfg.gripper_res) the same tower at the native gripper resolution with
+    ToMe off (vision_tokens gates the merge schedule to the static size)."""
+    if getattr(cfg, "gripper_res", 0):
+        import dataclasses
+        return dataclasses.replace(cfg.vit, image_size=cfg.gripper_res,
+                                   tome_r=0)
+    return cfg.vit
+
+
+def vision_flops(cfg: DeerConfig) -> int:
+    """Dual-camera ViT + perceiver FLOPs for one frame (gripper tower at
+    its own resolution when cfg.gripper_res is set)."""
+    gv = gripper_vit_cfg(cfg)
+    return (vit_flops(cfg.vit) + vit_flops(gv)
+            + perceiver_flops(cfg.perceiver, final_vit_tokens(cfg.vit))
+            + perceiver_flops(cfg.perceiver, final_vit_tokens(gv)))
+
+
 def full_step_flops(cfg: DeerConfig, exit_layer: int) -> float:
     """GFLOPs for one full streaming action at a given exit (2 cameras)."""
-    total = 2 * vit_flops(cfg.vit)
-    total += 2 * perceiver_flops(cfg.perceiver, final_vit_tokens(cfg.vit))
+    total = vision_flops(cfg)
     total += llm_flops_per_exit(cfg)[exit_layer] * 1e9
     total += head_flops(cfg)
     return total / 1e9
@@ -143,8 +162,7 @@ def train_step_flops(cfg: DeerConfig) -> float:
     here is a conservative floor.  The tiny value-net MLP (<0.1% of a layer)
     is omitted.  Reference accounting: mosaic_gpt_3b.py:401-407."""
     w = cfg.window_size
-    fwd_frame = 2 * vit_flops(cfg.vit) \
-        + 2 * perceiver_flops(cfg.perceiver, final_vit_tokens(cfg.vit)) \
+    fwd_frame = vision_flops(cfg) \
         + llm_flops_per_exit(cfg)[cfg.n_layers - 1] * 1e9
     # final head + 2 random-exit samplings + one head per internal exit
     n_heads = 3 + (len(cfg.exit_layer_ids()) if cfg.multi_exit else 0)

@@ -120,6 +120,13 @@ class CalvinPolicyAdapter:
         # jit: eager resize/normalize would dispatch per-op (fatal over a
         # tunneled TPU); one compiled program per camera instead
         self._prep = jax.jit(functools.partial(clip_preprocess, size=size))
+        gsize = policy.cfg.gripper_res or size
+        # native-res gripper tower (cfg.gripper_res): the wrist camera preps
+        # to its own (smaller) size — at CALVIN's native 84 the resize is a
+        # no-op and the host->device frame shrinks (84/224)^2 ~ 7x
+        self._prep_grip = (self._prep if gsize == size else
+                           jax.jit(functools.partial(clip_preprocess,
+                                                     size=gsize)))
         # vit_concat / use_hist serving: rolling window of the last W
         # frames, fed to the engine as W batch rows per step (the
         # reference's img_queue protocol, eval_utils.py:344-386; left-padded
@@ -183,7 +190,7 @@ class CalvinPolicyAdapter:
     def step(self, obs: Dict, goal: str) -> np.ndarray:
         import time
         img = self._prep(jnp.asarray(obs["rgb_obs"]["rgb_static"])[None])
-        grip = self._prep(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None])
+        grip = self._prep_grip(jnp.asarray(obs["rgb_obs"]["rgb_gripper"])[None])
         img = img[:, None, None]   # (1, 1, 1, 3, 224, 224)
         grip = grip[:, None, None]
         if self._img_window:

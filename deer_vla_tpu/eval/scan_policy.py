@@ -23,8 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from deer_vla_tpu.core.config import DeerConfig
-from deer_vla_tpu.models.flamingo import (encode_vision, fuse_vision_tokens,
-                                          vision_tokens)
+from deer_vla_tpu.models.flamingo import encode_vision, fuse_vision_tokens
 from deer_vla_tpu.models.heads import (any_head_forward, any_head_step,
                                        any_zero_carry, head_action_width)
 from deer_vla_tpu.models.gated_xattn import gated_xattn_forward
@@ -402,15 +401,10 @@ def build_scan_step(cfg: DeerConfig, exit_ids: List[int],
         """Per-frame ViT tokens for the rolling frame cache
         (eval/caching.FrameCachePolicy): one NEW frame in, cacheable
         position-independent tokens out (frame embeddings are applied at
-        fuse time).  Mirrors encode_vision's camera routing."""
-        grip_on = (cfg.use_gripper and grip is not None
-                   and cfg.fusion_mode != "two_way")
-        if not grip_on:
-            return vision_tokens(params, img, cfg, stacked), None
-        both = jnp.concatenate([img, grip], axis=0)
-        tok = vision_tokens(params, both, cfg, stacked)
-        b = img.shape[0]
-        return tok[:b], tok[b:]
+        fuse time).  Shares encode_vision's camera routing (incl. the
+        native-res gripper split, models/flamingo.dual_camera_tokens)."""
+        from deer_vla_tpu.models.flamingo import dual_camera_tokens
+        return dual_camera_tokens(params, img, grip, cfg, stacked)
 
     def decode_tokens(params, stacked, tok_rgb, tok_grip, ids, mask, carry,
                       thresholds_full, state=None):

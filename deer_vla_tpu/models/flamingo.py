@@ -131,24 +131,39 @@ def encode_vision(params: dict, vision_rgb: jnp.ndarray,
     forwards but ~10x fewer argument leaves per dispatch (see
     vit.stack_vit_blocks).
     """
+    tok_rgb, tok_grip = dual_camera_tokens(params, vision_rgb,
+                                           vision_gripper, cfg, stacked)
+    return fuse_vision_tokens(params, tok_rgb, tok_grip, cfg, state_tensor,
+                              stacked, window_size)
+
+
+def dual_camera_tokens(params: dict, vision_rgb: jnp.ndarray,
+                       vision_gripper: Optional[jnp.ndarray], cfg: DeerConfig,
+                       stacked: Optional[dict] = None):
+    """Camera -> ViT-token routing shared by encode_vision and the engines'
+    per-frame encode (eval/scan_policy.encode_frame).
+
+    Same-resolution cameras share the ViT as ONE doubled batch (2x MXU
+    utilization at small batch; the reference runs two sequential encoder
+    passes, flamingo_mpt.py:626-659).  With cfg.gripper_res the gripper
+    frames arrive at their NATIVE resolution (CALVIN renders the wrist
+    camera at 84x84; the reference upsamples to 224 only because its CLIP
+    preprocess is fixed-res) — the shared tower then runs each camera as
+    its own pass with position embeddings interpolated to the grid
+    (vit.resize_pos_embed), cutting the gripper tower to (g/16)^2 of the
+    static cost."""
     grip_on = (cfg.use_gripper and vision_gripper is not None
                and cfg.fusion_mode != "two_way")
     if not grip_on:
-        tok_rgb = vision_tokens(params, vision_rgb, cfg, stacked)
-        tok_grip = None
-    elif cfg.fusion_mode == "pre" or not cfg.sep_resampler:
-        # both cameras share the ViT: run them as ONE doubled batch (2x MXU
-        # utilization at small batch; the reference runs two sequential
-        # encoder passes, flamingo_mpt.py:626-659)
+        return vision_tokens(params, vision_rgb, cfg, stacked), None
+    same_res = vision_gripper.shape[-2:] == vision_rgb.shape[-2:]
+    if same_res and (cfg.fusion_mode == "pre" or not cfg.sep_resampler):
         both = jnp.concatenate([vision_rgb, vision_gripper], axis=0)
         tok = vision_tokens(params, both, cfg, stacked)
         b = vision_rgb.shape[0]
-        tok_rgb, tok_grip = tok[:b], tok[b:]
-    else:
-        tok_rgb = vision_tokens(params, vision_rgb, cfg, stacked)
-        tok_grip = vision_tokens(params, vision_gripper, cfg, stacked)
-    return fuse_vision_tokens(params, tok_rgb, tok_grip, cfg, state_tensor,
-                              stacked, window_size)
+        return tok[:b], tok[b:]
+    return (vision_tokens(params, vision_rgb, cfg, stacked),
+            vision_tokens(params, vision_gripper, cfg, stacked))
 
 
 def vision_tokens(params: dict, v: jnp.ndarray, cfg: DeerConfig,
@@ -163,7 +178,16 @@ def vision_tokens(params: dict, v: jnp.ndarray, cfg: DeerConfig,
     stacked = stacked or {}
     b, t, f = v.shape[:3]
     flat = v.reshape((b * t * f,) + v.shape[3:]).astype(cfg.dtypes.cdt)
-    if cfg.vit.tome_r > 0:
+    if cfg.vit.tome_r > 0 and flat.shape[-2:] != (cfg.vit.image_size,
+                                                  cfg.vit.image_size):
+        # native-res gripper pass under ToMe: the merge schedule is sized
+        # for the static camera's token count; the (much smaller) gripper
+        # grid runs the exact tower instead
+        _, tokens = (vit_forward_stacked(params["vit"], stacked["vit"],
+                                         flat, cfg.vit)
+                     if "vit" in stacked
+                     else vit_forward(params["vit"], flat, cfg.vit))
+    elif cfg.vit.tome_r > 0:
         # ToMe token merging (ops/tome.py): fewer tokens per layer, exact
         # when tome_r == 0 — the perceiver consumes tokens as a set, so the
         # shorter token list flows through every fusion mode unchanged
@@ -238,6 +262,12 @@ def fuse_vision_tokens(params: dict, tok_rgb: jnp.ndarray,
         if cfg.sep_resampler:
             rgb_lat = run_perceiver("perceiver", tok_rgb)
             grip_lat = run_perceiver("perceiver_gripper", tok_grip)
+        elif tok_rgb.shape[3] != tok_grip.shape[3]:
+            # native-res gripper: token counts differ, so the shared
+            # resampler runs per camera (identical math to the doubled
+            # batch; latent count is fixed so the fold below is unchanged)
+            rgb_lat = run_perceiver("perceiver", tok_rgb)
+            grip_lat = run_perceiver("perceiver", tok_grip)
         else:
             # shared resampler: one doubled-batch pass
             lat = run_perceiver("perceiver",
@@ -247,11 +277,18 @@ def fuse_vision_tokens(params: dict, tok_rgb: jnp.ndarray,
         media = jnp.concatenate([window_concat(rgb_lat),
                                  window_concat(grip_lat)], axis=2)
     elif not cfg.sep_resampler:
-        # 'post': shared resampler, doubled batch, latents concat on tokens
-        lat = run_perceiver("perceiver",
-                            jnp.concatenate([tok_rgb, tok_grip], axis=0))
-        b = tok_rgb.shape[0]
-        media = jnp.concatenate([lat[:b], lat[b:]], axis=2)
+        if tok_rgb.shape[3] != tok_grip.shape[3]:
+            # 'post' + native-res gripper: per-camera shared-resampler passes
+            media = jnp.concatenate([run_perceiver("perceiver", tok_rgb),
+                                     run_perceiver("perceiver", tok_grip)],
+                                    axis=2)
+        else:
+            # 'post': shared resampler, doubled batch, latents concat on
+            # tokens
+            lat = run_perceiver("perceiver",
+                                jnp.concatenate([tok_rgb, tok_grip], axis=0))
+            b = tok_rgb.shape[0]
+            media = jnp.concatenate([lat[:b], lat[b:]], axis=2)
     else:
         rgb_lat = run_perceiver("perceiver", tok_rgb)
         grip_lat = run_perceiver("perceiver_gripper", tok_grip)

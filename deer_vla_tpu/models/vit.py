@@ -77,12 +77,38 @@ def _block(p: dict, x: jnp.ndarray, heads: int, act) -> jnp.ndarray:
     return x + h
 
 
+def resize_pos_embed(pos: jnp.ndarray, new_patches: int) -> jnp.ndarray:
+    """(1+P0, D) learned position table -> (1+P, D) by bilinear grid
+    interpolation (CLS row kept) — the standard ViT variable-resolution
+    trick.  Lets the shared CLIP tower run the gripper camera at its NATIVE
+    84x84 (cfg.gripper_res) instead of the reference's mandatory 224
+    upsample (its open_clip preprocess resizes every camera to 224,
+    robot_flamingo/models/factory.py:109-114).  Static shapes: resolved at
+    trace time, so each resolution is its own compiled program."""
+    p0 = pos.shape[0] - 1
+    g0 = int(round(p0 ** 0.5))
+    g1 = int(round(new_patches ** 0.5))
+    assert g0 * g0 == p0 and g1 * g1 == new_patches, (p0, new_patches)
+    grid = pos[1:].reshape(g0, g0, pos.shape[-1]).astype(jnp.float32)
+    grid = jax.image.resize(grid, (g1, g1, pos.shape[-1]), method="linear")
+    return jnp.concatenate(
+        [pos[:1], grid.reshape(g1 * g1, pos.shape[-1]).astype(pos.dtype)], 0)
+
+
 def _prologue(params: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     b = x.shape[0]
+    assert x.shape[-1] % cfg.patch_size == 0, \
+        f"input {x.shape[-1]} not a multiple of patch {cfg.patch_size}"
     h = jnp.dot(_patchify(x, cfg.patch_size), params["patch_embed"]["w"].astype(x.dtype))
     cls = jnp.broadcast_to(params["class_embedding"].astype(x.dtype), (b, 1, cfg.width))
     h = jnp.concatenate([cls, h], axis=1)
-    h = h + params["positional_embedding"].astype(x.dtype)
+    pos = params["positional_embedding"]
+    if pos.shape[0] != h.shape[1]:
+        # variable-resolution input (native-res gripper camera): interpolate
+        # the position table to this grid (negligible: one (16,16,D) resize
+        # fused into the prologue)
+        pos = resize_pos_embed(pos, h.shape[1] - 1)
+    h = h + pos.astype(x.dtype)
     return layernorm(params["ln_pre"], h)
 
 

@@ -96,6 +96,12 @@ class BatchedActionServer:
         self.max_streams = lanes
         size = cfg.vit.image_size
         self._prep = jax.jit(functools.partial(clip_preprocess, size=size))
+        gsize = cfg.gripper_res or size
+        # native-res gripper (cfg.gripper_res): wrist frames prep to their
+        # own (smaller) size
+        self._prep_grip = (self._prep if gsize == size else
+                           jax.jit(functools.partial(clip_preprocess,
+                                                     size=gsize)))
         self._jnp = jnp
 
         # lane state (all guarded by _cond's lock)
@@ -153,6 +159,8 @@ class BatchedActionServer:
         # parked lanes ride along on one shared preprocessed zero frame
         self._zero_prep = self._prep(
             jnp.asarray(np.zeros((1, size, size, 3), np.uint8)))[0]
+        self._zero_prep_grip = self._prep_grip(
+            jnp.asarray(np.zeros((1, gsize, gsize, 3), np.uint8)))[0]
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -268,7 +276,7 @@ class BatchedActionServer:
         # per-request device resize the per-stream core pays
         jnp = self._jnp
         rgb_p = self._prep(jnp.asarray(rgb)[None])[0]
-        grip_p = self._prep(jnp.asarray(grip)[None])[0]
+        grip_p = self._prep_grip(jnp.asarray(grip)[None])[0]
         req = _Pending((instruction, rgb_p, grip_p, state_row))
         with self._cond:
             if self._stop:
@@ -396,7 +404,7 @@ class BatchedActionServer:
                         masks[lane * trep:(lane + 1) * trep] = m
                     else:  # parked lane: zero rows, window untouched
                         imgs.extend([self._zero_prep] * rep)
-                        grips.extend([self._zero_prep] * rep)
+                        grips.extend([self._zero_prep_grip] * rep)
                         if self._use_state:
                             states.extend([zero_state] * rep)
                 in_batch = np.zeros(self.lanes, bool)

@@ -60,7 +60,9 @@ def _arg_shapes(policy: ScanDeerPolicy, batch_size: int):
     rows = batch_size * enc_w
     text_rows = rows if cfg.use_hist else batch_size
     hw = cfg.vit.image_size
+    ghw = cfg.gripper_res or hw  # native-res gripper tower
     img = jax.ShapeDtypeStruct((rows, 1, 1, 3, hw, hw), jnp.float32)
+    grip = jax.ShapeDtypeStruct((rows, 1, 1, 3, ghw, ghw), jnp.float32)
     ids = jax.ShapeDtypeStruct((text_rows, cfg.text_len), jnp.int32)
     mask = jax.ShapeDtypeStruct((text_rows, cfg.text_len), jnp.int32)
     from deer_vla_tpu.models.heads import any_zero_carry
@@ -69,7 +71,7 @@ def _arg_shapes(policy: ScanDeerPolicy, batch_size: int):
     state = None
     if cfg.use_state or cfg.head.use_state:
         state = jax.ShapeDtypeStruct((rows, 1, 1, cfg.state_dim), jnp.float32)
-    return (_specs(policy.params), _specs(policy.stacked), img, img, ids,
+    return (_specs(policy.params), _specs(policy.stacked), img, grip, ids,
             mask, carry, th, state)
 
 

@@ -100,10 +100,12 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_prep(rgb_pad, gripper_pad, traj_cons, window, size):
+def _jitted_prep(rgb_pad, gripper_pad, traj_cons, window, size,
+                 gripper_size=None):
     return jax.jit(functools.partial(
         preprocess_train_frames, rgb_pad=rgb_pad, gripper_pad=gripper_pad,
-        traj_cons=traj_cons, window=window, size=size))
+        traj_cons=traj_cons, window=window, size=size,
+        gripper_size=gripper_size))
 
 
 def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
@@ -114,7 +116,7 @@ def prepare_batch(raw: Dict[str, np.ndarray], cfg: DeerConfig, rng,
     stat = raw["rgb_static"].reshape(-1, *raw["rgb_static"].shape[2:])
     grip = raw["rgb_gripper"].reshape(-1, *raw["rgb_gripper"].shape[2:])
     prep = _jitted_prep(tcfg.rgb_pad, tcfg.gripper_pad, tcfg.traj_cons, w,
-                        cfg.vit.image_size)
+                        cfg.vit.image_size, cfg.gripper_res or None)
     img, gri = prep(rng, jnp.asarray(stat), jnp.asarray(grip))
     bs = raw["input_ids"].shape[0]
     s = raw["input_ids"].shape[-1]

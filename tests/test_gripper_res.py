@@ -348,3 +348,48 @@ def test_cli_train_eval_inherit_gripper_res(tmp_path):
     with open(rep) as f:
         report = json.load(f)
     assert report["report"]["avg_seq_len"] >= 0
+
+
+def test_stacked_peak_composition_w8a8_tome_gripper():
+    """Pins the bench's stacked-peak program composition (bench.py
+    batched32 peak: ONE quantized tree serves the exact program AND a
+    tome+gripper_res program): build a w8a8 tree, then run a second step
+    program built from cfg(tome_r, gripper_res) on the SAME tree."""
+    from types import SimpleNamespace
+
+    from deer_vla_tpu.core.config import MODEL_REGISTRY
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy, build_scan_step
+    from deer_vla_tpu.models.flamingo import init_deer
+    from deer_vla_tpu.ops.lstm import zero_carry
+
+    cfg = MODEL_REGISTRY["tiny"]()
+    # 4x4 patch grid so tome r=1 has room; gripper at one patch (14)
+    cfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, image_size=56))
+    cfg_p = dataclasses.replace(
+        cfg, gripper_res=14,
+        vit=dataclasses.replace(cfg.vit, tome_r=1))
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    exits = list(cfg.all_exit_ids())
+    pol = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits),
+                         quantize="int8_w8a8")
+    pk = SimpleNamespace(params=pol.params, stacked=pol.stacked,
+                         _step=build_scan_step(cfg_p, exits, "L2", None)[0])
+    hw, s = cfg.vit.image_size, cfg.text_len
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(2, 1, 1, 3, hw, hw), jnp.float32)
+    grip = jnp.asarray(r.randn(2, 1, 1, 3, 14, 14), jnp.float32)
+    ids = np.full((2, s), 11, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    th = np.full(cfg.n_layers, -1e30, np.float32)
+    for e in exits:
+        th[e] = -1e8
+    th[exits[-1]] = 1e30
+    carry = zero_carry(cfg.head.lstm_num_layers, 2, cfg.head.hidden_size,
+                       jnp.float32)
+    arm, gp, carry, el = pk._step(pk.params, pk.stacked, img, grip,
+                                  jnp.asarray(ids),
+                                  jnp.ones((2, s), jnp.int32), carry,
+                                  jnp.asarray(th))
+    assert np.isfinite(np.asarray(arm)).all()
+    assert int(el[0]) == exits[-1]

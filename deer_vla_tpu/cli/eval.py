@@ -49,14 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--exit_id", type=int, default=None,
                    help="fixed exit layer (static eval, disables dynamic exit)")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int8_w8a8", "int4"],
+                   choices=["none", "int8", "int8_w8a8", "int4", "int4_w8a8"],
                    help="quantized serving (ops/quant.py): int8 = "
                         "weight-only (halves weight HBM traffic of the "
                         "B=1 step, dequant fused into the dots); "
                         "int8_w8a8 = int8 weights + dynamic per-row int8 "
                         "activations (int8 MXU matmuls, 2x bf16 MXU "
                         "throughput — for compute-bound batched serving, "
-                        "--lanes). Embeddings and the action heads stay "
+                        "--lanes); int4 = weight-only nibble-packed "
+                        "(half int8's weight bytes; coarse, opt-in); "
+                        "int4_w8a8 = int4 weights + int8 activations "
+                        "(half w8a8's weight bytes on the int8 MXU). "
+                        "Embeddings and the action heads stay "
                         "full precision. Serves both the while-loop "
                         "engine and the host-bucketed DeerPolicy")
     p.add_argument("--engine", default="auto",

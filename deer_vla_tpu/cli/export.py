@@ -40,7 +40,7 @@ def build_parser():
                         "exported program's input shapes (see deer-eval "
                         "--gripper_res). -1 = inherit the checkpoint config")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int8_w8a8", "int4"],
+                   choices=["none", "int8", "int8_w8a8", "int4", "int4_w8a8"],
                    help="bake the weight-only int8 stacked layout "
                         "(ops/quant.py) into the artifact; the serving "
                         "host quantizes checkpoint weights to match")

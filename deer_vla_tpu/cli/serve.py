@@ -71,7 +71,7 @@ def build_parser():
                         "--gripper_res). -1 = inherit the checkpoint "
                         "config; 0 = force off")
     p.add_argument("--quantize", default="none",
-                   choices=["none", "int8", "int8_w8a8", "int4"])
+                   choices=["none", "int8", "int8_w8a8", "int4", "int4_w8a8"])
     p.add_argument("--tcp_rel", action="store_true")
     p.add_argument("--diff_steps", type=int, default=0,
                    help="diffusion head: >0 samples with a DDIM "

@@ -75,7 +75,8 @@ class DeerPolicy:
             if quantize not in QUANT_MODES:
                 raise ValueError(f"unknown quantize mode {quantize!r} "
                                  f"(want one of {QUANT_MODES})")
-            sk = "s8" if quantize == "int8_w8a8" else "s"
+            sk = {"int8_w8a8": "s8", "int4": "s4",
+                  "int4_w8a8": "s48"}.get(quantize, "s")
             dec = params["decoder"]
             params = dict(params, decoder=dict(
                 dec, blocks=quantize_tree(dec["blocks"], scale_key=sk),

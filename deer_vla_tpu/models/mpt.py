@@ -149,6 +149,15 @@ def mpt_block_forward_stacked(stacked: dict, i, x: jnp.ndarray,
                             p["q"], i, 0, keepdims=False),
                         "s8": jax.lax.dynamic_index_in_dim(
                             p["s8"], i, 0, keepdims=False)}, h)
+        elif "s48" in p:
+            # w4a8 stack (ops/quant.py int4_w8a8): slice the packed layer
+            # (half the int8 bytes) and let ops.layers.linear run the
+            # split-dot int8 MXU path — like w8a8 this targets batched
+            # serving, where the step is compute-bound
+            y = linear({"q4": jax.lax.dynamic_index_in_dim(
+                            p["q4"], i, 0, keepdims=False),
+                        "s48": jax.lax.dynamic_index_in_dim(
+                            p["s48"], i, 0, keepdims=False)}, h)
         elif "q4" in p:  # weight-only int4 stack (ops/quant.py, packed)
             y = indexed_matmul_q4(h, p["q4"], p["s4"], i)
         elif "q" in p:  # weight-only int8 stack (ops/quant.py)

@@ -80,6 +80,32 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.int32)
         y = (acc.astype(jnp.float32) * sx
              * p["s8"].astype(jnp.float32)).astype(x.dtype)
+    elif "s48" in p:
+        # w4a8 (ops/quant.py int4_w8a8): nibble-packed int4 weights +
+        # dynamic per-row int8 activations.  Both nibbles unpack to int8 in
+        # VMEM and the product is TWO int8 x int8 -> int32 MXU dots against
+        # the matching activation halves (the halves-split packing keeps
+        # each nibble a contiguous K/2 row block, so no concat ever
+        # materializes the unpacked weight): half w8a8's weight HBM bytes
+        # at the same int8 MXU throughput (2x bf16 on v5e).  The per-row
+        # activation scale is shared across both halves, so the int32
+        # accumulators add exactly; fp32 rescale by sx * s48 rides the
+        # epilogue.
+        kp = p["q4"].shape[-2]
+        x32 = x.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+                         / 127.0, 1e-12)
+        xi = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+        w32 = p["q4"].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(jnp.int8)
+        hi = jnp.right_shift(w32, 4).astype(jnp.int8)
+        dn = (((xi.ndim - 1,), (0,)), ((), ()))
+        acc = (jax.lax.dot_general(xi[..., :kp], lo, dn,
+                                   preferred_element_type=jnp.int32)
+               + jax.lax.dot_general(xi[..., kp:], hi, dn,
+                                     preferred_element_type=jnp.int32))
+        y = (acc.astype(jnp.float32) * sx
+             * p["s48"].astype(jnp.float32)).astype(x.dtype)
     elif "q4" in p:
         # weight-only int4 (ops/quant.py quantize_weight4): nibble-packed
         # two rows per byte — HALF the int8 weight bytes.  Concat-free

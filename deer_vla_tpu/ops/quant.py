@@ -112,6 +112,13 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
              int8 weight bytes for the bandwidth-bound B=1 step; COARSE
              (16 levels) — opt-in, validate quality.  Odd-K weights fall
              back to int8 within the same tree.
+      "s48" — w4a8: nibble-packed int4 weights AND dynamic per-row int8
+             activations; the dot runs as TWO int8 x int8 -> int32 MXU
+             dots against the activation halves (concat-free, see
+             ops.layers.linear) — int4's weight-bandwidth win composed
+             with w8a8's int8-MXU compute win.  Odd-K weights fall back
+             to w8a8 (q + s8) within the same tree so activations stay
+             int8 everywhere.
 
     Intended for the serving engines' STACKED layer trees
     (eval/scan_policy.stack_decoder_layers output), which contain ONLY
@@ -124,10 +131,12 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
             if (k == "w" and hasattr(v, "ndim") and v.ndim >= 2
                     and jnp.issubdtype(v.dtype, jnp.floating)
                     and v.shape[-1] >= min_dim and v.shape[-2] >= min_dim):
-                if scale_key == "s4" and v.shape[-2] % 2 == 0:
-                    out["q4"], out["s4"] = quantize_weight4(v)
+                if scale_key in ("s4", "s48") and v.shape[-2] % 2 == 0:
+                    out["q4"], out[scale_key] = quantize_weight4(v)
                 elif scale_key == "s4":  # odd K: int8 keeps the tree servable
                     out["q"], out["s"] = quantize_weight(v)
+                elif scale_key == "s48":  # odd K: w8a8 keeps activations int8
+                    out["q"], out["s8"] = quantize_weight(v)
                 else:
                     out["q"], out[scale_key] = quantize_weight(v)
             else:
@@ -139,7 +148,7 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
     return tree
 
 
-QUANT_MODES = ("int8", "int8_w8a8", "int4")
+QUANT_MODES = ("int8", "int8_w8a8", "int4", "int4_w8a8")
 
 
 def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
@@ -149,13 +158,16 @@ def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
 
     mode: None/"none" = no-op; "int8" = weight-only int8;
     "int8_w8a8" = int8 weights + dynamic int8 activations (int8 MXU);
-    "int4" = weight-only nibble-packed int4 (coarse; opt-in)."""
+    "int4" = weight-only nibble-packed int4 (coarse; opt-in);
+    "int4_w8a8" = int4 weights + dynamic int8 activations (half w8a8's
+    weight bytes on the int8 MXU; coarse like int4)."""
     if not mode or mode == "none":
         return stacked
     if mode not in QUANT_MODES:
         raise ValueError(f"unknown quantize mode {mode!r} "
                          f"(want one of {QUANT_MODES})")
-    scale_key = {"int8_w8a8": "s8", "int4": "s4"}.get(mode, "s")
+    scale_key = {"int8_w8a8": "s8", "int4": "s4",
+                 "int4_w8a8": "s48"}.get(mode, "s")
     out = dict(stacked)
     for k in ("blocks", "xattn", "vit", "perceiver", "perceiver_gripper"):
         if k in out:

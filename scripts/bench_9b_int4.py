@@ -37,6 +37,12 @@ def main():
                     help="also time tome8+grip84 on the int4 tree at batch")
     ap.add_argument("--skip_ab", action="store_true",
                     help="skip the single-stream bf16/int4 A/B (HBM + time)")
+    ap.add_argument("--mode", default="int4",
+                    choices=["int4", "int4_w8a8"],
+                    help="int4 = weight-only (bandwidth lever, B=1); "
+                         "int4_w8a8 = int4 weights + int8 activations "
+                         "(int8 MXU — the lever for the compute-bound "
+                         "batched step; same ~1.4 GB tree)")
     args = ap.parse_args()
 
     from deer_vla_tpu.core.config import DTypePolicy, MODEL_REGISTRY
@@ -56,7 +62,7 @@ def main():
     exits = list(cfg.all_exit_ids())
     pol = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
     del params
-    q4_stacked = quantize_serving_stacked(pol.stacked, "int4")
+    q4_stacked = quantize_serving_stacked(pol.stacked, args.mode)
     q4 = SimpleNamespace(params=pol.params, stacked=q4_stacked,
                          _step=pol._step)
 
@@ -102,7 +108,8 @@ def main():
         return (dt, np.asarray(arm)) if ret_act else dt
 
     probs = exit_probs(len(exits), 0.8, "exp")
-    out = {"model": "mpt_9b_truncated12", "batch": args.batch}
+    out = {"model": "mpt_9b_truncated12", "batch": args.batch,
+           "mode": args.mode}
 
     if not args.skip_ab:
         pool1, grip1, idsA, maskA = make_inputs(1)

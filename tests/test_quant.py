@@ -418,3 +418,87 @@ def test_scan_policy_int4_serves_and_shrinks(tiny_setup):
                  if k in q4.stacked
                  for x in jax.tree_util.tree_leaves(q4.stacked[k]))
     assert big_q4 < big_fp / 3, (big_q4, big_fp)
+
+# ---------------------------------------------------------------------------
+# w4a8 (int4_w8a8: nibble-packed int4 weights + dynamic int8 activations)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_w4a8_matches_manual_integer_math():
+    """The s48 linear path must equal the explicit integer computation:
+    per-row int8 activations x unpacked int4 nibbles, two int32 half-dots,
+    fp32 epilogue by sx * s48 — bit-for-bit (all-integer dots)."""
+    from deer_vla_tpu.ops.quant import quantize_weight4, unpack_int4
+    r = np.random.RandomState(9)
+    w = jnp.asarray(r.randn(128, 64).astype(np.float32)) * 0.05
+    b = jnp.asarray(r.randn(64).astype(np.float32)) * 0.1
+    x = jnp.asarray(r.randn(5, 128).astype(np.float32))
+    q4, s = quantize_weight4(w)
+    got = linear({"q4": q4, "s48": s, "b": b}, x)
+    # manual replica in numpy
+    xn = np.asarray(x, np.float32)
+    sx = np.maximum(np.abs(xn).max(-1, keepdims=True) / 127.0, 1e-12)
+    xi = np.clip(np.round(xn / sx), -127, 127).astype(np.int32)
+    wq = np.asarray(unpack_int4(q4), np.int32)
+    acc = xi @ wq
+    want = acc.astype(np.float32) * sx * np.asarray(s) + np.asarray(b)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+    # and close to the fp product (combined int4 weight + int8 act error)
+    y = np.asarray(linear({"w": w, "b": b}, x))
+    assert np.abs(np.asarray(got) - y).max() < 0.35
+
+
+def test_quantize_tree_w4a8_mode_and_odd_k_fallback():
+    """int4_w8a8 packs even-K weights as q4/s48; odd-K falls back to w8a8
+    (q/s8) so every matmul in the tree still runs int8 activations."""
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+    tree = {"blocks": {"mlp": {"w": jnp.ones((2, 16, 16))},
+                       "odd": {"w": jnp.ones((2, 15, 16))}},
+            "has_xattn": jnp.ones((2,), jnp.bool_)}
+    out = quantize_serving_stacked(tree, "int4_w8a8")
+    assert set(out["blocks"]["mlp"]) == {"q4", "s48"}
+    assert set(out["blocks"]["odd"]) == {"q", "s8"}  # odd K -> w8a8
+    assert tree_bytes(out["blocks"]) < tree_bytes(tree["blocks"]) / 3
+
+
+def test_scan_policy_w4a8_serves(tiny_setup):
+    """--quantize int4_w8a8 end-to-end through the while-loop engine: serves
+    finite actions correlated with fp, same forced-depth exits, packed tree
+    ~4x smaller than fp32 (int4 weight bytes dominate)."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, params = tiny_setup
+    fp = ScanDeerPolicy(params, cfg)
+    qq = ScanDeerPolicy(params, cfg, quantize="int4_w8a8")
+    th = [-1e8] * (len(fp.exits) - 1) + [1e8]
+    fp.set_thresholds(list(th)), qq.set_thresholds(list(th))
+    for i in range(2):
+        img, grip, ids, mask = _inputs(cfg, seed=60 + i)
+        a = fp.step(img, grip, ids, mask)
+        b = qq.step(img, grip, ids, mask)
+        assert fp.last_exit_layer == qq.last_exit_layer
+        assert np.isfinite(b).all()
+        assert np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1] > 0.8, (a, b)
+    big_fp = sum(x.size * x.dtype.itemsize
+                 for k in ("blocks", "xattn", "vit", "perceiver")
+                 if k in fp.stacked
+                 for x in jax.tree_util.tree_leaves(fp.stacked[k]))
+    big_q = sum(x.size * x.dtype.itemsize
+                for k in ("blocks", "xattn", "vit", "perceiver")
+                if k in qq.stacked
+                for x in jax.tree_util.tree_leaves(qq.stacked[k]))
+    assert big_q < big_fp / 3, (big_q, big_fp)
+
+
+def test_deer_policy_int4_uses_int4_weights(tiny_setup):
+    """Regression: the host-bucketed DeerPolicy used to silently downgrade
+    --quantize int4 to weight-only int8 (scale-key mapping dropped the s4
+    case).  It must pack q4 weights and still serve."""
+    from deer_vla_tpu.eval.policy import DeerPolicy
+    cfg, params = tiny_setup
+    pol = DeerPolicy(params, cfg, quantize="int4")
+    qb = pol.params["decoder"]["blocks"][0]["wqkv"]
+    assert set(qb) >= {"q4", "s4"}, set(qb)
+    img, grip, ids, mask = _inputs(cfg, seed=61)
+    pol.set_timestep(0)
+    a = pol.step(img, grip, ids, mask)
+    assert np.isfinite(np.asarray(a)).all()

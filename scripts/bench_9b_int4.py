@@ -8,10 +8,17 @@ Phases (one process, adjacent, per CLAUDE.md measurement rules):
      drift at 9B scale);
   2. free the bf16 tree, compile the BATCHED-32 int4 program, sweep depths
      -> the first batched 9B throughput number on this chip;
-  3. optional --stack: tome8 + grip84 on the same int4 tree (one-chip peak
-     configuration at 9B).
+  3. optional --stack: tome8 + grip84 on the same quantized tree (one-chip
+     peak configuration at 9B).
+
+--mode takes a comma-list and interleaves the batched per-depth timings
+across modes in one process (same-process A/B): at truncated 9B both the
+w8a8 tree (~2.8 GB) and the w4a8 tree (~1.4 GB) fit once the bf16 tree is
+freed, so the 3B verdict (w8a8 wins the compute-bound batched step, w4a8
+trades bytes for nibble-unpack VPU work) can be re-checked at 9B scale.
 
 Usage: python scripts/bench_9b_int4.py [--iters 20] [--batch 32] [--stack]
+       [--skip_ab] [--mode int8_w8a8,int4_w8a8]
 """
 
 import argparse
@@ -38,11 +45,16 @@ def main():
     ap.add_argument("--skip_ab", action="store_true",
                     help="skip the single-stream bf16/int4 A/B (HBM + time)")
     ap.add_argument("--mode", default="int4",
-                    choices=["int4", "int4_w8a8"],
-                    help="int4 = weight-only (bandwidth lever, B=1); "
-                         "int4_w8a8 = int4 weights + int8 activations "
-                         "(int8 MXU — the lever for the compute-bound "
-                         "batched step; same ~1.4 GB tree)")
+                    help="comma-list of quant modes for the batched phases "
+                         "(int4, int4_w8a8, int8_w8a8, int8); the first is "
+                         "also the single-stream A/B mode.  int4 = "
+                         "weight-only (bandwidth lever, B=1); int4_w8a8 = "
+                         "int4 weights + int8 activations (~1.4 GB tree); "
+                         "int8_w8a8 = int8 weights + int8 activations "
+                         "(~2.8 GB at truncated 9B — fits without the bf16 "
+                         "tree, and won the 3B batched A/B over w4a8).  "
+                         "Multiple modes share one process and interleave "
+                         "per depth (same-process A/B per CLAUDE.md)")
     args = ap.parse_args()
 
     from deer_vla_tpu.core.config import DTypePolicy, MODEL_REGISTRY
@@ -59,11 +71,12 @@ def main():
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
+    modes = [m.strip() for m in args.mode.split(",") if m.strip()]
     exits = list(cfg.all_exit_ids())
     pol = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
     del params
-    q4_stacked = quantize_serving_stacked(pol.stacked, args.mode)
-    q4 = SimpleNamespace(params=pol.params, stacked=q4_stacked,
+    q_stacks = {m: quantize_serving_stacked(pol.stacked, m) for m in modes}
+    q4 = SimpleNamespace(params=pol.params, stacked=q_stacks[modes[0]],
                          _step=pol._step)
 
     hw, s = cfg.vit.image_size, cfg.text_len
@@ -136,45 +149,57 @@ def main():
               flush=True)
         del pool1
 
-    # free the bf16 tree + its programs: batched-32 at 9B only fits int4
+    # free the bf16 tree + its programs: batched-32 at 9B doesn't fit
+    # alongside it (5.5 GB + quantized stacks + B=32 temps)
     del pol
     jax.clear_caches()
     step_b = build_scan_step(cfg, exits, "L2", None)[0]
-    q4b = SimpleNamespace(params=q4.params, stacked=q4.stacked, _step=step_b)
+    engines = {m: SimpleNamespace(params=q4.params, stacked=q_stacks[m],
+                                  _step=step_b) for m in modes}
 
     B = args.batch
     poolB, gripB, idsB, maskB = make_inputs(B)
-    per_b = [time_depth(q4b, B, poolB, gripB, idsB, maskB, k, args.iters)
-             for k in range(len(exits))]
-    per_b = np.array(per_b)
-    eB = float((probs * per_b).sum())
-    out["batched_int4"] = {
-        "per_depth_ms": [round(1000 * t, 2) for t in per_b],
-        "dynamic_actions_per_sec": round(B / eB, 2),
-        "full_depth_actions_per_sec": round(B / float(per_b[-1]), 2),
-        "gflops_per_action_full":
-            round(full_step_flops(cfg, exits[-1]), 1),
-    }
-    print(json.dumps({"batched_int4": out["batched_int4"]}), flush=True)
+    # per-depth timings interleaved across modes (same-process A/B: the
+    # chip is time-shared, so adjacent dispatches see the same weather)
+    per = {m: [] for m in modes}
+    for k in range(len(exits)):
+        for m in modes:
+            per[m].append(time_depth(engines[m], B, poolB, gripB, idsB,
+                                     maskB, k, args.iters))
+    for m in modes:
+        per_b = np.array(per[m])
+        eB = float((probs * per_b).sum())
+        out[f"batched_{m}"] = {
+            "per_depth_ms": [round(1000 * t, 2) for t in per_b],
+            "dynamic_actions_per_sec": round(B / eB, 2),
+            "full_depth_actions_per_sec": round(B / float(per_b[-1]), 2),
+            "gflops_per_action_full":
+                round(full_step_flops(cfg, exits[-1]), 1),
+        }
+        print(json.dumps({f"batched_{m}": out[f"batched_{m}"]}), flush=True)
 
     if args.stack and 84 % cfg.vit.patch_size == 0:
         cfg_p = dataclasses.replace(
             cfg, gripper_res=84, vit=dataclasses.replace(cfg.vit, tome_r=8))
         step_p = build_scan_step(cfg_p, exits, "L2", None)[0]
-        pk = SimpleNamespace(params=q4.params, stacked=q4.stacked,
-                             _step=step_p)
         gripP = jnp.asarray(r.randn(B, 1, 1, 3, 84, 84), jnp.float32)
-        per_p = np.array([time_depth(pk, B, poolB, gripP, idsB, maskB, k,
-                                     args.iters)
-                          for k in range(len(exits))])
-        eP = float((probs * per_p).sum())
-        out["batched_int4_tome8_grip84"] = {
-            "per_depth_ms": [round(1000 * t, 2) for t in per_p],
-            "dynamic_actions_per_sec": round(B / eP, 2),
-            "full_depth_actions_per_sec": round(B / float(per_p[-1]), 2),
-            "gflops_per_action_full":
-                round(full_step_flops(cfg_p, exits[-1]), 1),
-        }
+        per_s = {m: [] for m in modes}
+        for k in range(len(exits)):
+            for m in modes:
+                pk = SimpleNamespace(params=q4.params, stacked=q_stacks[m],
+                                     _step=step_p)
+                per_s[m].append(time_depth(pk, B, poolB, gripP, idsB, maskB,
+                                           k, args.iters))
+        for m in modes:
+            per_p = np.array(per_s[m])
+            eP = float((probs * per_p).sum())
+            out[f"batched_{m}_tome8_grip84"] = {
+                "per_depth_ms": [round(1000 * t, 2) for t in per_p],
+                "dynamic_actions_per_sec": round(B / eP, 2),
+                "full_depth_actions_per_sec": round(B / float(per_p[-1]), 2),
+                "gflops_per_action_full":
+                    round(full_step_flops(cfg_p, exits[-1]), 1),
+            }
 
     print(json.dumps(out))
 

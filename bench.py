@@ -33,19 +33,46 @@ REFERENCE_ACTIONS_PER_SEC = 4.0
 BENCH_MODEL = os.environ.get("DEER_BENCH_MODEL", "mpt_dolly_3b")
 
 # wall-clock budget for OPTIONAL sections (tome/grip/w8a8/peak/int8/train/
-# 9B): each checks remaining budget before starting and records a skip
-# instead of delaying the headline JSON line past the driver's patience.
-# The core serving measurement always runs to completion.  2400s fits every
-# section incl. the tome/grip84/stacked-peak A/Bs and the 9B sweep (a full
-# r03 run measured ~33 min wall before the two grip sections, each ~2 min;
-# rounds 1-2 the driver waited through comparable runs).
-BUDGET_S = float(os.environ.get("DEER_BENCH_BUDGET_S", "2400"))
+# 9B): each checks remaining budget before starting and records a skip.
+# The backend wait counts against the SAME budget (BENCH_r03 lesson: the
+# driver killed a ~33min run at rc=124 with zero output), and the headline
+# JSON line is now emitted INCREMENTALLY — right after the core serving
+# measurement and again after every section — so a driver kill at any point
+# leaves the freshest complete artifact as the last parseable stdout line.
+BUDGET_S = float(os.environ.get("DEER_BENCH_BUDGET_S", "1800"))
 _START = time.time()
+
+# belt-and-braces trail: every emit() also rewrites this file on disk
+PARTIAL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "runs", "bench_partial.json")
 
 
 def over_budget(margin_s: float) -> bool:
     """True when starting a section estimated at margin_s would overrun."""
     return time.time() - _START > BUDGET_S - margin_s
+
+
+def emit(result: dict) -> None:
+    """Print the parseable artifact line NOW and mirror it to disk.
+
+    The driver records the last parseable stdout line; emitting after the
+    core measurement and after each optional section means a mid-run kill
+    (BENCH_r03: rc=124, parsed null) can only lose the *in-flight* section,
+    never the whole run."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    try:
+        os.makedirs(os.path.dirname(PARTIAL_PATH), exist_ok=True)
+        with open(PARTIAL_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
+def tree_mb(tree) -> float:
+    """Resident bytes of a device pytree, MB (the int4 capacity metric)."""
+    return round(sum(getattr(l, "nbytes", 0)
+                     for l in jax.tree_util.tree_leaves(tree)) / 1e6, 1)
 
 
 # one-chip peak dense-matmul throughput by device kind (bf16), TFLOP/s.
@@ -85,7 +112,7 @@ def mfu_fields(gflops_per_unit: float, seconds_per_unit: float,
     return out
 
 
-def run_model(bench_model: str) -> dict:
+def run_model(bench_model: str, emit_cb=None) -> dict:
     from deer_vla_tpu.core.config import MODEL_REGISTRY
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
     from deer_vla_tpu.models.flamingo import init_deer
@@ -99,6 +126,8 @@ def run_model(bench_model: str) -> dict:
             max_layer=12,
             dtypes=DTypePolicy(param_dtype="bfloat16",
                                compute_dtype="bfloat16"))
+    elif BENCH_MODEL == "tiny":
+        cfg = MODEL_REGISTRY["tiny"]()  # CPU smoke of the bench structure
     else:
         cfg = MODEL_REGISTRY[BENCH_MODEL](max_layer=12)  # DeeR-B
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
@@ -200,6 +229,39 @@ def run_model(bench_model: str) -> dict:
     sync_step_ms = round(1000 * time_sync_step(), 2)
     avg_exit_layer = float((probs * (np.array(exits) + 1)).sum())
 
+    # core headline result — built and EMITTED before any optional section
+    # so a driver kill can never again leave parsed=null (VERDICT r3 item 1)
+    short = "3b" if BENCH_MODEL == "mpt_dolly_3b" else BENCH_MODEL
+    result = {
+        "metric": f"deer_b_{short}_dynamic_exit_actions_per_sec_per_chip",
+        "value": round(aps, 2),
+        "unit": "actions/s",
+        "vs_baseline": round(aps / REFERENCE_ACTIONS_PER_SEC, 2),
+        "detail": {
+            "full_depth_actions_per_sec": round(aps_full, 2),
+            "batched32_full_depth_actions_per_sec": 0.0,
+            "avg_exit_layer": round(avg_exit_layer, 2),
+            "per_depth_ms": [round(1000 * t, 2) for t in per_depth_t],
+            "sync_step_ms": sync_step_ms,
+            "execution_model": "while_loop_single_program",
+            "backend": jax.default_backend(),
+            "peak_bf16_tflops": peak,
+            "per_depth_gflops_per_action":
+                [round(float(g), 2) for g in per_depth_gflops],
+            "dynamic_mfu": mfu_fields(expected_gflops, expected_t, peak),
+            "full_depth_mfu": mfu_fields(float(per_depth_gflops[-1]),
+                                         float(per_depth_t[-1]), peak),
+            "batched32_mfu": {},
+        },
+    }
+    detail = result["detail"]
+
+    def section_done():
+        if emit_cb is not None:
+            emit_cb(result)
+
+    section_done()
+
     # batched serving throughput: 32 parallel streams through the SAME
     # while-loop program (one dispatch per step, per-stream dynamic exits);
     # measured at full depth, device-pipelined like time_depth (the
@@ -238,6 +300,10 @@ def run_model(bench_model: str) -> dict:
                                               idsB, maskB, carryB, thB)
         jax.block_until_ready((armB, gpB, carryB, elB))
         batched_aps = B * iters_b / (time.perf_counter() - t0)
+        detail["batched32_full_depth_actions_per_sec"] = round(batched_aps, 2)
+        detail["batched32_mfu"] = mfu_fields(float(per_depth_gflops[-1]),
+                                             1.0 / batched_aps, peak)
+        section_done()
 
         del imgB_pool, carryB, armB, gpB, elB  # HBM headroom for A/Bs below
         from types import SimpleNamespace
@@ -293,6 +359,9 @@ def run_model(bench_model: str) -> dict:
                 del tm, imgT
             except Exception as e:
                 batched_tome = {"error": repr(e)[:200]}
+        if batched_tome:
+            detail["batched32_tome8"] = batched_tome
+            section_done()
 
         # native-res gripper at batch (--gripper_res 84, cfg.gripper_res):
         # the wrist camera runs the shared tower at CALVIN's native 84
@@ -349,18 +418,22 @@ def run_model(bench_model: str) -> dict:
                 del gr, imgG, gripG
             except Exception as e:
                 batched_grip = {"error": repr(e)[:200]}
+        if batched_grip:
+            detail["batched32_grip84"] = batched_grip
+            section_done()
 
         # w8a8 at batch (--quantize int8_w8a8): the B=32 step is
         # COMPUTE-bound, so int8 x int8 MXU matmuls (2x bf16 MXU on v5e)
         # are the lever weight-only int8 isn't.  Same-process adjacent
         # A/B: re-time bf16 next to the w8a8 run (time-shared chip).
         batched_w8a8 = {}
+        w8 = None
         if os.environ.get("DEER_BENCH_W8A8", "1") != "0" and over_budget(240):
             batched_w8a8 = {"skipped": "time budget"}
         elif os.environ.get("DEER_BENCH_W8A8", "1") != "0":
             try:
                 from deer_vla_tpu.ops.quant import quantize_serving_stacked
-                w8 = SimpleNamespace(
+                w8_try = SimpleNamespace(
                     params=bp.params,
                     stacked=quantize_serving_stacked(bp.stacked,
                                                      "int8_w8a8"),
@@ -370,7 +443,7 @@ def run_model(bench_model: str) -> dict:
                 imgW = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw),
                                     jnp.float32)
                         for _ in range(2 * (iters_w + warm_w))]
-                t_w8 = time_b(w8, imgW[:iters_w + warm_w])
+                t_w8 = time_b(w8_try, imgW[:iters_w + warm_w])
                 t_bf = time_b(bp, imgW[iters_w + warm_w:])
                 batched_w8a8 = {
                     "actions_per_sec": round(B / t_w8, 2),
@@ -380,49 +453,103 @@ def run_model(bench_model: str) -> dict:
                     **mfu_fields(float(per_depth_gflops[-1]), t_w8 / B,
                                  peak, int8_peak=True),
                 }
-                # stacked one-chip peak: tome8 + grip84 + w8a8 share the
-                # SAME quantized tree (both accels are weight-free) — the
-                # highest measured throughput configuration
-                # (scripts/bench_gripper_res.py --batch 32 --tome_r 8
-                # --quantize int8_w8a8: 431 -> 680 actions/s)
-                if (os.environ.get("DEER_BENCH_PEAK", "1") != "0"
-                        and not over_budget(240)
-                        and 84 % cfg.vit.patch_size == 0):
-                    import dataclasses as _dc
-
-                    from deer_vla_tpu.eval.scan_policy import build_scan_step
-                    cfg_p = _dc.replace(
-                        cfg, gripper_res=84,
-                        vit=_dc.replace(cfg.vit, tome_r=8))
-                    pk = SimpleNamespace(
-                        params=w8.params, stacked=w8.stacked,
-                        _step=build_scan_step(cfg_p, exits, "L2", None)[0])
-                    gripP = jnp.asarray(r.randn(B, 1, 1, 3, 84, 84),
-                                        jnp.float32)
-                    imgP = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw),
-                                        jnp.float32)
-                            for _ in range(iters_w + warm_w)]
-                    t_pk = time_bg(pk, imgP, gripP)
-                    g_p = full_step_flops(cfg_p, exits[-1])
-                    batched_w8a8["stacked_peak_tome8_grip84"] = {
-                        "actions_per_sec": round(B / t_pk, 2),
-                        "speedup_vs_w8a8_exact": round(t_w8 / t_pk, 3),
-                        **mfu_fields(g_p, t_pk / B, peak, int8_peak=True),
-                    }
-                    del pk, imgP, gripP
-                del w8, imgW
+                w8 = w8_try
+                del imgW
             except Exception as e:
                 batched_w8a8 = {"error": repr(e)[:200]}
+        if batched_w8a8:
+            detail["batched32_w8a8"] = batched_w8a8
+            section_done()
+        # stacked one-chip peak: tome8 + grip84 share the SAME quantized
+        # tree (both accels are weight-free) — the highest measured
+        # throughput configuration (scripts/bench_gripper_res.py --batch 32
+        # --tome_r 8 --quantize int8_w8a8: 431 -> 680 actions/s).  In its
+        # OWN try so a peak-section flake can never erase the measured
+        # w8a8 dict (VERDICT r3 item 4).
+        if (w8 is not None
+                and os.environ.get("DEER_BENCH_PEAK", "1") != "0"
+                and not over_budget(240)
+                and 84 % cfg.vit.patch_size == 0):
+            try:
+                import dataclasses as _dc
+
+                from deer_vla_tpu.eval.scan_policy import build_scan_step
+                cfg_p = _dc.replace(
+                    cfg, gripper_res=84,
+                    vit=_dc.replace(cfg.vit, tome_r=8))
+                pk = SimpleNamespace(
+                    params=w8.params, stacked=w8.stacked,
+                    _step=build_scan_step(cfg_p, exits, "L2", None)[0])
+                gripP = jnp.asarray(r.randn(B, 1, 1, 3, 84, 84),
+                                    jnp.float32)
+                imgP = [jnp.asarray(r.randn(B, 1, 1, 3, hw, hw),
+                                    jnp.float32)
+                        for _ in range(iters_w + warm_w)]
+                t_pk = time_bg(pk, imgP, gripP)
+                g_p = full_step_flops(cfg_p, exits[-1])
+                batched_w8a8["stacked_peak_tome8_grip84"] = {
+                    "actions_per_sec": round(B / t_pk, 2),
+                    "speedup_vs_w8a8_exact": round(t_w8 / t_pk, 3),
+                    **mfu_fields(g_p, t_pk / B, peak, int8_peak=True),
+                }
+                del pk, imgP, gripP
+            except Exception as e:
+                batched_w8a8["stacked_peak_tome8_grip84"] = {
+                    "error": repr(e)[:200]}
+            section_done()
+        if w8 is not None:
+            del w8
         # free the batched engine's stacked tree before the int8 engine
         # stacks its own (HBM headroom, see sync_step note above)
         del bp
+
+    # 9B capacity story (VERDICT r3 item 6): per-quant-mode full-depth
+    # throughput + resident stacked-weight MB on one chip.  The verdict from
+    # scripts/bench_9b_int4.py (int4 is a CAPACITY mode, not a throughput
+    # win: 0.93-0.94x w8a8) gets driver-recorded here.  Each mode quantizes
+    # the live policy's packed tree (one retrace, no second stacking pass)
+    # and re-times bf16 adjacent to it (time-shared chip).
+    if BENCH_MODEL == "mpt_9b" and os.environ.get("DEER_BENCH_9B_MODES",
+                                                  "1") != "0":
+        from types import SimpleNamespace
+
+        from deer_vla_tpu.ops.quant import quantize_serving_stacked
+        modes = {"bf16": {
+            "full_depth_actions_per_sec": round(aps_full, 2),
+            "resident_weights_mb": tree_mb(policy.stacked)}}
+        detail["modes"] = modes
+        for mode in ("int8_w8a8", "int4_w8a8"):
+            if over_budget(300):
+                modes[mode] = {"skipped": "time budget"}
+                continue
+            try:
+                q = SimpleNamespace(
+                    params=policy.params,
+                    stacked=quantize_serving_stacked(policy.stacked, mode),
+                    _step=policy._step)
+                t_fp = time_depth(len(exits) - 1)
+                t_q = time_depth(len(exits) - 1, p=q)
+                modes[mode] = {
+                    "full_depth_actions_per_sec": round(1.0 / t_q, 2),
+                    "bf16_adjacent_actions_per_sec": round(1.0 / t_fp, 2),
+                    "speedup_vs_bf16": round(t_fp / t_q, 3),
+                    "resident_weights_mb": tree_mb(q.stacked),
+                }
+                del q
+            except Exception as e:
+                modes[mode] = {"error": repr(e)[:200]}
+            section_done()
 
     # weight-only int8 serving (--quantize int8, ops/quant.py): same engine,
     # int8 decoder/encoder stacks.  One extra compile; the per-depth sweep
     # reuses the program with runtime thresholds.  Same-process ratio vs the
     # bf16 curve above (measured 1.10-1.19x, action drift <= 1e-4 at 3B).
+    # On 9B the modes section above already carries the quant story —
+    # skipping the weight-only sweep saves its two compiles + 12-point A/B.
     int8_detail = {}
-    if os.environ.get("DEER_BENCH_INT8", "1") != "0" and over_budget(240):
+    if BENCH_MODEL == "mpt_9b":
+        int8_detail = {"skipped": "9B quant story lives in detail.modes"}
+    elif os.environ.get("DEER_BENCH_INT8", "1") != "0" and over_budget(240):
         int8_detail = {"skipped": "time budget"}
     elif os.environ.get("DEER_BENCH_INT8", "1") != "0":
         try:
@@ -477,40 +604,9 @@ def run_model(bench_model: str) -> dict:
             del q8
         except Exception as e:
             int8_detail = {"error": repr(e)[:200]}
-
-    short = "3b" if BENCH_MODEL == "mpt_dolly_3b" else BENCH_MODEL
-    result = {
-        "metric": f"deer_b_{short}_dynamic_exit_actions_per_sec_per_chip",
-        "value": round(aps, 2),
-        "unit": "actions/s",
-        "vs_baseline": round(aps / REFERENCE_ACTIONS_PER_SEC, 2),
-        "detail": {
-            "full_depth_actions_per_sec": round(aps_full, 2),
-            "batched32_full_depth_actions_per_sec": round(batched_aps, 2),
-            "avg_exit_layer": round(avg_exit_layer, 2),
-            "per_depth_ms": [round(1000 * t, 2) for t in per_depth_t],
-            "sync_step_ms": sync_step_ms,
-            "execution_model": "while_loop_single_program",
-            "backend": jax.default_backend(),
-            "peak_bf16_tflops": peak,
-            "per_depth_gflops_per_action":
-                [round(float(g), 2) for g in per_depth_gflops],
-            "dynamic_mfu": mfu_fields(expected_gflops, expected_t, peak),
-            "full_depth_mfu": mfu_fields(float(per_depth_gflops[-1]),
-                                         float(per_depth_t[-1]), peak),
-            "batched32_mfu": mfu_fields(float(per_depth_gflops[-1]),
-                                        1.0 / batched_aps, peak)
-            if batched_aps > 0 else {},
-        },
-    }
     if int8_detail:
-        result["detail"]["int8"] = int8_detail
-    if batched_w8a8:
-        result["detail"]["batched32_w8a8"] = batched_w8a8
-    if batched_tome:
-        result["detail"]["batched32_tome8"] = batched_tome
-    if batched_grip:
-        result["detail"]["batched32_grip84"] = batched_grip
+        detail["int8"] = int8_detail
+        section_done()
     return result
 
 
@@ -835,16 +931,37 @@ def wait_for_device(max_wait_s: float) -> bool:
         time.sleep(min(120.0, max(5.0, deadline - time.time())))
 
 
+def _compact_9b(r9: dict) -> dict:
+    """The nested 9B run's fields worth carrying in the 3B artifact line."""
+    d = r9.get("detail", {})
+    out = {
+        "actions_per_sec": r9["value"],
+        "vs_baseline": r9["vs_baseline"],
+        "full_depth_actions_per_sec": d.get("full_depth_actions_per_sec"),
+        "per_depth_ms": d.get("per_depth_ms"),
+        "dynamic_mfu": d.get("dynamic_mfu", {}),
+        "full_depth_mfu": d.get("full_depth_mfu", {}),
+    }
+    if "modes" in d:
+        out["modes"] = d["modes"]
+    return out
+
+
 def main():
-    wait_s = float(os.environ.get("DEER_BENCH_WAIT_S", "1200"))
+    # the backend wait counts against the SAME budget as everything else
+    # (VERDICT r3 weak 1): a long outage eats into optional sections, not
+    # into the driver's patience; and every section lands incrementally
+    # via emit(), so a kill at any point leaves the freshest artifact.
+    wait_s = min(float(os.environ.get("DEER_BENCH_WAIT_S", "900")),
+                 max(120.0, BUDGET_S - 240.0))
     if not wait_for_device(wait_s):
         # parseable failure line instead of a hang/crash with no artifact
-        print(json.dumps({
+        emit({
             "metric": "actions_per_sec_per_chip", "value": 0.0,
             "unit": "actions/s", "vs_baseline": 0.0,
-            "error": f"TPU backend unavailable after {wait_s:.0f}s wait"}))
+            "error": f"TPU backend unavailable after {wait_s:.0f}s wait"})
         return
-    result = run_model(BENCH_MODEL)
+    result = run_model(BENCH_MODEL, emit_cb=emit)
     if BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_TRAIN",
                                                         "1") != "0" \
             and over_budget(360):
@@ -859,6 +976,8 @@ def main():
                 break
             except Exception as e:  # best-effort: never sink the serving line
                 result["detail"]["train_3b"] = {"error": repr(e)[:200]}
+    if "train_3b" in result["detail"]:
+        emit(result)
     # real-loader-fed train step (VERDICT r2 item 5): at the batch size the
     # synthetic train bench fit (or the smallest, if it was skipped)
     pipe_on = (BENCH_MODEL == "mpt_dolly_3b"
@@ -872,29 +991,29 @@ def main():
                 batch_size=tb)
         except Exception as e:  # best-effort: never sink the serving line
             result["detail"]["train_pipeline"] = {"error": repr(e)[:200]}
+    if pipe_on:
+        emit(result)
 
     # the sharded-config claim needs a number attached (VERDICT r2 item 10):
-    # fold a truncated-9B measurement into the same driver artifact line
+    # fold a truncated-9B measurement into the same driver artifact line;
+    # its sections merge in incrementally via the nested emit callback
     if BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_9B",
                                                         "1") != "0" \
             and over_budget(420):
         result["detail"]["mpt_9b"] = {"skipped": "time budget"}
     elif BENCH_MODEL == "mpt_dolly_3b" and os.environ.get("DEER_BENCH_9B",
                                                           "1") != "0":
+        def merge_9b(r9):
+            result["detail"]["mpt_9b"] = _compact_9b(r9)
+            emit(result)
+
         try:
-            r9 = run_model("mpt_9b")
-            result["detail"]["mpt_9b"] = {
-                "actions_per_sec": r9["value"],
-                "vs_baseline": r9["vs_baseline"],
-                "full_depth_actions_per_sec":
-                    r9["detail"]["full_depth_actions_per_sec"],
-                "per_depth_ms": r9["detail"]["per_depth_ms"],
-                "dynamic_mfu": r9["detail"].get("dynamic_mfu", {}),
-                "full_depth_mfu": r9["detail"].get("full_depth_mfu", {}),
-            }
+            result["detail"]["mpt_9b"] = _compact_9b(
+                run_model("mpt_9b", emit_cb=merge_9b))
         except Exception as e:  # 9B is best-effort: never sink the 3B line
-            result["detail"]["mpt_9b"] = {"error": repr(e)[:200]}
-    print(json.dumps(result))
+            result["detail"].setdefault("mpt_9b", {})["error"] = \
+                repr(e)[:200]
+    emit(result)
 
 
 if __name__ == "__main__":

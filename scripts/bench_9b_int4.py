@@ -4,12 +4,16 @@ engine's temps, so batched 9B serving was previously impossible here —
 nibble-packed int4 (~1.4 GB) makes it fit.
 
 Phases (one process, adjacent, per CLAUDE.md measurement rules):
-  1. single-stream per-depth sweep, bf16 vs int4 interleaved (speed + action
-     drift at 9B scale);
-  2. free the bf16 tree, compile the BATCHED-32 int4 program, sweep depths
-     -> the first batched 9B throughput number on this chip;
-  3. optional --stack: tome8 + grip84 on the same quantized tree (one-chip
-     peak configuration at 9B).
+  1. single-stream per-depth sweep, bf16 vs the first quant mode interleaved
+     (speed + action drift at 9B scale);
+  2. free the bf16 tree, compile the batched-32 program per quant mode,
+     sweep depths -> batched 9B throughput numbers on this chip;
+  3. optional --stack: tome8 + grip84 on the same quantized tree(s)
+     (one-chip peak configuration at 9B).
+
+HBM budget: phase 1 holds the ~5.5 GB bf16 stacked tree plus ONE quantized
+tree (modes[0]); the remaining modes are quantized only after the bf16 tree
+is freed.  For multi-mode runs --skip_ab drops the bf16 tree cost entirely.
 
 --mode takes a comma-list and interleaves the batched per-depth timings
 across modes in one process (same-process A/B): at truncated 9B both the
@@ -57,6 +61,16 @@ def main():
                          "per depth (same-process A/B per CLAUDE.md)")
     args = ap.parse_args()
 
+    # fail fast on a typo'd mode — BEFORE the expensive 9B init over the
+    # slow axon tunnel (quantize_serving_stacked would only raise at line
+    # ~90 otherwise)
+    from deer_vla_tpu.ops.quant import QUANT_MODES
+    modes = [m.strip() for m in args.mode.split(",") if m.strip()]
+    bad = [m for m in modes if m not in QUANT_MODES]
+    if bad or not modes:
+        ap.error(f"--mode got {bad or ['(empty)']}; want a comma-list from "
+                 f"{QUANT_MODES}")
+
     from deer_vla_tpu.core.config import DTypePolicy, MODEL_REGISTRY
     from deer_vla_tpu.eval.flops import full_step_flops
     from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy, build_scan_step
@@ -71,11 +85,13 @@ def main():
     params = jax.jit(lambda k: init_deer(k, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    modes = [m.strip() for m in args.mode.split(",") if m.strip()]
     exits = list(cfg.all_exit_ids())
     pol = ScanDeerPolicy(params, cfg, thresholds=[1e8] * len(exits))
     del params
-    q_stacks = {m: quantize_serving_stacked(pol.stacked, m) for m in modes}
+    # HBM discipline for multi-mode runs: only modes[0] is quantized while
+    # the ~5.5 GB bf16 tree is live (the single-stream A/B needs both);
+    # the remaining modes are quantized just before the bf16 tree is freed
+    q_stacks = {modes[0]: quantize_serving_stacked(pol.stacked, modes[0])}
     q4 = SimpleNamespace(params=pol.params, stacked=q_stacks[modes[0]],
                          _step=pol._step)
 
@@ -149,8 +165,12 @@ def main():
               flush=True)
         del pool1
 
-    # free the bf16 tree + its programs: batched-32 at 9B doesn't fit
-    # alongside it (5.5 GB + quantized stacks + B=32 temps)
+    # quantize the remaining modes now (they must be sourced from the bf16
+    # tree); the overlap window holds no B=32 temps, so bf16 + all quant
+    # trees fits — then free the bf16 tree + its programs: batched-32 at 9B
+    # doesn't fit alongside it (5.5 GB + quantized stacks + B=32 temps)
+    for m in modes[1:]:
+        q_stacks[m] = quantize_serving_stacked(pol.stacked, m)
     del pol
     jax.clear_caches()
     step_b = build_scan_step(cfg, exits, "L2", None)[0]
@@ -200,6 +220,10 @@ def main():
                 "gflops_per_action_full":
                     round(full_step_flops(cfg_p, exits[-1]), 1),
             }
+            # incremental like the batched phase: a tunnel drop or OOM
+            # mid-sweep must not lose the stacked timings already taken
+            print(json.dumps({f"batched_{m}_tome8_grip84":
+                              out[f"batched_{m}_tome8_grip84"]}), flush=True)
 
     print(json.dumps(out))
 

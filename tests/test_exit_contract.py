@@ -226,9 +226,20 @@ def _stream_exits(policy_step, cfg, tok, n_streams, n_steps, seed=7):
 @pytest.mark.parametrize("engine", ["scan", "bucketed"])
 def test_streamed_contract_loose(streamed_setup, engine):
     """Streaming post-mode serving (real LSTM carry) through BOTH dynamic
-    engines: realized histogram matches the target within a loose band (the
-    carry mismatch the random-prefix calibration approximates), avg exit is
-    near the budget, and a thresholds-ignoring engine would fail."""
+    engines: realized histogram matches the target within a loose band, the
+    avg exit is near the budget, the deviation is REPRODUCIBLE (a stable
+    regime bias, not engine noise), and a thresholds-ignoring engine fails.
+
+    Why this regime is looser than the window-folded contract (measured,
+    3 seeds x 16 streams x 32 steps at this tiny scale): calibration scores
+    window positions with the trajectory's own warmed carry, while these
+    synthetic streams feed i.i.d. random frames into a long-lived carry —
+    a carry/frame-distribution mismatch that shifts the delta quantiles.
+    The per-bin deviation is a stable bias (e.g. [.06, .16, .02, .12] with
+    cross-seed spread < .03), so more streams/steps cannot tighten it; the
+    tests below bound the bias (per-bin + total-variation + budget) and
+    separately assert the NOISE is small (disjoint stream sets reproduce
+    the same histogram within a variance-derived tolerance)."""
     cfg, tok, params, cal = streamed_setup
     exits = list(cfg.all_exit_ids())
     th, probs = solve_thresholds(cal, 1.0, exits, cfg.n_layers - 1)
@@ -251,12 +262,130 @@ def test_streamed_contract_loose(streamed_setup, engine):
 
     els = _stream_exits(step, cfg, tok, n_streams=12, n_steps=16)
     realized = hist_of(els.ravel(), exits)
+    # bias bounds: per-bin + total variation (measured peak bias .17/.18 TV)
     assert np.all(np.abs(realized - probs) <= 0.2), (engine, realized, probs)
+    assert 0.5 * float(np.abs(realized - probs).sum()) <= 0.25, \
+        (engine, realized, probs)
     budget = float((probs * (np.asarray(exits) + 1)).sum())
-    assert abs(float(els.mean() + 1) - budget) <= 1.0
+    assert abs(float(els.mean() + 1) - budget) <= 0.6
     # power: degenerate histograms fail the same band
     for bad in (np.eye(len(exits))[0], np.eye(len(exits))[-1]):
         assert not np.all(np.abs(bad - probs) <= 0.2)
+
+    # noise bound (variance-derived): a DISJOINT stream set must reproduce
+    # the same realized histogram within 3.5x the cross-stream standard
+    # error — a distorted/nondeterministic engine fails this even inside
+    # the bias band above
+    pol.reset()
+    els2 = _stream_exits(step, cfg, tok, n_streams=12, n_steps=16, seed=1007)
+    realized2 = hist_of(els2.ravel(), exits)
+    per_stream = np.stack(
+        [hist_of(e[:, b], exits) for e in (els, els2) for b in range(12)])
+    se = per_stream.std(axis=0, ddof=1) / np.sqrt(12)
+    tol = np.maximum(3.5 * np.sqrt(2.0) * se, 4.0 / els.size)
+    assert np.all(np.abs(realized2 - realized) <= tol), \
+        (engine, realized, realized2, tol)
+
+
+# ---------------------------------------------------------------------------
+# Approximate / quantized serving modes (VERDICT r3 item 3): the contract
+# must hold in the configurations the throughput story actually ships, not
+# just the exact bf16 tower:
+#   tome      — calibration AND serving both run the token-merged tower
+#               (cfg.vit.tome_r, ops/tome.py)
+#   grip      — calibration AND serving both run the split-resolution
+#               gripper tower (cfg.gripper_res; calibrate.py passes
+#               gripper_size=cfg.gripper_res to the preprocess)
+#   tome_grip — both approximations stacked (the "peak" configuration)
+#   w8a8      — calibration runs fp and serving runs the int8xint8 tower:
+#               that asymmetry IS the product flow (scan_policy.py:443-451
+#               documents why thresholds are solved on the fp model), so
+#               the contract is asserted exactly as shipped.
+# ---------------------------------------------------------------------------
+
+SERVING_MODES = ["tome", "grip", "tome_grip", "w8a8"]
+
+
+def _mode_cfg(cfg, mode):
+    """Config under which BOTH calibration and serving run for this mode
+    (w8a8 keeps the exact cfg: quantization applies to the serving stack)."""
+    if "tome" in mode:
+        # tiny ViT has 5 tokens over 2 layers: r=1 merges one pair per
+        # layer — same code path as r=8 at ViT-L scale
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit,
+                                                               tome_r=1))
+    if "grip" in mode:
+        cfg = dataclasses.replace(cfg, gripper_res=14)
+    return cfg
+
+
+def _serve_heldout(pol, cfg, tok, th):
+    """Serve the held-out windows (fresh episode each) and return exits."""
+    pol.set_thresholds(th)
+    ghw = cfg.gripper_res or cfg.vit.image_size
+    served = []
+    for batch in batcher(cfg, tok, seed=1000):
+        stat = batch["rgb_static"].reshape(-1, *batch["rgb_static"].shape[2:])
+        grip = batch["rgb_gripper"].reshape(-1,
+                                            *batch["rgb_gripper"].shape[2:])
+        img = clip_preprocess(jnp.asarray(stat),
+                              cfg.vit.image_size)[:, None, None]
+        gri = clip_preprocess(jnp.asarray(grip), ghw)[:, None, None]
+        ids, mask = fixed_length(np.asarray(batch["input_ids"]),
+                                 np.asarray(batch["attention_mask"]),
+                                 cfg.text_len, 0)
+        pol.reset()
+        _, el = pol.step_batch(img, gri, jnp.asarray(ids), jnp.asarray(mask))
+        served.append(el)
+    return np.concatenate(served)
+
+
+@pytest.mark.parametrize("mode", SERVING_MODES)
+def test_contract_under_serving_modes(folded, mode):
+    """Calibrate and serve in each shipping mode; the realized held-out
+    histogram must match the solver target within the same power-checked
+    tolerance as the exact tower, and the engine's exit choices must agree
+    with the mode's delta-derived ground truth."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    cfg, tok, params, cal_exact, held_exact, pol_exact = folded
+    exits = list(cfg.all_exit_ids())
+
+    cfg_m = _mode_cfg(cfg, mode)
+    if mode == "w8a8":
+        cal_m, held_m = cal_exact, held_exact  # fp calibration (as shipped)
+        pol_m = ScanDeerPolicy(params, cfg, quantize="int8_w8a8")
+    else:
+        cal_m = generate_calibration_values(params, cfg_m,
+                                            batcher(cfg, tok, seed=0))
+        held_m = generate_calibration_values(params, cfg_m,
+                                             batcher(cfg, tok, seed=1000))
+        assert len(np.unique(cal_m[0])) > len(exits), mode
+        pol_m = ScanDeerPolicy(params, cfg_m)
+
+    th, probs = solve_thresholds(cal_m, 1.0, exits, cfg.n_layers - 1)
+    served = _serve_heldout(pol_m, cfg_m, tok, th)
+    n = served.size
+
+    realized = hist_of(served, exits)
+    gap = contract_gap(realized, probs, n)
+    assert gap <= 1.0, (mode, realized, probs, gap)
+
+    # engine exit choices vs the mode's own delta ground truth
+    expected = simulate_exits(held_m, exits, th)
+    floor = 0.9 if mode == "w8a8" else 0.99  # int8 perturbs near-threshold
+    agree = float(np.mean(served == expected))
+    assert agree >= floor, (mode, agree)
+
+    # power: the tolerance still rejects threshold-ignoring engines
+    assert contract_gap(hist_of(simulate_exits(
+        held_m, exits, {e: 1e30 for e in exits}), exits), probs, n) > 1.0
+
+    if mode == "w8a8":
+        # exit-choice agreement vs the fp exact tower on identical inputs
+        # (the int8 exit-agreement metric bench.run_int8_agreement records
+        # on hardware)
+        served_fp = _serve_heldout(pol_exact, cfg, tok, th)
+        assert float(np.mean(served == served_fp)) >= 0.9
 
 
 def test_engines_agree_on_exit_choices(streamed_setup):

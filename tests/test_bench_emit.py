@@ -26,14 +26,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _silence_sections(monkeypatch, keep=()):
-    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8"):
+    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8", "9B_MODES"):
         monkeypatch.setenv(f"DEER_BENCH_{k}", "1" if k in keep else "0")
 
 
 @pytest.mark.quick
 def test_core_headline_emitted_before_sections(monkeypatch):
     import bench
-    _silence_sections(monkeypatch)
+    _silence_sections(monkeypatch, keep=("9B_MODES",))
     emitted = []
     result = bench.run_model(
         "tiny", emit_cb=lambda r: emitted.append(json.loads(json.dumps(r))))
@@ -50,6 +50,16 @@ def test_core_headline_emitted_before_sections(monkeypatch):
     assert d["batched32_full_depth_actions_per_sec"] == 0.0
     assert emitted[-1]["detail"]["batched32_full_depth_actions_per_sec"] > 0
     assert result["detail"]["batched32_full_depth_actions_per_sec"] > 0
+    # the per-quant-mode capacity table (driver-records the 9B story; runs
+    # at tiny here so the section is CPU-tested before 9B hardware)
+    modes = result["detail"]["modes"]
+    assert modes["bf16"]["resident_weights_mb"] > 0
+    for m in ("int8_w8a8", "int4_w8a8"):
+        assert modes[m]["full_depth_actions_per_sec"] > 0, modes
+        assert 0 < modes[m]["resident_weights_mb"] \
+            < modes["bf16"]["resident_weights_mb"]
+    assert modes["int4_w8a8"]["resident_weights_mb"] \
+        < modes["int8_w8a8"]["resident_weights_mb"]
 
 
 @pytest.mark.quick

@@ -25,10 +25,24 @@ s = max|w[..., :, n]| / 127 per column — tested in tests/test_quant.py.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("axis",))
+def _quantize_weight_fused(w, axis):
+    """Jitted so the fp32 cast / abs / round fuse into streaming ops: the
+    eager version materialized an fp32 copy of every leaf, which both OOMs
+    on GB-scale stacked 9B leaves (fp32 temp ~2x the resident bf16 tree)
+    and costs one tunnel round-trip PER OP on the axon platform."""
+    w32 = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w32), axis=axis) / 127.0
+    s = jnp.maximum(s, 1e-12)  # all-zero columns: keep scale finite
+    q = jnp.clip(jnp.round(w32 / jnp.expand_dims(s, axis)), -127, 127)
+    return q.astype(jnp.int8), s
 
 
 def quantize_weight(w: jnp.ndarray, axis: int = -2):
@@ -36,11 +50,7 @@ def quantize_weight(w: jnp.ndarray, axis: int = -2):
     axis (default -2, the K dim of a (..., K, N) matmul weight).
 
     Returns (q int8 same shape, s fp32 shape-without-axis)."""
-    w32 = w.astype(jnp.float32)
-    s = jnp.max(jnp.abs(w32), axis=axis) / 127.0
-    s = jnp.maximum(s, 1e-12)  # all-zero columns: keep scale finite
-    q = jnp.clip(jnp.round(w32 / jnp.expand_dims(s, axis)), -127, 127)
-    return q.astype(jnp.int8), s
+    return _quantize_weight_fused(w, axis)
 
 
 def dequantize_weight(q: jnp.ndarray, s: jnp.ndarray, dtype=jnp.float32,
@@ -67,6 +77,15 @@ def quantize_weight4(w: jnp.ndarray):
     """
     k = w.shape[-2]
     assert k % 2 == 0, f"int4 packing needs an even contraction dim, got {k}"
+    return _quantize_weight4_fused(w)
+
+
+@jax.jit
+def _quantize_weight4_fused(w):
+    """Jitted for the same fusion/dispatch reasons as _quantize_weight_fused
+    (the nibble pack adds two more elementwise passes eager mode would
+    materialize)."""
+    k = w.shape[-2]
     w32 = w.astype(jnp.float32)
     s = jnp.max(jnp.abs(w32), axis=-2) / 7.0
     s = jnp.maximum(s, 1e-12)

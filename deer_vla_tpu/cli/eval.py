@@ -141,6 +141,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "this many pseudo-history frames during "
                         "calibration (reduces the zero-carry delta skew "
                         "vs streamed serving; models/value_net.py)")
+    p.add_argument("--calib_streamed", action="store_true",
+                   help="windowed models: calibrate deltas with ONE LSTM "
+                        "carry threaded across each trajectory window and "
+                        "commit exits sampled from the target exit "
+                        "distribution — matches the serving carry regime "
+                        "(closes the streamed-histogram bias the folded "
+                        "random-prefix calibration leaves; "
+                        "value_net.generate_streamed_exit_deltas)")
     p.add_argument("--batch_size_calvin", type=int, default=6)
     p.add_argument("--validation_set", action="store_true", default=True)
     p.add_argument("--tcp_rel", action="store_true",
@@ -284,19 +292,27 @@ def main(argv=None):
                       "applies to window-folded (w=1) calibration; this "
                       "model calibrates with full training windows and the "
                       "flag is a no-op (models/value_net.py warm_prefix)")
+            if args.calib_streamed and folded:
+                raise SystemExit(
+                    "--calib_streamed needs a real time window; this model "
+                    "is window-folded — use --calib_warm instead")
             values = None
             if cache and not args.recompute_values:
                 values = load_calibration_values(cache)
                 if values is not None:
                     from deer_vla_tpu.train.checkpoint import \
                         load_calibration_info
-                    cached_warm = int(load_calibration_info(cache)
-                                      .get("calib_warm", 0))
+                    info = load_calibration_info(cache)
+                    cached_warm = int(info.get("calib_warm", 0))
                     want_warm = args.calib_warm if folded else 0
-                    if cached_warm != want_warm:
+                    cached_str = bool(info.get("calib_streamed", False))
+                    if cached_warm != want_warm or \
+                            cached_str != args.calib_streamed:
                         print(f"values sidecar was calibrated with "
-                              f"calib_warm={cached_warm}; recomputing "
-                              f"with calib_warm={want_warm}")
+                              f"calib_warm={cached_warm} "
+                              f"streamed={cached_str}; recomputing with "
+                              f"calib_warm={want_warm} "
+                              f"streamed={args.calib_streamed}")
                         values = None
             batches = None
             if values is None:
@@ -307,12 +323,14 @@ def main(argv=None):
                 max_layer=max_layer, exit_dist=args.exit_dist,
                 model_name=args.model, threshold_type=args.threshold_type,
                 values=values, max_batches=args.calib_batches,
-                all_gather=all_gather_values, warm_prefix=args.calib_warm)
+                all_gather=all_gather_values, warm_prefix=args.calib_warm,
+                streamed=args.calib_streamed)
             if cache:
                 save_calibration_values(
                     cache, values,
                     {"exit_ratio": args.exit_ratio,
-                     "calib_warm": args.calib_warm if folded else 0})
+                     "calib_warm": args.calib_warm if folded else 0,
+                     "calib_streamed": args.calib_streamed})
             controller.set_thresholds(thresholds)
 
     use_fused = (args.engine == "fused" or

@@ -22,12 +22,20 @@ from deer_vla_tpu.core.config import DeerConfig
 from deer_vla_tpu.data.preprocess import preprocess_train_frames
 from deer_vla_tpu.models.flamingo import forward_train
 from deer_vla_tpu.models.value_net import (generate_exit_deltas,
+                                           generate_streamed_exit_deltas,
                                            solve_thresholds)
 
 
 def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2",
-                  warm_prefix: int = 0):
-    """One jitted program: backbone (all layers) + calibration deltas."""
+                  warm_prefix: int = 0, streamed: bool = False,
+                  exit_sample_probs=None, warm_rounds: int = 1):
+    """One jitted program: backbone (all layers) + calibration deltas.
+
+    streamed=True swaps the random-prefix position scorer for the
+    carry-matched streamed generator (value_net.generate_streamed_exit_deltas
+    — thread one LSTM carry across the window, commit from an exit sampled
+    from ``exit_sample_probs``), closing the calibrate/serve regime mismatch
+    the streamed contract test measures."""
     exit_list = list(cfg.all_exit_ids())
 
     @jax.jit
@@ -39,6 +47,12 @@ def make_delta_fn(cfg: DeerConfig, threshold_type: str = "L2",
         out = forward_train(params, image, input_ids, attention_mask, cfg, rng,
                             vision_gripper=gripper, state_tensor=state,
                             only_extra_exit=True, train=False)
+        if streamed:
+            return generate_streamed_exit_deltas(
+                params["extra_exit"], out.hidden_states, cfg, exit_list,
+                threshold_type, rng=rng,
+                exit_sample_probs=exit_sample_probs, state=state,
+                warm_rounds=warm_rounds)
         return generate_exit_deltas(
             params["extra_exit"], out.hidden_states, out.rand_layer_feat,
             cfg, exit_list, threshold_type, warm_prefix=warm_prefix,
@@ -51,13 +65,19 @@ def generate_calibration_values(params: dict, cfg: DeerConfig,
                                 batches: Iterable[Dict[str, np.ndarray]],
                                 *, rng=None, threshold_type: str = "L2",
                                 max_batches: Optional[int] = None,
-                                warm_prefix: int = 0) -> np.ndarray:
+                                warm_prefix: int = 0,
+                                streamed: bool = False,
+                                exit_sample_probs=None,
+                                warm_rounds: int = 1) -> np.ndarray:
     """Run the calibration pass over a loader of raw batches.
 
     Returns (n_exit, n_samples) deltas, host numpy.
     """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    delta_fn = make_delta_fn(cfg, threshold_type, warm_prefix)
+    delta_fn = make_delta_fn(cfg, threshold_type, warm_prefix,
+                             streamed=streamed,
+                             exit_sample_probs=exit_sample_probs,
+                             warm_rounds=warm_rounds)
     outs = []
     for bi, batch in enumerate(batches):
         if max_batches is not None and bi >= max_batches:
@@ -108,15 +128,29 @@ def calibrate(params: dict, cfg: DeerConfig,
               model_name: str = "mpt_dolly_3b", threshold_type: str = "L2",
               values: Optional[np.ndarray] = None,
               all_gather: Optional[Callable[[np.ndarray], np.ndarray]] = None,
-              max_batches: Optional[int] = None, warm_prefix: int = 0
+              max_batches: Optional[int] = None, warm_prefix: int = 0,
+              streamed: bool = False
               ) -> Tuple[Dict[int, float], np.ndarray]:
     """Full set_threshold flow.  ``values`` short-circuits generation (the
     reference's ckpt['values'] cache); ``all_gather`` hooks multi-host
-    concatenation (torch all_gather equivalent, value_net.py:195-201)."""
+    concatenation (torch all_gather equivalent, value_net.py:195-201).
+
+    streamed=True runs the carry-matched streamed generator with commit
+    exits sampled from THIS exit_ratio/dist's target distribution, so the
+    calibration carries follow the mix the solved thresholds will realize."""
     if values is None:
+        esp = None
+        if streamed:
+            from deer_vla_tpu.models.value_net import exit_probs
+            ml0 = max_layer if max_layer is not None else cfg.n_layers
+            exits = list(cfg.all_exit_ids())
+            live = [e for e in exits if e <= ml0 - 1] or exits[:1]
+            p = exit_probs(len(live), exit_ratio, exit_dist, model_name)
+            esp = list(p) + [0.0] * (len(exits) - len(live))
         values = generate_calibration_values(
             params, cfg, batches, threshold_type=threshold_type,
-            max_batches=max_batches, warm_prefix=warm_prefix)
+            max_batches=max_batches, warm_prefix=warm_prefix,
+            streamed=streamed, exit_sample_probs=esp)
         if all_gather is not None:
             values = all_gather(values)
     ml = max_layer if max_layer is not None else cfg.n_layers

@@ -153,6 +153,102 @@ def generate_exit_deltas(extra_exit_params: dict, hidden_states: jnp.ndarray,
     return delta.reshape(delta.shape[0], -1)
 
 
+def generate_streamed_exit_deltas(extra_exit_params: dict,
+                                  hidden_states: jnp.ndarray,
+                                  cfg: DeerConfig,
+                                  exit_list: Sequence[int],
+                                  threshold_type: str = "L2",
+                                  rng=None,
+                                  exit_sample_probs: Optional[
+                                      Sequence[float]] = None,
+                                  state: Optional[jnp.ndarray] = None,
+                                  warm_rounds: int = 1
+                                  ) -> jnp.ndarray:
+    """Streamed-regime calibration deltas: the carry-matched alternative to
+    ``generate_exit_deltas``.
+
+    The folded generator scores window positions under RANDOM-layer history
+    prefixes (the reference's decorrelation idea, value_net.py:140-151) with
+    a fresh zero carry per position; serving instead threads ONE LSTM carry
+    across the whole episode.  That regime mismatch shifts the delta
+    quantiles, which is exactly the stable bias the streamed contract test
+    measures (~0.16 peak-bin at tiny scale, tests/test_exit_contract.py).
+
+    This variant reproduces the serving carry dynamics inside calibration:
+
+      * per trajectory window, ONE carry threads timesteps t=0..W-1 (zero
+        at t=0 — exactly a fresh episode);
+      * at each t every entry of [0]+exit_list runs the streaming head from
+        the SAME incoming carry (the engines' speculative-head contract,
+        scan_policy.py:317-330) and consecutive entries' actions give the
+        per-exit deltas;
+      * the committed carry is the candidate from an exit SAMPLED from
+        ``exit_sample_probs`` (default uniform; pass the target exit
+        distribution so calibration carries follow the serving mix) — one
+        draw per timestep, shared across the batch, mirroring that at
+        serving the carry always comes from whichever exit fired;
+      * ``warm_rounds`` extra passes over the window (committing sampled
+        exits, collecting nothing) warm the carry BEYOND the window length
+        before the scored pass — long served episodes (EP_LEN 360) run
+        carries far warmer than one W-frame window can reach;
+      * like the folded generator, only positions t >= W//2 - 1 of the
+        scored pass contribute deltas.
+
+    Returns (n_exit, B * n_positions) deltas.  Requires a real window
+    (post/two_way modes); vit_concat folds the window into media tokens and
+    has no stream to calibrate — use warm_prefix there.
+    """
+    from deer_vla_tpu.models.heads import any_head_step, any_zero_carry
+    assert 0 not in exit_list
+    if cfg.fusion_mode == "vit_concat" or cfg.window_size < 2:
+        raise ValueError(
+            "streamed calibration needs a real time window "
+            f"(fusion_mode={cfg.fusion_mode}, window={cfg.window_size}); "
+            "use warm_prefix for window-folded models")
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    w = cfg.window_size
+    s, d = hidden_states.shape[2], hidden_states.shape[3]
+    ids = [0] + list(exit_list)
+    feats = [hidden_states[i].reshape(-1, w, s, d) for i in ids]
+    b = feats[0].shape[0]
+    n_exit = len(exit_list)
+    probs = (np.full(n_exit, 1.0 / n_exit) if exit_sample_probs is None
+             else np.asarray(exit_sample_probs, np.float64))
+    probs = jnp.asarray(probs / probs.sum(), jnp.float32)
+
+    st = None
+    if state is not None and cfg.head.use_state:
+        st = state.reshape(b, w, -1)
+
+    carry = any_zero_carry(cfg, b)
+    per_t = []
+    for r in range(warm_rounds + 1):
+        scored = r == warm_rounds
+        for t in range(w):
+            st_t = None if st is None else st[:, t]
+            acts, cands = [], []
+            for k, f in enumerate(feats):
+                out, c_k = any_head_step(extra_exit_params, f[:, t], carry,
+                                         cfg, st_t)
+                if scored:
+                    acts.append(out.actions[:, 0])  # (B, 6k) / feature
+                if k > 0:
+                    cands.append(c_k)  # commit candidates: exit entries
+            if scored and t >= max(w // 2 - 1, 0):
+                a = jnp.stack(acts)  # (n_exit+1, B, adim)
+                per_t.append(get_delta(a[1:], a[:-1], threshold_type))
+            # commit the sampled exit's carry (one scalar draw per step —
+            # the serving carry always comes from whichever exit fired)
+            idx = jax.random.choice(
+                jax.random.fold_in(rng, r * w + t), n_exit, p=probs)
+            stacked_c = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                               *cands)
+            carry = jax.tree_util.tree_map(
+                lambda sc: jnp.take(sc, idx, axis=0), stacked_c)
+    delta = jnp.stack(per_t, axis=2)  # (n_exit, B, n_positions)
+    return delta.reshape(delta.shape[0], -1)
+
+
 # ---------------------------------------------------------------------------
 # threshold solver (value_net.py:206-272)
 # ---------------------------------------------------------------------------

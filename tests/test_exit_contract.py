@@ -388,6 +388,56 @@ def test_contract_under_serving_modes(folded, mode):
         assert float(np.mean(served == served_fp)) >= 0.9
 
 
+def test_streamed_calibration_tightens_contract(streamed_setup):
+    """--calib_streamed (value_net.generate_streamed_exit_deltas): deltas
+    scored with ONE carry threaded across the window (plus a warm pass) and
+    commit exits sampled from the target distribution must realize a
+    MATERIALLY tighter streamed histogram than the folded random-prefix
+    calibration — measured here: folded TV 0.15-0.18 / peak bin 0.14-0.16
+    vs streamed(wr=1) TV ~0.065 / peak ~0.06 (2 seeds, 16x32 steps)."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.value_net import exit_probs
+    cfg, tok, params, cal_folded = streamed_setup
+    exits = list(cfg.all_exit_ids())
+    target = exit_probs(len(exits), 1.0, "exp")
+    cal_str = generate_calibration_values(
+        params, cfg, batcher(cfg, tok, seed=0, batch=16),
+        streamed=True, exit_sample_probs=list(target))
+
+    def realized_of(cal):
+        th, probs = solve_thresholds(cal, 1.0, exits, cfg.n_layers - 1)
+        pol = ScanDeerPolicy(params, cfg,
+                             thresholds=[th[e] for e in exits])
+
+        def step(img, gri, ids, mask):
+            _, el = pol.step_batch(img, gri, ids, mask)
+            return el
+
+        els = _stream_exits(step, cfg, tok, n_streams=16, n_steps=32)
+        return hist_of(els.ravel(), exits), probs
+
+    r_fold, p_fold = realized_of(cal_folded)
+    r_str, p_str = realized_of(cal_str)
+    tv_fold = 0.5 * float(np.abs(r_fold - p_fold).sum())
+    tv_str = 0.5 * float(np.abs(r_str - p_str).sum())
+    # absolute: streamed calibration meets a band the folded one cannot
+    assert np.all(np.abs(r_str - p_str) <= 0.1), (r_str, p_str)
+    assert tv_str <= 0.1, tv_str
+    # comparative: a material improvement, not a tie
+    assert tv_str < tv_fold - 0.03, (tv_str, tv_fold)
+
+
+def test_streamed_calibration_refuses_window_folded():
+    """vit_concat folds the window into media tokens — no stream exists to
+    calibrate; the generator must refuse loudly (use --calib_warm there)."""
+    from deer_vla_tpu.models.value_net import generate_streamed_exit_deltas
+    cfg, tok, params = make_model("vit_concat", window=2)
+    fake = jnp.zeros((cfg.n_layers + 1, 4, 3, cfg.mpt.d_model))
+    with pytest.raises(ValueError, match="streamed calibration"):
+        generate_streamed_exit_deltas(params["extra_exit"], fake, cfg,
+                                      list(cfg.all_exit_ids()))
+
+
 def test_engines_agree_on_exit_choices(streamed_setup):
     """The while-loop and host-bucketed engines must realize (nearly)
     identical per-step exit choices on identical streams — the exit-choice

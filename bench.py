@@ -524,6 +524,7 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
             "full_depth_actions_per_sec": round(aps_full, 2),
             "resident_weights_mb": tree_mb(policy.stacked)}}
         detail["modes"] = modes
+        q_w8a8_stacked = None
         for mode in ("int8_w8a8", "int4_w8a8"):
             if over_budget(300):
                 modes[mode] = {"skipped": "time budget"}
@@ -541,9 +542,59 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
                     "speedup_vs_bf16": round(t_fp / t_q, 3),
                     "resident_weights_mb": tree_mb(q.stacked),
                 }
+                if mode == "int8_w8a8":
+                    q_w8a8_stacked = q.stacked  # kept for the batched run
                 del q
             except Exception as e:
                 modes[mode] = {"error": repr(e)[:200]}
+            section_done()
+
+        # batched-32 9B serving on ONE chip — impossible in bf16 (the
+        # 6.4 GB stacked tree + B=32 temps exceed HBM; scripts/
+        # bench_9b_int4.py) and UNLOCKED by the quantized tree: free the
+        # bf16 stacked tree + its programs, then run B=32 full depth on
+        # the w8a8 stack.  The capacity story's payoff, driver-recorded.
+        if (q_w8a8_stacked is not None
+                and os.environ.get("DEER_BENCH_9B_B32", "1") != "0"
+                and not over_budget(300)):
+            try:
+                from deer_vla_tpu.eval.scan_policy import build_scan_step
+                from deer_vla_tpu.ops.lstm import zero_carry as zc
+                p_small = policy.params
+                if BENCH_MODEL == "mpt_9b":
+                    del policy  # frees the bf16 stacked tree + programs
+                    jax.clear_caches()
+                step_b32 = build_scan_step(cfg, exits, "L2", None)[0]
+                B9 = 32
+                ids9 = np.full((B9, s), 11, np.int32)
+                ids9[:, 0] = cfg.media_token_id
+                ids9 = jnp.asarray(ids9)
+                mask9 = jnp.ones((B9, s), jnp.int32)
+                th9 = full_thresholds(len(exits) - 1)
+                c9 = zc(cfg.head.lstm_num_layers, B9, cfg.head.hidden_size,
+                        jnp.float32)
+                it9, wm9 = 10, 3
+                pool9 = [jnp.asarray(r.randn(B9, 1, 1, 3, hw, hw),
+                                     jnp.float32)
+                         for _ in range(it9 + wm9)]
+                for i in range(wm9):
+                    a9, g9, c9, e9 = step_b32(p_small, q_w8a8_stacked,
+                                              pool9[i], pool9[i], ids9,
+                                              mask9, c9, th9)
+                jax.block_until_ready((a9, g9, c9, e9))
+                t0 = time.perf_counter()
+                for i in range(wm9, wm9 + it9):
+                    a9, g9, c9, e9 = step_b32(p_small, q_w8a8_stacked,
+                                              pool9[i], pool9[i], ids9,
+                                              mask9, c9, th9)
+                jax.block_until_ready((a9, g9, c9, e9))
+                aps9 = B9 * it9 / (time.perf_counter() - t0)
+                modes["int8_w8a8"][
+                    "batched32_full_depth_actions_per_sec"] = round(aps9, 2)
+                del pool9, c9, a9, g9, e9, step_b32
+            except Exception as e:
+                modes.setdefault("int8_w8a8", {})["batched32_error"] = \
+                    repr(e)[:200]
             section_done()
 
     # weight-only int8 serving (--quantize int8, ops/quant.py): same engine,

@@ -60,6 +60,9 @@ def test_core_headline_emitted_before_sections(monkeypatch):
             < modes["bf16"]["resident_weights_mb"]
     assert modes["int4_w8a8"]["resident_weights_mb"] \
         < modes["int8_w8a8"]["resident_weights_mb"]
+    # the capacity payoff: batched-32 serving on the quantized tree (at 9B
+    # this is the config the bf16 tree cannot fit; CPU-tested at tiny)
+    assert modes["int8_w8a8"]["batched32_full_depth_actions_per_sec"] > 0
 
 
 @pytest.mark.quick

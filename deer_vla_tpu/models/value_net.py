@@ -205,6 +205,12 @@ def generate_streamed_exit_deltas(extra_exit_params: dict,
             "streamed calibration needs a real time window "
             f"(fusion_mode={cfg.fusion_mode}, window={cfg.window_size}); "
             "use warm_prefix for window-folded models")
+    if cfg.use_hist:
+        raise ValueError(
+            "streamed calibration does not apply to use_hist models: their "
+            "serving runs the FULL-window head every step (the window is "
+            "the memory, flamingo_mpt.py:700-740) — there is no streamed "
+            "carry regime to match; use the default folded calibration")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     w = cfg.window_size
     s, d = hidden_states.shape[2], hidden_states.shape[3]

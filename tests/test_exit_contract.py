@@ -436,6 +436,14 @@ def test_streamed_calibration_refuses_window_folded():
     with pytest.raises(ValueError, match="streamed calibration"):
         generate_streamed_exit_deltas(params["extra_exit"], fake, cfg,
                                       list(cfg.all_exit_ids()))
+    # use_hist serves the FULL-window head each step — no streamed carry
+    # regime exists to match; refuse rather than calibrate a regime the
+    # engine never runs
+    cfg_h, tok_h, params_h = make_model("post", window=2)
+    cfg_h = dataclasses.replace(cfg_h, use_hist=True)
+    with pytest.raises(ValueError, match="use_hist"):
+        generate_streamed_exit_deltas(params_h["extra_exit"], fake, cfg_h,
+                                      list(cfg_h.all_exit_ids()))
 
 
 def test_engines_agree_on_exit_choices(streamed_setup):

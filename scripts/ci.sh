@@ -5,7 +5,13 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== tests (8-device CPU mesh) ==="
-python -m pytest tests/ -q
+# full suite; -n 4 halves wall time on this box (each worker builds its own
+# mesh).  CI_QUICK=1 runs the <5 min per-subsystem tier instead.
+if [ "${CI_QUICK:-0}" = "1" ]; then
+  python -m pytest tests/ -m quick -q
+else
+  python -m pytest tests/ -q -n 4
+fi
 
 echo "=== graft entries ==="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python __graft_entry__.py

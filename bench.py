@@ -75,8 +75,8 @@ def emit(result: dict) -> None:
 
 def tree_mb(tree) -> float:
     """Resident bytes of a device pytree, MB (the int4 capacity metric)."""
-    return round(sum(getattr(l, "nbytes", 0)
-                     for l in jax.tree_util.tree_leaves(tree)) / 1e6, 1)
+    from deer_vla_tpu.ops.quant import tree_bytes
+    return round(tree_bytes(tree) / 1e6, 1)
 
 
 # one-chip peak dense-matmul throughput by device kind (bf16), TFLOP/s.
@@ -472,7 +472,12 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
         # w8a8 dict (VERDICT r3 item 4).
         if (w8 is not None
                 and os.environ.get("DEER_BENCH_PEAK", "1") != "0"
-                and not over_budget(240)
+                and over_budget(240)):
+            batched_w8a8["stacked_peak_tome8_grip84"] = {
+                "skipped": "time budget"}
+            section_done()
+        elif (w8 is not None
+                and os.environ.get("DEER_BENCH_PEAK", "1") != "0"
                 and 84 % cfg.vit.patch_size == 0):
             try:
                 import dataclasses as _dc
@@ -556,7 +561,11 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
         # the w8a8 stack.  The capacity story's payoff, driver-recorded.
         if (q_w8a8_stacked is not None
                 and os.environ.get("DEER_BENCH_9B_B32", "1") != "0"
-                and not over_budget(300)):
+                and over_budget(300)):
+            modes["int8_w8a8"]["batched32_skipped"] = "time budget"
+            section_done()
+        elif (q_w8a8_stacked is not None
+                and os.environ.get("DEER_BENCH_9B_B32", "1") != "0"):
             try:
                 from deer_vla_tpu.eval.scan_policy import build_scan_step
                 from deer_vla_tpu.ops.lstm import zero_carry as zc
@@ -605,7 +614,10 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
     # skipping the weight-only sweep saves its two compiles + 12-point A/B.
     int8_detail = {}
     if BENCH_MODEL == "mpt_9b":
-        int8_detail = {"skipped": "9B quant story lives in detail.modes"}
+        int8_detail = {"skipped": "9B quant story lives in detail.modes"
+                       if "modes" in detail else
+                       "9B weight-only sweep off (and DEER_BENCH_9B_MODES "
+                       "disabled, so no quant data this run)"}
     elif os.environ.get("DEER_BENCH_INT8", "1") != "0" and over_budget(240):
         int8_detail = {"skipped": "time budget"}
     elif os.environ.get("DEER_BENCH_INT8", "1") != "0":

@@ -220,8 +220,11 @@ def generate_streamed_exit_deltas(extra_exit_params: dict,
     n_exit = len(exit_list)
     probs = (np.full(n_exit, 1.0 / n_exit) if exit_sample_probs is None
              else np.asarray(exit_sample_probs, np.float64))
-    if probs.sum() <= 0:  # degenerate target (e.g. 9B probs[0]=0 with a
-        probs = np.full(n_exit, 1.0 / n_exit)  # max_layer below every exit)
+    # degenerate target (e.g. 9B probs[0]=0 with a max_layer below every
+    # exit, where exit_probs' 0/0 renormalization yields NaN): fall back to
+    # uniform.  NOT `sum() <= 0` — NaN compares False to everything.
+    if not probs.sum() > 0 or not np.all(np.isfinite(probs)):
+        probs = np.full(n_exit, 1.0 / n_exit)
     probs = jnp.asarray(probs / probs.sum(), jnp.float32)
 
     st = None

@@ -66,12 +66,11 @@ def main():
     step = build_scan_step(cfg_p, exits, "L2", None)[0]
     gflops = full_step_flops(cfg_p, exits[-1])
 
-    # full-depth per-layer threshold row (bench.py full_thresholds pattern)
-    th = np.full(cfg.n_layers, -1e30, np.float32)
-    for e in exits:
-        th[e] = -1e8
-    th[exits[-1]] = 1e30
-    th = jnp.asarray(th)
+    # full-depth per-layer threshold row via the engine's own layout
+    # builder (scan_policy.threshold_row is the single source of the
+    # row-layout invariant)
+    full_depth = [-1e8] * (len(exits) - 1) + [1e30]
+    th = jnp.asarray(pol.threshold_row(full_depth), jnp.float32)
 
     hw, s = cfg.vit.image_size, cfg.text_len
     ghw = args.res or hw

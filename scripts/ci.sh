@@ -6,11 +6,14 @@ cd "$(dirname "$0")/.."
 
 echo "=== tests (8-device CPU mesh) ==="
 # full suite; -n 4 halves wall time on this box (each worker builds its own
-# mesh).  CI_QUICK=1 runs the <5 min per-subsystem tier instead.
+# mesh) when pytest-xdist is available, serial otherwise.  CI_QUICK=1 runs
+# the <5 min per-subsystem tier instead.
 if [ "${CI_QUICK:-0}" = "1" ]; then
   python -m pytest tests/ -m quick -q
-else
+elif python -c "import xdist" 2>/dev/null; then
   python -m pytest tests/ -q -n 4
+else
+  python -m pytest tests/ -q
 fi
 
 echo "=== graft entries ==="

@@ -121,10 +121,11 @@ fi
 # ---- checklist ------------------------------------------------------------
 echo
 echo "== DeeR-VLA-TPU artifact-day readiness (model=$MODEL) =="
-ok=1
 for k in repo_quick_tier artifacts calvin_sim calvin_dataset first_eval; do
   printf "  %-16s %-9s %s\n" "$k" "${STATUS[$k]}" "${DETAIL[$k]}"
-  [ "${STATUS[$k]}" = FAILED ] && ok=0
+  # backstop: any FAILED row forces a non-zero exit even if a future step
+  # forgets to set overall itself
+  [ "${STATUS[$k]}" = FAILED ] && overall=1
 done
 if [ $overall -eq 0 ]; then
   echo "VERDICT: every runnable gate passed; blocked gates list their unblock step above."

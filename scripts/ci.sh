@@ -5,9 +5,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== tests (8-device CPU mesh) ==="
-# full suite; -n 4 halves wall time on this box (each worker builds its own
-# mesh) when pytest-xdist is available, serial otherwise.  CI_QUICK=1 runs
-# the <5 min per-subsystem tier instead.
+# full suite (~40 min on this box; xdist barely helps — tests are already
+# XLA-multithreaded — but isolates worker crashes).  CI_QUICK=1 runs the
+# <5 min per-subsystem tier instead.
 if [ "${CI_QUICK:-0}" = "1" ]; then
   python -m pytest tests/ -m quick -q
 elif python -c "import xdist" 2>/dev/null; then

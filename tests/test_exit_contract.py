@@ -427,6 +427,33 @@ def test_streamed_calibration_tightens_contract(streamed_setup):
     assert tv_str < tv_fold - 0.03, (tv_str, tv_fold)
 
 
+def test_streamed_calibration_composes_with_tome(streamed_setup):
+    """The two opt-ins compose: calibrate streamed AND tome-merged, serve
+    the same tome tower streaming — the realized mix must stay within the
+    streamed-calibration band (slightly widened for the merge approx)."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.value_net import exit_probs
+    cfg, tok, params, _ = streamed_setup
+    cfg_m = dataclasses.replace(cfg, vit=dataclasses.replace(cfg.vit,
+                                                             tome_r=1))
+    exits = list(cfg_m.all_exit_ids())
+    target = exit_probs(len(exits), 1.0, "exp")
+    cal = generate_calibration_values(
+        params, cfg_m, batcher(cfg, tok, seed=0, batch=16),
+        streamed=True, exit_sample_probs=list(target))
+    th, probs = solve_thresholds(cal, 1.0, exits, cfg_m.n_layers - 1)
+    pol = ScanDeerPolicy(params, cfg_m, thresholds=[th[e] for e in exits])
+
+    def step(img, gri, ids, mask):
+        _, el = pol.step_batch(img, gri, ids, mask)
+        return el
+
+    els = _stream_exits(step, cfg_m, tok, n_streams=16, n_steps=32)
+    realized = hist_of(els.ravel(), exits)
+    assert np.all(np.abs(realized - probs) <= 0.12), (realized, probs)
+    assert 0.5 * float(np.abs(realized - probs).sum()) <= 0.12
+
+
 def test_streamed_calibration_refuses_window_folded():
     """vit_concat folds the window into media tokens — no stream exists to
     calibrate; the generator must refuse loudly (use --calib_warm there)."""

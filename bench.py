@@ -601,6 +601,56 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
                 modes["int8_w8a8"][
                     "batched32_full_depth_actions_per_sec"] = round(aps9, 2)
                 del pool9, c9, a9, g9, e9, step_b32
+                section_done()
+
+                # 9B STACKED peak on the same w8a8 tree: tome8 + grip84
+                # (weight-free accels) — measured 607 a/s dynamic / 530
+                # full-depth vs 283/265 exact (scripts/bench_9b_int4.py
+                # --stack); at batch the shared vision tower dominates, so
+                # the 4x bigger decoder nearly matches the 3B peak.  One
+                # extra compile; driver-records the 9B headline.
+                if (os.environ.get("DEER_BENCH_PEAK", "1") != "0"
+                        and not over_budget(240)
+                        and 84 % cfg.vit.patch_size == 0):
+                    try:  # own scope: a peak flake must not erase aps9
+                        import dataclasses as _dc
+                        cfg_p9 = _dc.replace(
+                            cfg, gripper_res=84,
+                            vit=_dc.replace(cfg.vit, tome_r=8))
+                        step_p9 = build_scan_step(cfg_p9, exits, "L2",
+                                                  None)[0]
+                        grip9 = jnp.asarray(
+                            r.randn(B9, 1, 1, 3, 84, 84), jnp.float32)
+                        c9 = zc(cfg.head.lstm_num_layers, B9,
+                                cfg.head.hidden_size, jnp.float32)
+                        pool9 = [jnp.asarray(
+                            r.randn(B9, 1, 1, 3, hw, hw), jnp.float32)
+                            for _ in range(it9 + wm9)]
+                        for i in range(wm9):
+                            a9, g9, c9, e9 = step_p9(
+                                p_small, q_w8a8_stacked, pool9[i], grip9,
+                                ids9, mask9, c9, th9)
+                        jax.block_until_ready((a9, g9, c9, e9))
+                        t0 = time.perf_counter()
+                        for i in range(wm9, wm9 + it9):
+                            a9, g9, c9, e9 = step_p9(
+                                p_small, q_w8a8_stacked, pool9[i], grip9,
+                                ids9, mask9, c9, th9)
+                        jax.block_until_ready((a9, g9, c9, e9))
+                        aps_p9 = B9 * it9 / (time.perf_counter() - t0)
+                        modes["int8_w8a8"]["stacked_peak_tome8_grip84"] = {
+                            "batched32_full_depth_actions_per_sec":
+                                round(aps_p9, 2),
+                            "speedup_vs_exact": round(aps_p9 / aps9, 3),
+                        }
+                        del pool9, grip9, c9, a9, g9, e9, step_p9
+                    except Exception as e:
+                        modes["int8_w8a8"]["stacked_peak_tome8_grip84"] = \
+                            {"error": repr(e)[:200]}
+                elif os.environ.get("DEER_BENCH_PEAK", "1") != "0":
+                    modes["int8_w8a8"]["stacked_peak_tome8_grip84"] = {
+                        "skipped": "time budget"
+                        if 84 % cfg.vit.patch_size == 0 else "patch size"}
             except Exception as e:
                 modes.setdefault("int8_w8a8", {})["batched32_error"] = \
                     repr(e)[:200]

@@ -65,6 +65,26 @@ def test_core_headline_emitted_before_sections(monkeypatch):
     assert modes["int8_w8a8"]["batched32_full_depth_actions_per_sec"] > 0
 
 
+def test_budget_exhaustion_records_explicit_skips(monkeypatch):
+    """With the budget already spent, every optional section must record a
+    {'skipped': 'time budget'} marker (never silently absent) while the
+    core headline + batched-32 measurement still complete — the artifact
+    can always distinguish not-attempted from lost-to-a-kill."""
+    import bench
+    _silence_sections(monkeypatch,
+                      keep=("TOME", "GRIP", "W8A8", "INT8", "9B_MODES"))
+    monkeypatch.setattr(bench, "BUDGET_S", 0.0)
+    result = bench.run_model("tiny", emit_cb=None)
+    d = result["detail"]
+    assert result["value"] > 0
+    assert d["batched32_full_depth_actions_per_sec"] > 0
+    for k in ("batched32_tome8", "batched32_grip84", "batched32_w8a8",
+              "int8"):
+        assert d[k] == {"skipped": "time budget"}, (k, d[k])
+    for m in ("int8_w8a8", "int4_w8a8"):
+        assert d["modes"][m] == {"skipped": "time budget"}
+
+
 @pytest.mark.quick
 def test_emit_mirrors_to_partial_file(monkeypatch, tmp_path, capsys):
     import bench

@@ -85,6 +85,22 @@ def test_budget_exhaustion_records_explicit_skips(monkeypatch):
         assert d["modes"][m] == {"skipped": "time budget"}
 
 
+def test_backend_unavailable_emits_parseable_failure(monkeypatch, tmp_path,
+                                                     capsys):
+    """A dead tunnel must still produce a parseable artifact line (and the
+    partial-file mirror) instead of a hang or bare crash."""
+    import bench
+    monkeypatch.setattr(bench, "PARTIAL_PATH",
+                        str(tmp_path / "bench_partial.json"))
+    monkeypatch.setattr(bench, "wait_for_device", lambda s: False)
+    bench.main()
+    out_lines = [ln for ln in capsys.readouterr().out.splitlines()
+                 if ln.strip().startswith("{")]
+    r = json.loads(out_lines[-1])
+    assert r["value"] == 0.0 and "unavailable" in r["error"]
+    assert json.loads((tmp_path / "bench_partial.json").read_text()) == r
+
+
 @pytest.mark.quick
 def test_emit_mirrors_to_partial_file(monkeypatch, tmp_path, capsys):
     import bench

@@ -478,7 +478,12 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
             section_done()
         elif (w8 is not None
                 and os.environ.get("DEER_BENCH_PEAK", "1") != "0"
-                and 84 % cfg.vit.patch_size == 0):
+                and 84 % cfg.vit.patch_size != 0):
+            batched_w8a8["stacked_peak_tome8_grip84"] = {
+                "skipped": "patch size"}
+            section_done()
+        elif (w8 is not None
+                and os.environ.get("DEER_BENCH_PEAK", "1") != "0"):
             try:
                 import dataclasses as _dc
 
@@ -530,7 +535,11 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
             "resident_weights_mb": tree_mb(policy.stacked)}}
         detail["modes"] = modes
         q_w8a8_stacked = None
-        for mode in ("int8_w8a8", "int4_w8a8"):
+        # int4 first: the int8 tree is RETAINED for the B=32 run below, so
+        # quantizing it last keeps the int4 A/B from coexisting with it
+        # (at 9B: bf16 6.4 + int8 3.2 + int4 1.6 GB would crowd the chip
+        # that already OOMed once on quantization temps)
+        for mode in ("int4_w8a8", "int8_w8a8"):
             if over_budget(300):
                 modes[mode] = {"skipped": "time budget"}
                 continue
@@ -562,7 +571,10 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
         if (q_w8a8_stacked is not None
                 and os.environ.get("DEER_BENCH_9B_B32", "1") != "0"
                 and over_budget(300)):
-            modes["int8_w8a8"]["batched32_skipped"] = "time budget"
+            # same {'skipped': ...} shape as every other section, in the
+            # slot the measurement would fill
+            modes["int8_w8a8"]["batched32_full_depth_actions_per_sec"] = \
+                {"skipped": "time budget"}
             section_done()
         elif (q_w8a8_stacked is not None
                 and os.environ.get("DEER_BENCH_9B_B32", "1") != "0"):

@@ -191,8 +191,13 @@ def generate_streamed_exit_deltas(extra_exit_params: dict,
         exits, collecting nothing) warm the carry BEYOND the window length
         before the scored pass — long served episodes (EP_LEN 360) run
         carries far warmer than one W-frame window can reach;
-      * like the folded generator, only positions t >= W//2 - 1 of the
-        scored pass contribute deltas.
+      * only positions t >= W//2 - 1 of the scored pass contribute deltas
+        (the folded generator's lower bound).  DELIBERATE divergence from
+        the folded range: the last position t = W-1 is INCLUDED here (the
+        folded generator stops at W-2, mirroring value_net.py:140-151's
+        position loop) — under streaming every timestep of a served episode
+        is a real scoring position, so excluding the window's final step
+        would discard a valid serving-regime sample for no reason.
 
     Returns (n_exit, B * n_positions) deltas.  Requires a real window
     (post/two_way modes); vit_concat folds the window into media tokens and

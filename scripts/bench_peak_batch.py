@@ -36,7 +36,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="32,48,64,96,128")
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--warm", type=int, default=3)
+    # >= 1: the post-warm block_until_ready references the warm loop's
+    # outputs (and warm 0 would time compile inside the measured loop)
+    ap.add_argument("--warm", type=lambda v: max(1, int(v)), default=3)
     ap.add_argument("--model", default="mpt_dolly_3b")
     ap.add_argument("--quantize", default="int8_w8a8")
     ap.add_argument("--tome_r", type=int, default=8)

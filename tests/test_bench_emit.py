@@ -101,6 +101,107 @@ def test_backend_unavailable_emits_parseable_failure(monkeypatch, tmp_path,
     assert json.loads((tmp_path / "bench_partial.json").read_text()) == r
 
 
+def _maximal_fake_result():
+    """Every section the bench can ever produce, populated — the worst-case
+    artifact the compact summary must digest under the size bound."""
+    mfu = {"gflops_per_unit": 123.45, "achieved_tflops": 99.99,
+           "mfu": 0.5078, "floor_ms": 1.057}
+    sect = {"actions_per_sec": 1234.56, "speedup_vs_bf16": 1.234,
+            "bf16_adjacent_actions_per_sec": 999.99,
+            "speedup_vs_exact": 1.456, "analytic_flops_ratio": 0.641, **mfu}
+    modes = {
+        "bf16": {"full_depth_actions_per_sec": 70.25,
+                 "resident_weights_mb": 6412.3},
+        "int8_w8a8": {"full_depth_actions_per_sec": 116.75,
+                      "resident_weights_mb": 3207.1,
+                      "speedup_vs_bf16": 1.662,
+                      "batched32_full_depth_actions_per_sec": 262.44,
+                      "stacked_peak_tome8_grip84": {
+                          "batched32_full_depth_actions_per_sec": 519.21,
+                          "speedup_vs_exact": 1.978}},
+        "int4_w8a8": {"full_depth_actions_per_sec": 81.02,
+                      "resident_weights_mb": 1608.9},
+    }
+    return {
+        "metric": "deer_b_3b_dynamic_exit_actions_per_sec_per_chip",
+        "value": 126.62, "unit": "actions/s", "vs_baseline": 31.66,
+        "detail": {
+            "full_depth_actions_per_sec": 55.55,
+            "batched32_full_depth_actions_per_sec": 237.51,
+            "avg_exit_layer": 3.69,
+            "per_depth_ms": [6.1] * 6, "sync_step_ms": 14.2,
+            "execution_model": "while_loop_single_program",
+            "backend": "axon", "peak_bf16_tflops": 197.0,
+            "per_depth_gflops_per_action": [50.0] * 6,
+            "dynamic_mfu": mfu, "full_depth_mfu": mfu,
+            "batched32_mfu": mfu,
+            "batched32_tome8": sect, "batched32_grip84": sect,
+            "batched32_w8a8": {**sect,
+                               "stacked_peak_tome8_grip84": sect},
+            "int8": {**sect, "per_depth_ms": [5.0] * 6,
+                     "bf16_adjacent_per_depth_ms": [6.0] * 6,
+                     "exit_agreement": {
+                         "steps": 128, "exit_agreement": 0.9531,
+                         "mean_abs_exit_gap_layers": 0.047,
+                         "fp_exit_hist": [20, 30, 25, 20, 18, 15],
+                         "exit_ratio": 0.8,
+                         "target_probs": [0.3, 0.24, 0.19, 0.15, 0.12,
+                                          0.1]}},
+            "calibration": {"folded_tv": 0.1612, "streamed_tv": 0.0655,
+                            "n_streams": 8, "steps_per_stream": 48},
+            "train_3b": {"samples_per_sec": 14.56, "step_ms": 412.0,
+                         "batch_size": 6, "window": 12, **mfu},
+            "train_pipeline": {"samples_per_sec": 13.33, "step_ms": 450.1,
+                               "loader_idle_ms_per_step": 0.07,
+                               "overlap_speedup": 1.08, **mfu},
+            "mpt_9b": {"actions_per_sec": 70.11, "vs_baseline": 17.5,
+                       "full_depth_actions_per_sec": 44.3,
+                       "per_depth_ms": [10.0] * 6,
+                       "dynamic_mfu": mfu, "full_depth_mfu": mfu,
+                       "modes": modes},
+        },
+    }
+
+
+@pytest.mark.quick
+def test_compact_summary_bounded_and_complete():
+    """VERDICT r4 item 1: the digest of a maximal artifact stays under 1 KB
+    and still carries every headline scalar the judge compares."""
+    import bench
+    c = bench.compact_summary(_maximal_fake_result())
+    line = json.dumps(c)
+    assert len(line) < 1024, (len(line), line)
+    assert c["value"] == 126.62 and c["vs_baseline"] == 31.66
+    assert c["detail_file"] == "runs/bench_partial.json"
+    s = c["summary"]
+    for k in ("batched32_aps", "tome8_aps", "grip84_aps", "w8a8_aps",
+              "peak_aps", "train_mfu", "pipe_mfu", "int8_agree",
+              "int8_hist_bins", "calib_folded_tv", "calib_streamed_tv",
+              "9b_aps", "9b_b32_aps", "9b_peak_aps", "9b_w8a8_mb"):
+        assert k in s, (k, s)
+    assert s["int8_hist_bins"] == 6
+    assert json.loads(line) == c  # round-trips
+
+
+def test_emit_prints_compact_line_last(monkeypatch, tmp_path, capsys):
+    """The LAST stdout line after any emission with detail must be the
+    <1 KB compact summary (the only line the driver tail window is
+    guaranteed to hold); the full artifact line precedes it and mirrors
+    byte-complete to disk."""
+    import bench
+    monkeypatch.setattr(bench, "PARTIAL_PATH",
+                        str(tmp_path / "bench_partial.json"))
+    result = _maximal_fake_result()
+    bench.emit(result)
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert json.loads(lines[-1]) == bench.compact_summary(result)
+    assert len(lines[-1]) < 1024
+    assert json.loads(lines[-2]) == result
+    # disk mirror = the FULL artifact, not the digest
+    assert json.loads(
+        (tmp_path / "bench_partial.json").read_text()) == result
+
+
 @pytest.mark.quick
 def test_emit_mirrors_to_partial_file(monkeypatch, tmp_path, capsys):
     import bench

@@ -301,17 +301,64 @@ def test_int8_exit_agreement_trajectory():
                          stacked=quantize_serving_stacked(policy.stacked,
                                                           "int8"),
                          _step=policy._step)
-    out = bench.run_int8_agreement(policy, q8, params, cfg, steps=24,
-                                   exit_ratio=0.8)
+    out = bench.run_int8_agreement(policy, q8, params, cfg, steps=64,
+                                   exit_ratio=0.8, n_streams=8)
     assert "error" not in out, out
-    assert out["steps"] == 24
+    # VERDICT r4 item 2: agreement may only be reported alongside a
+    # non-degenerate realized histogram (>= 3 occupied bins here; the
+    # degenerate path instead returns {'degenerate': True, ...})
+    assert "degenerate" not in out, out
+    assert out["steps"] == 64
+    assert out["calibration"] == "streamed"
     assert 0.0 <= out["exit_agreement"] <= 1.0
     # int8 is a small perturbation: most exit choices must survive it
     assert out["exit_agreement"] >= 0.5, out
     assert out["mean_abs_exit_gap_layers"] < cfg.n_layers / 2, out
-    assert sum(out["fp_exit_hist"]) == 24
-    # the measurement has power only if fp exits actually spread
-    assert sum(1 for c in out["fp_exit_hist"] if c > 0) >= 2, out
+    assert sum(out["fp_exit_hist"]) == 64
+    assert out["occupied_bins"] == \
+        sum(1 for c in out["fp_exit_hist"] if c > 0)
+    assert out["occupied_bins"] >= 3, out
+
+
+def test_int8_exit_agreement_degenerate_probe_refuses():
+    """If the realized fp histogram cannot occupy >= 3 bins even after the
+    uniform-target retry, the probe must return an explicit degenerate
+    marker WITHOUT an exit_agreement number (a single-bin histogram makes
+    agreement=1.0 trivially true — BENCH_r04's failure mode)."""
+    import sys
+    from pathlib import Path
+    from types import SimpleNamespace
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+
+    cfg = deer_tiny(n_layers=8)
+    params = init_deer(jax.random.PRNGKey(0), cfg)
+    policy = ScanDeerPolicy(params, cfg)
+    q8 = SimpleNamespace(params=policy.params,
+                         stacked=quantize_serving_stacked(policy.stacked,
+                                                          "int8"),
+                         _step=policy._step)
+    # force degeneracy: every threshold row the probe builds sends all
+    # streams to the first exit regardless of deltas
+    orig = ScanDeerPolicy.threshold_row
+
+    def all_first(self, th_map):
+        return orig(self, {e: 1e30 for e in th_map})
+
+    ScanDeerPolicy.threshold_row = all_first
+    try:
+        out = bench.run_int8_agreement(policy, q8, params, cfg, steps=32,
+                                       exit_ratio=0.8, n_streams=8)
+    finally:
+        ScanDeerPolicy.threshold_row = orig
+    assert out.get("degenerate") is True, out
+    assert "exit_agreement" not in out
+    assert sum(1 for c in out["fp_exit_hist"] if c > 0) < 3
+    # the uniform-target retry was attempted before giving up
+    assert out["exit_ratio"] == 1.0
 
 
 # ---------------------------------------------------------------------------

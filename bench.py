@@ -833,7 +833,105 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
     if int8_detail:
         detail["int8"] = int8_detail
         section_done()
+
+    # folded vs streamed calibration at the bench model's scale on the chip
+    # (VERDICT r4 item 3) — needs the raw param tree (freed on 9B).  Runs
+    # LAST: it opens the x-attn gates in the live trees (bench-final).
+    calib_detail = {}
+    if BENCH_MODEL == "mpt_9b":
+        pass  # params freed for HBM headroom; 3B carries the comparison
+    elif os.environ.get("DEER_BENCH_CALIB", "1") != "0" and over_budget(360):
+        calib_detail = {"skipped": "time budget"}
+    elif os.environ.get("DEER_BENCH_CALIB", "1") != "0":
+        try:
+            calib_detail = run_calibration_bench(policy, params, cfg)
+        except Exception as e:
+            calib_detail = {"error": repr(e)[:200]}
+    if calib_detail:
+        detail["calibration"] = calib_detail
+        section_done()
     return result
+
+
+def _open_xattn_gates(params, trees, cfg, seed: int):
+    """A random-init model has ZERO x-attn gates (helpers.py:255-258
+    parity), so exit deltas depend on text alone and any threshold is
+    degenerate; open them with shared random values IDENTICALLY in the raw
+    params (calibration pass) and every engine's stacked tree (the
+    tests/test_exit_contract.py trick).  Gates are (n_x, 1) scalars — no
+    HBM cost, no recompile.  Mutates in place."""
+    n_x = trees[0]["xattn"]["attn_gate"].shape[0]
+    kg = jax.random.PRNGKey(seed)
+    ag = jax.random.normal(jax.random.fold_in(kg, 0), (n_x, 1)) * 0.5
+    fg = jax.random.normal(jax.random.fold_in(kg, 1), (n_x, 1)) * 0.5
+    xi = 0
+    for x in params["decoder"]["xattn"]:
+        if x is None:
+            continue
+        x["attn_gate"], x["ff_gate"] = ag[xi], fg[xi]
+        xi += 1
+    assert xi == n_x, (xi, n_x)
+    for tree in trees:
+        tree["xattn"]["attn_gate"] = ag
+        tree["xattn"]["ff_gate"] = fg
+
+
+def _debug_batches(cfg, tok, seed_, num, bs=4):
+    """Synthetic CALVIN-shaped batches; ids remapped to the engines'
+    compiled media token (the tokenizer/model contract)."""
+    from deer_vla_tpu.data.debug_data import DebugBatcher
+
+    def remap(ids):
+        ids = np.asarray(ids).copy()
+        if tok.media_token_id != cfg.media_token_id:
+            ids[ids == tok.media_token_id] = cfg.media_token_id
+        return ids
+
+    for b in DebugBatcher(cfg, tok, batch_size=bs, num_batches=num,
+                          img_hw=cfg.vit.image_size,
+                          grip_hw=cfg.vit.image_size, seed=seed_):
+        yield {**b, "input_ids": remap(b["input_ids"])}
+
+
+def _stream_probe(cfg, tok, seed, T, n_streams):
+    """Held-out probe: n_streams parallel episodes (distinct goals) x T
+    timesteps of distinct frames.  Returns (frames, ids_B, mask_B) where
+    frames[t] = (img_B, grip_B)."""
+    from deer_vla_tpu.data.preprocess import clip_preprocess
+    prep = jax.jit(functools.partial(clip_preprocess,
+                                     size=cfg.vit.image_size))
+    frames, ids_B, mask_B = [], None, None
+    for b in _debug_batches(cfg, tok, seed,
+                            (T + cfg.window_size - 1) // cfg.window_size,
+                            bs=n_streams):
+        s = b["input_ids"].shape[-1]
+        if ids_B is None:  # goals constant over each stream's episode
+            ids_B = jnp.asarray(b["input_ids"].reshape(n_streams, s))
+            mask_B = jnp.ones((n_streams, s), jnp.int32)
+        for t in range(b["rgb_static"].shape[1]):
+            img = prep(jnp.asarray(b["rgb_static"][:, t]))[:, None, None]
+            grp = prep(jnp.asarray(b["rgb_gripper"][:, t]))[:, None, None]
+            frames.append((img, grp))
+            if len(frames) >= T:
+                break
+        if len(frames) >= T:
+            break
+    return frames, ids_B, mask_B
+
+
+def _run_streams(engine, cfg, frames, ids_B, mask_B, th_row,
+                 n_streams) -> np.ndarray:
+    """Thread per-stream carries across the probe; (T * n_streams,) exits."""
+    from deer_vla_tpu.ops.lstm import zero_carry
+    carry = zero_carry(cfg.head.lstm_num_layers, n_streams,
+                       cfg.head.hidden_size, jnp.float32)
+    taken = []
+    for img, grp in frames:
+        _, _, carry, el = engine._step(engine.params, engine.stacked,
+                                       img, grp, ids_B, mask_B, carry,
+                                       th_row)
+        taken.append(np.asarray(el))  # host readback: honest sync
+    return np.concatenate(taken)
 
 
 def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
@@ -861,55 +959,18 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
         ``degenerate`` marker with the histogram instead of a trivially
         perfect agreement number.
 
-    A random-init model has ZERO x-attn gates (helpers.py:255-258 parity),
-    so deltas depend on text alone and any threshold is degenerate; the
-    gates are first opened with shared random values IDENTICALLY in the
-    raw params (calibration pass) and both engines' stacked trees (the
-    tests/test_exit_contract.py trick).  Mutates the passed trees
-    (bench-final use).
+    Gates are opened identically in all three trees (see _open_xattn_gates);
+    mutates the passed trees (bench-final use).
     """
-    from deer_vla_tpu.data.debug_data import DebugBatcher
-    from deer_vla_tpu.data.preprocess import clip_preprocess
     from deer_vla_tpu.data.text import HashTokenizer
     from deer_vla_tpu.eval.calibrate import generate_calibration_values
     from deer_vla_tpu.models.value_net import exit_probs as _exit_probs
     from deer_vla_tpu.models.value_net import solve_thresholds
-    from deer_vla_tpu.ops.lstm import zero_carry
 
     exits = list(policy.exits)
-    # shared random gate values into all three trees (gates are (n_x, 1)
-    # scalars — no HBM cost, no recompile: same shapes/dtypes)
-    n_x = policy.stacked["xattn"]["attn_gate"].shape[0]
-    kg = jax.random.PRNGKey(seed)
-    ag = jax.random.normal(jax.random.fold_in(kg, 0), (n_x, 1)) * 0.5
-    fg = jax.random.normal(jax.random.fold_in(kg, 1), (n_x, 1)) * 0.5
-    xi = 0
-    for x in params["decoder"]["xattn"]:
-        if x is None:
-            continue
-        x["attn_gate"], x["ff_gate"] = ag[xi], fg[xi]
-        xi += 1
-    assert xi == n_x, (xi, n_x)
-    for tree in (policy.stacked, q8.stacked):
-        tree["xattn"]["attn_gate"] = ag
-        tree["xattn"]["ff_gate"] = fg
-
-    # calibration over synthetic CALVIN-shaped batches; ids remapped to the
-    # engines' compiled media token (the tokenizer/model contract)
+    _open_xattn_gates(params, (policy.stacked, q8.stacked), cfg, seed)
     tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
                         max_length=cfg.text_len)
-
-    def remap(ids):
-        ids = np.asarray(ids).copy()
-        if tok.media_token_id != cfg.media_token_id:
-            ids[ids == tok.media_token_id] = cfg.media_token_id
-        return ids
-
-    def batches(seed_, num, bs=4):
-        for b in DebugBatcher(cfg, tok, batch_size=bs, num_batches=num,
-                              img_hw=cfg.vit.image_size,
-                              grip_hw=cfg.vit.image_size, seed=seed_):
-            yield {**b, "input_ids": remap(b["input_ids"])}
 
     # serving-regime calibration (streamed; falls back to folded for
     # window-folded models where no stream exists to match)
@@ -919,50 +980,21 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
     def calibrate(ratio):
         target = _exit_probs(len(exits), ratio, "exp")
         if can_stream:
-            values = generate_calibration_values(
-                params, cfg, batches(seed, 3), streamed=True,
-                exit_sample_probs=list(target))
-        else:
-            values = generate_calibration_values(params, cfg,
-                                                 batches(seed, 3))
-        return values, target
+            return generate_calibration_values(
+                params, cfg, _debug_batches(cfg, tok, seed, 3),
+                streamed=True, exit_sample_probs=list(target))
+        return generate_calibration_values(params, cfg,
+                                           _debug_batches(cfg, tok, seed, 3))
 
-    values, probs = calibrate(exit_ratio)
+    values = calibrate(exit_ratio)
     if len(np.unique(values[0])) < max(4, len(exits)):
         return {"error": "degenerate calibration deltas (gates)"}
 
     # probe: n_streams parallel episodes x T steps, one batched dispatch
     # per timestep (per-stream exits in one while_loop program)
     T = max(1, steps // n_streams)
-    prep = jax.jit(functools.partial(clip_preprocess,
-                                     size=cfg.vit.image_size))
-    stream_frames = []  # [t] -> (img_B, grip_B, ids_B, mask_B)
-    ids_B = mask_B = None
-    for b in batches(seed + 1000, (T + cfg.window_size - 1)
-                     // cfg.window_size, bs=n_streams):
-        s = b["input_ids"].shape[-1]
-        if ids_B is None:  # goals constant over each stream's episode
-            ids_B = jnp.asarray(b["input_ids"].reshape(n_streams, s))
-            mask_B = jnp.ones((n_streams, s), jnp.int32)
-        for t in range(b["rgb_static"].shape[1]):
-            img = prep(jnp.asarray(b["rgb_static"][:, t]))[:, None, None]
-            grp = prep(jnp.asarray(b["rgb_gripper"][:, t]))[:, None, None]
-            stream_frames.append((img, grp))
-            if len(stream_frames) >= T:
-                break
-        if len(stream_frames) >= T:
-            break
-
-    def run(engine, th_row):
-        carry = zero_carry(cfg.head.lstm_num_layers, n_streams,
-                           cfg.head.hidden_size, jnp.float32)
-        taken = []
-        for img, grp in stream_frames:
-            _, _, carry, el = engine._step(engine.params, engine.stacked,
-                                           img, grp, ids_B, mask_B, carry,
-                                           th_row)
-            taken.append(np.asarray(el))  # host readback: honest sync
-        return np.concatenate(taken)  # (T * n_streams,)
+    frames, ids_B, mask_B = _stream_probe(cfg, tok, seed + 1000, T,
+                                          n_streams)
 
     min_bins = min(3, len(exits))
     used_ratio = exit_ratio
@@ -970,7 +1002,8 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
         th_map, probs_solved = solve_thresholds(values, used_ratio, exits,
                                                 exits[-1])
         th_row = jnp.asarray(policy.threshold_row(th_map))
-        fp_e = run(policy, th_row)
+        fp_e = _run_streams(policy, cfg, frames, ids_B, mask_B, th_row,
+                            n_streams)
         hist = [int((fp_e == e).sum()) for e in exits]
         if sum(1 for c in hist if c) >= min_bins:
             break
@@ -978,12 +1011,12 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
             # degenerate realized mix: retry once at the uniform target
             # (max spread => max near-threshold power)
             used_ratio = 1.0
-            values, probs = calibrate(used_ratio)
+            values = calibrate(used_ratio)
     else:
         return {"degenerate": True, "fp_exit_hist": hist,
                 "steps": int(fp_e.size), "exit_ratio": used_ratio,
                 "calibration": "streamed" if can_stream else "folded"}
-    q8_e = run(q8, th_row)
+    q8_e = _run_streams(q8, cfg, frames, ids_B, mask_B, th_row, n_streams)
     return {
         "steps": int(fp_e.size),
         "exit_agreement": round(float((fp_e == q8_e).mean()), 4),
@@ -995,6 +1028,73 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
         "exit_ratio": used_ratio,
         "calibration": "streamed" if can_stream else "folded",
         "target_probs": [round(float(p), 3) for p in probs_solved],
+    }
+
+
+def run_calibration_bench(policy, params, cfg, steps: int = 128,
+                          exit_ratio: float = 0.8, seed: int = 321,
+                          n_streams: int = 8) -> dict:
+    """Folded vs streamed calibration, scored by what serving realizes
+    (VERDICT r4 item 3): calibrate BOTH regimes on the same synthetic
+    stream set, serve the same held-out streams through the production
+    while-loop engine with each regime's thresholds, and report each
+    realized exit mix's total-variation distance to the solver target.
+
+    Until now the --calib_streamed payoff (2.5x tighter TV) rested on
+    tiny-scale CPU contract tests (tests/test_exit_contract.py:391-455);
+    this section driver-records the same quantity at the bench model's
+    scale on the chip.  Reference regime it corrects: value_net.py:140-151
+    (random-prior decorrelated calibration vs carry-threaded serving).
+
+    Mutates the passed trees via _open_xattn_gates (run bench-final)."""
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.calibrate import generate_calibration_values
+    from deer_vla_tpu.models.value_net import exit_probs as _exit_probs
+    from deer_vla_tpu.models.value_net import solve_thresholds
+
+    exits = list(policy.exits)
+    if (cfg.fusion_mode == "vit_concat" or cfg.window_size < 2
+            or cfg.use_hist):
+        return {"skipped": "no streamed regime for window-folded models"}
+    _open_xattn_gates(params, (policy.stacked,), cfg, seed)
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    target = _exit_probs(len(exits), exit_ratio, "exp")
+
+    cal_folded = generate_calibration_values(
+        params, cfg, _debug_batches(cfg, tok, seed, 3))
+    cal_streamed = generate_calibration_values(
+        params, cfg, _debug_batches(cfg, tok, seed, 3),
+        streamed=True, exit_sample_probs=list(target))
+    if len(np.unique(cal_folded[0])) < max(4, len(exits)):
+        return {"error": "degenerate calibration deltas (gates)"}
+
+    T = max(1, steps // n_streams)
+    frames, ids_B, mask_B = _stream_probe(cfg, tok, seed + 1000, T,
+                                          n_streams)
+
+    def realized_tv(values):
+        th_map, probs = solve_thresholds(values, exit_ratio, exits,
+                                         exits[-1])
+        th_row = jnp.asarray(policy.threshold_row(th_map))
+        els = _run_streams(policy, cfg, frames, ids_B, mask_B, th_row,
+                           n_streams)
+        hist = np.array([(els == e).sum() for e in exits], np.float64)
+        hist /= max(1.0, hist.sum())
+        tv = 0.5 * float(np.abs(hist - probs).sum())
+        return tv, [round(float(h), 4) for h in hist]
+
+    folded_tv, folded_hist = realized_tv(cal_folded)
+    streamed_tv, streamed_hist = realized_tv(cal_streamed)
+    return {
+        "folded_tv": round(folded_tv, 4),
+        "streamed_tv": round(streamed_tv, 4),
+        "tv_ratio": round(folded_tv / max(streamed_tv, 1e-6), 3),
+        "folded_hist": folded_hist,
+        "streamed_hist": streamed_hist,
+        "target_probs": [round(float(p), 4) for p in target],
+        "exit_ratio": exit_ratio,
+        "n_streams": n_streams, "steps": T * n_streams,
     }
 
 

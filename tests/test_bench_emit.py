@@ -26,7 +26,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _silence_sections(monkeypatch, keep=()):
-    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8", "9B_MODES"):
+    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8", "9B_MODES", "CALIB"):
         monkeypatch.setenv(f"DEER_BENCH_{k}", "1" if k in keep else "0")
 
 
@@ -72,14 +72,15 @@ def test_budget_exhaustion_records_explicit_skips(monkeypatch):
     can always distinguish not-attempted from lost-to-a-kill."""
     import bench
     _silence_sections(monkeypatch,
-                      keep=("TOME", "GRIP", "W8A8", "INT8", "9B_MODES"))
+                      keep=("TOME", "GRIP", "W8A8", "INT8", "9B_MODES",
+                            "CALIB"))
     monkeypatch.setattr(bench, "BUDGET_S", 0.0)
     result = bench.run_model("tiny", emit_cb=None)
     d = result["detail"]
     assert result["value"] > 0
     assert d["batched32_full_depth_actions_per_sec"] > 0
     for k in ("batched32_tome8", "batched32_grip84", "batched32_w8a8",
-              "int8"):
+              "int8", "calibration"):
         assert d[k] == {"skipped": "time budget"}, (k, d[k])
     for m in ("int8_w8a8", "int4_w8a8"):
         assert d["modes"][m] == {"skipped": "time budget"}
@@ -99,6 +100,27 @@ def test_backend_unavailable_emits_parseable_failure(monkeypatch, tmp_path,
     r = json.loads(out_lines[-1])
     assert r["value"] == 0.0 and "unavailable" in r["error"]
     assert json.loads((tmp_path / "bench_partial.json").read_text()) == r
+
+
+def test_calibration_section_structure(monkeypatch):
+    """detail.calibration (VERDICT r4 item 3): folded AND streamed TVs from
+    the same held-out probe, structurally sound — CPU-tested at tiny before
+    the driver records it at 3B on hardware."""
+    import bench
+    _silence_sections(monkeypatch, keep=("CALIB",))
+    result = bench.run_model("tiny", emit_cb=None)
+    c = result["detail"]["calibration"]
+    assert "error" not in c and "skipped" not in c, c
+    for k in ("folded_tv", "streamed_tv"):
+        assert 0.0 <= c[k] <= 1.0, c
+    assert abs(sum(c["folded_hist"]) - 1.0) < 1e-6
+    assert abs(sum(c["streamed_hist"]) - 1.0) < 1e-6
+    assert abs(sum(c["target_probs"]) - 1.0) < 1e-3
+    assert c["steps"] == c["n_streams"] * (128 // c["n_streams"])
+    # the regime-matched calibration must never be materially WORSE than
+    # the folded one on its own serving regime (the contract tests assert
+    # the strictly-better claim with a bigger probe)
+    assert c["streamed_tv"] <= c["folded_tv"] + 0.1, c
 
 
 def _maximal_fake_result():

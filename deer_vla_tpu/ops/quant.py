@@ -170,7 +170,19 @@ def quantize_tree(tree, min_dim: int = 1, scale_key: str = "s"):
 QUANT_MODES = ("int8", "int8_w8a8", "int4", "int4_w8a8")
 
 
-def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
+SERVING_QUANT_PARTS = ("blocks", "xattn", "vit", "perceiver",
+                       "perceiver_gripper")
+# named subsets for selective quantization (the bench's mixed-precision
+# decomposition; also usable as a deployment choice)
+QUANT_PART_GROUPS = {
+    "all": SERVING_QUANT_PARTS,
+    "decoder": ("blocks", "xattn"),
+    "vision": ("vit", "perceiver", "perceiver_gripper"),
+}
+
+
+def quantize_serving_stacked(stacked: dict, mode: Optional[str],
+                             parts=SERVING_QUANT_PARTS) -> dict:
     """Quantize the weight-heavy stacked subtrees of a serving engine's
     packed tree (decoder blocks, gated x-attn, ViT blocks, perceiver
     layers).  Index maps / flags (has_xattn, xattn_idx) pass through.
@@ -179,16 +191,32 @@ def quantize_serving_stacked(stacked: dict, mode: Optional[str]) -> dict:
     "int8_w8a8" = int8 weights + dynamic int8 activations (int8 MXU);
     "int4" = weight-only nibble-packed int4 (coarse; opt-in);
     "int4_w8a8" = int4 weights + dynamic int8 activations (half w8a8's
-    weight bytes on the int8 MXU; coarse like int4)."""
+    weight bytes on the int8 MXU; coarse like int4).
+
+    parts: which subtrees to quantize — a tuple of subtree names or a
+    QUANT_PART_GROUPS key ("all" default, "decoder", "vision").  Untouched
+    subtrees keep their original (bf16/fp32) leaves, so e.g.
+    parts="decoder" serves an int8-MXU decoder under a bf16 vision tower
+    (the bench's per-precision MFU decomposition measures exactly these
+    splits)."""
     if not mode or mode == "none":
         return stacked
     if mode not in QUANT_MODES:
         raise ValueError(f"unknown quantize mode {mode!r} "
                          f"(want one of {QUANT_MODES})")
+    if isinstance(parts, str):
+        if parts not in QUANT_PART_GROUPS:
+            raise ValueError(f"unknown parts group {parts!r} "
+                             f"(want one of {tuple(QUANT_PART_GROUPS)})")
+        parts = QUANT_PART_GROUPS[parts]
+    unknown = set(parts) - set(SERVING_QUANT_PARTS)
+    if unknown:
+        raise ValueError(f"unknown stacked subtrees {sorted(unknown)} "
+                         f"(want among {SERVING_QUANT_PARTS})")
     scale_key = {"int8_w8a8": "s8", "int4": "s4",
                  "int4_w8a8": "s48"}.get(mode, "s")
     out = dict(stacked)
-    for k in ("blocks", "xattn", "vit", "perceiver", "perceiver_gripper"):
+    for k in parts:
         if k in out:
             out[k] = quantize_tree(out[k], scale_key=scale_key)
     return out

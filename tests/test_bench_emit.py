@@ -26,7 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _silence_sections(monkeypatch, keep=()):
-    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8", "9B_MODES", "CALIB"):
+    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8", "9B_MODES", "CALIB",
+              "W8A8_DECOMP"):
         monkeypatch.setenv(f"DEER_BENCH_{k}", "1" if k in keep else "0")
 
 
@@ -100,6 +101,58 @@ def test_backend_unavailable_emits_parseable_failure(monkeypatch, tmp_path,
     r = json.loads(out_lines[-1])
     assert r["value"] == 0.0 and "unavailable" in r["error"]
     assert json.loads((tmp_path / "bench_partial.json").read_text()) == r
+
+
+def test_w8a8_decomposition_structure(monkeypatch):
+    """batched32_w8a8.decomposition (VERDICT r4 item 5): four precision
+    splits measured, each with throughput + speedup-vs-bf16; CPU-tested at
+    tiny before the driver records it at 3B."""
+    import bench
+    _silence_sections(monkeypatch, keep=("W8A8", "W8A8_DECOMP"))
+    result = bench.run_model("tiny", emit_cb=None)
+    dec = result["detail"]["batched32_w8a8"]["decomposition"]
+    assert "error" not in dec, dec
+    cf = dec["configs"]
+    assert set(cf) == {"bf16", "w8a8_full", "w8a8_decoder_only",
+                       "w8a8_vision_only"}, cf
+    for c in cf.values():
+        assert c["actions_per_sec"] > 0 and c["ms_per_action"] > 0
+        assert c["speedup_vs_bf16"] > 0
+    assert cf["bf16"]["speedup_vs_bf16"] == 1.0
+    g = dec["gflops_split"]
+    assert g["vision"] > 0 and g["decoder"] > 0 and g["head"] > 0
+
+
+def test_mixed_mfu_fields_accounting():
+    """Per-precision floors: all-bf16 mixed floor equals the
+    single-precision mfu_fields floor on the same total FLOPs; quantizing
+    a component halves only ITS floor contribution."""
+    import bench
+    from deer_vla_tpu.core.config import MODEL_REGISTRY
+    from deer_vla_tpu.eval.flops import full_step_flops
+    cfg = MODEL_REGISTRY["tiny"]()
+    e = cfg.n_layers - 1
+    # low fake peak so the tiny model's floors land in a range where
+    # mfu_fields' 3-decimal floor_ms rounding is negligible
+    peak = 0.001
+    t = 0.05
+    all_bf = {"vision": "bf16", "decoder": "bf16", "head": "bf16"}
+    m_bf = bench.mixed_mfu_fields(cfg, e, t, peak, all_bf)
+    single = bench.mfu_fields(full_step_flops(cfg, e), t, peak)
+    assert abs(m_bf["mixed_floor_ms"] - single["floor_ms"]) < 0.01 * max(
+        single["floor_ms"], 1e-6), (m_bf, single)
+    assert abs(m_bf["mixed_mfu"] - single["mfu"]) < 0.02 * max(
+        single["mfu"], 1e-9)
+    # int8 decoder: floor shrinks by exactly half the decoder term
+    m_dec = bench.mixed_mfu_fields(cfg, e, t, peak,
+                                   {**all_bf, "decoder": "int8"})
+    g_dec = m_bf["gflops_split"]["decoder"]
+    expect = m_bf["mixed_floor_ms"] - 1000 * g_dec / (peak * 1e3) / 2
+    assert abs(m_dec["mixed_floor_ms"] - expect) < 0.02 * max(expect, 1e-6)
+    assert m_dec["mixed_mfu"] < m_bf["mixed_mfu"]
+    # no peak (CPU): only the FLOPs split comes back
+    m_cpu = bench.mixed_mfu_fields(cfg, e, t, 0.0, all_bf)
+    assert set(m_cpu) == {"gflops_split"}
 
 
 def test_calibration_section_structure(monkeypatch):

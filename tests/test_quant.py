@@ -277,6 +277,62 @@ def test_quantized_stacked_block_forward_close(tiny_setup):
         assert rel < 0.05, rel
 
 
+def test_quantize_serving_stacked_parts():
+    """Selective quantization (bench decomposition / deployment split):
+    parts='decoder' quantizes blocks+xattn only (vision subtrees pass
+    through UNTOUCHED — same leaf objects), parts='vision' the complement,
+    and both splits still serve through the while-loop engine with actions
+    close to full precision."""
+    from types import SimpleNamespace
+
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.ops.lstm import zero_carry
+    from deer_vla_tpu.ops.quant import quantize_serving_stacked
+
+    cfg = deer_tiny()
+    params = init_deer(jax.random.PRNGKey(3), cfg)
+    pol = ScanDeerPolicy(params, cfg)
+    dec = quantize_serving_stacked(pol.stacked, "int8_w8a8",
+                                   parts="decoder")
+    vis = quantize_serving_stacked(pol.stacked, "int8_w8a8",
+                                   parts="vision")
+    # untouched subtrees are the SAME objects (no copy, no quant)
+    assert dec["vit"] is pol.stacked["vit"]
+    assert vis["blocks"] is pol.stacked["blocks"]
+    # touched subtrees carry int8 leaves
+    flat_dec = jax.tree_util.tree_leaves(dec["blocks"])
+    assert any(x.dtype == jnp.int8 for x in flat_dec)
+    flat_vis = jax.tree_util.tree_leaves(vis["vit"])
+    assert any(x.dtype == jnp.int8 for x in flat_vis)
+    with pytest.raises(ValueError):
+        quantize_serving_stacked(pol.stacked, "int8_w8a8", parts="nope")
+    with pytest.raises(ValueError):
+        quantize_serving_stacked(pol.stacked, "int8_w8a8",
+                                 parts=("blocks", "bogus"))
+
+    # both splits serve; actions stay near the fp engine's
+    r = np.random.RandomState(0)
+    hw, s = cfg.vit.image_size, cfg.text_len
+    img = jnp.asarray(r.randn(2, 1, 1, 3, hw, hw), jnp.float32)
+    ids = np.full((2, s), 7, np.int32)
+    ids[:, 0] = cfg.media_token_id
+    ids = jnp.asarray(ids)
+    mask = jnp.ones((2, s), jnp.int32)
+    th = jnp.asarray(pol.threshold_row({e: -1e8 for e in pol.exits[:-1]}
+                                       | {pol.exits[-1]: 1e30}))
+    carry = zero_carry(cfg.head.lstm_num_layers, 2, cfg.head.hidden_size,
+                       jnp.float32)
+    a_fp, _, _, _ = pol._step(pol.params, pol.stacked, img, img, ids, mask,
+                              carry, th)
+    for stacked in (dec, vis):
+        eng = SimpleNamespace(params=pol.params, stacked=stacked,
+                              _step=pol._step)
+        a_q, _, _, _ = eng._step(eng.params, eng.stacked, img, img, ids,
+                                 mask, carry, th)
+        gap = float(np.abs(np.asarray(a_q) - np.asarray(a_fp)).max())
+        assert gap < 0.15, gap
+
+
 def test_int8_exit_agreement_trajectory():
     """VERDICT r2 item 7: trajectory-level exit-CHOICE agreement, fp vs
     int8, under CALIBRATED thresholds — the quantity that moves the

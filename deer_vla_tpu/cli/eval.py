@@ -296,6 +296,18 @@ def main(argv=None):
                 raise SystemExit(
                     "--calib_streamed needs a real time window; this model "
                     "is window-folded — use --calib_warm instead")
+            if not args.calib_streamed and not folded and not cfg.use_hist:
+                # decision rule (MIGRATION.md "Calibration regime"):
+                # streaming serving + real time window => --calib_streamed;
+                # window-folded (vit_concat / w=1)     => --calib_warm;
+                # use_hist (full-window head per step)  => default folded.
+                print("RECOMMENDED: this model serves STREAMING (one LSTM "
+                      "carry threaded across the episode) but is "
+                      "calibrating in the folded random-prefix regime — "
+                      "pass --calib_streamed for carry-matched calibration "
+                      "(~2.5x tighter realized exit mix at tiny scale, "
+                      "tests/test_exit_contract.py; driver-recorded at "
+                      "bench scale in BENCH detail.calibration)")
             values = None
             if cache and not args.recompute_values:
                 values = load_calibration_values(cache)

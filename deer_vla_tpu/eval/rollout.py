@@ -391,8 +391,12 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
                     replan: int = -1, reset: bool = False,
                     visualize_dir: Optional[str] = None) -> Dict:
     """Statically shard sequences over processes (eval_utils.py:521-527),
-    run chains, aggregate.  Cross-process aggregation is the caller's job
-    (host gather; the tensors are tiny)."""
+    run chains, gather every rank's raw results, and summarize GLOBALLY —
+    the reference's gather_object-to-rank-0 merge (eval_utils.py:565-577).
+    With world_size == 1 the gather is an identity; under
+    jax.distributed.initialize every rank returns the SAME merged report
+    (rank-0 filtering is the caller's choice).  Certified across a real OS
+    process boundary by scripts/dryrun_2proc.py (eval/2proc)."""
     n = num_sequences or len(sequences)
     assert n % world_size == 0, "NUM_SEQUENCES % device_num == 0 (eval_utils.py:525)"
     per = n // world_size
@@ -411,9 +415,24 @@ def evaluate_policy(adapter: CalvinPolicyAdapter, env, sequences: List,
         f_exits.extend(fe)
         steps.extend(st)
         s_times.extend(ti)
+
+    # raw-tuple gather + rank-ordered merge: per-rank results concatenated
+    # in rank order line up with the contiguous sequence shards, so the
+    # per-task table zips merged results against sequences[:n] exactly as
+    # a single-process run over all n would
+    from deer_vla_tpu.parallel.multihost import gather_objects
+    gathered = gather_objects({
+        "rank": rank, "results": results, "s_exits": s_exits,
+        "f_exits": f_exits, "steps": steps, "s_times": s_times})
+    gathered.sort(key=lambda p: p["rank"])
+    results = [r for p in gathered for r in p["results"]]
+    s_exits = [e for p in gathered for e in p["s_exits"]]
+    f_exits = [e for p in gathered for e in p["f_exits"]]
+    steps = [s for p in gathered for s in p["steps"]]
+    s_times = [t for p in gathered for t in p["s_times"]]
     nl = n_layers or adapter.policy.cfg.n_layers
-    return summarize(results, s_exits, f_exits, steps, s_times, my, nl,
-                     flops_per_layer)
+    return summarize(results, s_exits, f_exits, steps, s_times,
+                     sequences[:n], nl, flops_per_layer)
 
 
 def load_eval_sequences(path: str) -> List:

@@ -5,15 +5,21 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "=== tests (8-device CPU mesh) ==="
-# full suite (~40 min on this box; xdist barely helps — tests are already
-# XLA-multithreaded — but isolates worker crashes).  CI_QUICK=1 runs the
-# <5 min per-subsystem tier instead.
+# Tier policy (tests/conftest.py): quick <5 min (iteration), medium
+# ~15 min (THE default CI tier: every subsystem + full param grids on the
+# core-correctness files), full ~44 min (pre-release / when the budget
+# allows; xdist barely helps — tests are already XLA-multithreaded — but
+# isolates worker crashes).  CI_QUICK=1 / CI_FULL=1 select the others.
 if [ "${CI_QUICK:-0}" = "1" ]; then
   python -m pytest tests/ -m quick -q
-elif python -c "import xdist" 2>/dev/null; then
-  python -m pytest tests/ -q -n 4
+elif [ "${CI_FULL:-0}" = "1" ]; then
+  if python -c "import xdist" 2>/dev/null; then
+    python -m pytest tests/ -q -n 4
+  else
+    python -m pytest tests/ -q
+  fi
 else
-  python -m pytest tests/ -q
+  python -m pytest tests/ -m medium -q
 fi
 
 echo "=== graft entries ==="

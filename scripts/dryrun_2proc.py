@@ -17,7 +17,13 @@ equivalent is `jax.distributed.initialize` + gloo CPU collectives here
       ordering and content (value_net.py:195-201, eval_utils.py:565-577);
   (c) cli/2proc    — `cli/train.py --coordinator` initializes the
       distributed runtime from its own flags (distributed.py:73-132
-      equivalent) and completes a debug epoch in both processes.
+      equivalent) and completes a debug epoch in both processes;
+  (d) eval/2proc   — the reference's EVAL-plane parallelism
+      (eval_utils.py:523-577): DebugEnv chains statically sharded over the
+      2 processes (NUM_SEQUENCES % world == 0), per-rank rollouts through
+      the production while-loop engine, raw results gathered + merged in
+      rank order (rollout.evaluate_policy) — every rank's merged report
+      must equal the single-process run over all sequences.
 
 Roles (one file, orchestrator + workers):
   --orchestrate          parent: spawns the workers below, compares, prints
@@ -165,6 +171,85 @@ def role_step(rank: int, coordinator: str, out_path: str) -> None:
         json.dump(res, f)
 
 
+N_EVAL_SEQ = 8  # % N_PROC == 0 (the eval_utils.py:525 shard invariant)
+
+
+def _eval_report(rank: int, world: int) -> dict:
+    """Tiny while-loop policy + DebugEnv chains, sequences statically
+    sharded over `world` ranks, raw results gathered + merged
+    (eval/rollout.evaluate_policy).  Deterministic on CPU: every field
+    returned here must be BIT-identical between the sharded merge and the
+    single-process run (avg_llm_ms, a wall-clock, is excluded)."""
+    import dataclasses
+
+    from deer_vla_tpu.core.config import deer_tiny
+    from deer_vla_tpu.data.text import HashTokenizer
+    from deer_vla_tpu.eval.rollout import (CalvinPolicyAdapter, DebugEnv,
+                                           DebugTaskOracle, evaluate_policy,
+                                           make_debug_sequences)
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.flamingo import init_deer
+    import jax
+
+    cfg = deer_tiny()
+    tok = HashTokenizer(vocab_size=cfg.mpt.vocab_size,
+                        max_length=cfg.text_len)
+    cfg = dataclasses.replace(cfg, media_token_id=tok.media_token_id)
+    params = init_deer(jax.random.PRNGKey(SEED), cfg)
+    pol = ScanDeerPolicy(params, cfg, thresholds=[0.05, 1e8])
+    adapter = CalvinPolicyAdapter(pol, tok, text_len=cfg.text_len)
+    env = DebugEnv(img_hw=cfg.vit.image_size, grip_hw=cfg.vit.image_size)
+
+    # per-task difficulty: one subtask is impossible, so chains fail AT
+    # DIFFERENT positions (wherever it lands in each 5-chain) — without
+    # this every chain fully succeeds (a random-init policy's action
+    # MAGNITUDE barely varies by goal) and the fail-path merge (f_exits,
+    # failed-task table rows) would go untested
+    class _VariedOracle(DebugTaskOracle):
+        def get_task_info_for_set(self, start_info, current_info, subtasks):
+            if any("open_drawer" in s for s in subtasks):
+                return set()  # impossible task
+            return super().get_task_info_for_set(start_info, current_info,
+                                                 subtasks)
+
+    report = evaluate_policy(
+        adapter, env, make_debug_sequences(N_EVAL_SEQ), {},
+        _VariedOracle(threshold=0.5), rank=rank, world_size=world,
+        ep_len=12)
+    assert 0.0 < report["avg_seq_len"] < 5.0, \
+        ("eval/2proc probe has no fail-path power", report["avg_seq_len"])
+    assert sum(report["fail_exit_hist"]) > 0, report["fail_exit_hist"]
+    return {"avg_seq_len": report["avg_seq_len"],
+            "chain_sr": {str(k): v for k, v in report["chain_sr"].items()},
+            "task_info": report["task_info"],
+            "success_exit_hist": report["success_exit_hist"],
+            "fail_exit_hist": report["fail_exit_hist"],
+            "avg_exit_layer": report["avg_exit_layer"],
+            "total_success_steps": report["total_success_steps"]}
+
+
+def role_eval_single(out_path: str) -> None:
+    _force_cpu(N_PROC * DEVS_PER_PROC)
+    import jax
+    res = _eval_report(rank=0, world=1)
+    res["process_count"] = jax.process_count()
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
+def role_eval(rank: int, coordinator: str, out_path: str) -> None:
+    _force_cpu(DEVS_PER_PROC)
+    import jax
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(coordinator, num_processes=N_PROC,
+                               process_id=rank)
+    assert jax.process_count() == N_PROC, jax.process_count()
+    res = _eval_report(rank=rank, world=N_PROC)
+    res["process_count"] = jax.process_count()
+    with open(out_path, "w") as f:
+        json.dump(res, f)
+
+
 def role_cli(rank: int, coordinator: str, out_path: str,
              run_dir: str) -> None:
     _force_cpu(DEVS_PER_PROC)
@@ -252,12 +337,35 @@ def orchestrate() -> dict:
         for r in cli_res:
             assert r["cli_ok"] and r["process_count"] == N_PROC, r
 
+        # (d) eval-plane sharding across the process boundary
+        # (eval_utils.py:523-577): single-process reference over all
+        # N_EVAL_SEQ chains vs 2 ranks x N_EVAL_SEQ/2 chains merged
+        eval_single_out = os.path.join(tmp, "eval_single.json")
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--role", "eval_single", "--out", eval_single_out],
+                       env=env, check=True, timeout=600,
+                       stdout=subprocess.DEVNULL)
+        eval_ref = json.load(open(eval_single_out))
+        eval_res = _spawn_pair("eval", tmp)
+        for r in eval_res:
+            assert r["process_count"] == N_PROC, r
+            for k, v in eval_ref.items():
+                if k == "process_count":
+                    continue
+                assert r[k] == v, \
+                    (f"eval/2proc merged metric {k!r} diverges from "
+                     f"single-process: {r[k]} vs {v}")
+
     return {
         "train_2proc": {"loss": ref["loss"], "grad_norm": ref["grad_norm"],
                         "max_dloss_vs_single": dl,
                         "max_dgrad_vs_single": dg},
         "serve_2proc": {"allgather_ok": True, "gather_objects_ok": True},
         "cli_2proc": {"coordinator_init_ok": True},
+        "eval_2proc": {"sequences": N_EVAL_SEQ,
+                       "avg_seq_len": eval_ref["avg_seq_len"],
+                       "avg_exit_layer": eval_ref["avg_exit_layer"],
+                       "merged_equals_single": True},
         "processes": N_PROC, "devices_per_process": DEVS_PER_PROC,
     }
 
@@ -265,7 +373,8 @@ def orchestrate() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--orchestrate", action="store_true")
-    ap.add_argument("--role", choices=["single", "step", "cli"])
+    ap.add_argument("--role", choices=["single", "step", "cli",
+                                       "eval_single", "eval"])
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--coordinator", default="")
     ap.add_argument("--out", default="")
@@ -276,6 +385,10 @@ def main():
         return
     if args.role == "single":
         role_single(args.out)
+    elif args.role == "eval_single":
+        role_eval_single(args.out)
+    elif args.role == "eval":
+        role_eval(args.rank, args.coordinator, args.out)
     elif args.role == "step":
         role_step(args.rank, args.coordinator, args.out)
     elif args.role == "cli":

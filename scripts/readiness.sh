@@ -98,10 +98,15 @@ else
 fi
 
 CKPT=$(ls -t runs/readiness/converted.ckpt 2>/dev/null | head -1)
+# --calib_streamed: the published 3B/9B checkpoints serve streaming (post
+# fusion, window 12) — the carry-matched regime is the recommended default
+# there (decision rule in MIGRATION.md "Calibration regime"; cli/eval
+# warns if dropped).  Remove it only for vit_concat / use_hist variants.
 EVAL_CMD="python -m deer_vla_tpu.cli.eval \
   --evaluate_from_checkpoint ${CKPT:-runs/readiness/converted.ckpt} \
   --calvin_dataset ${DATASET:-/data/task_D_D} \
   --calvin_conf_path ${CONF:-calvin/calvin_models/conf} \
+  --calib_streamed \
   --num_sequences_override 224 --exit_ratio 0.8 --report_json runs/readiness/first_eval.json"
 if [ "${STATUS[artifacts]}" = ready ] && [ "${STATUS[calvin_sim]}" = ready ] \
    && [ "${STATUS[calvin_dataset]}" = ready ] && [ -n "$CKPT" ]; then

@@ -210,14 +210,15 @@ def _stream_exits(policy_step, cfg, tok, n_streams, n_steps, seed=7):
     ids, mask = fixed_length(ids, mask, cfg.text_len, 0)
     ids, mask = jnp.asarray(ids), jnp.asarray(mask)
     hw = cfg.vit.image_size
+    ghw = cfg.gripper_res or hw  # native-res wrist tower when configured
     out = []
     for _ in range(n_steps):
         img = clip_preprocess(jnp.asarray(
             r.randint(0, 256, (n_streams, hw, hw, 3), np.uint8)),
             hw)[:, None, None]
         gri = clip_preprocess(jnp.asarray(
-            r.randint(0, 256, (n_streams, hw, hw, 3), np.uint8)),
-            hw)[:, None, None]
+            r.randint(0, 256, (n_streams, ghw, ghw, 3), np.uint8)),
+            ghw)[:, None, None]
         el = policy_step(img, gri, ids, mask)
         out.append(np.asarray(el))
     return np.stack(out)  # (T, B)
@@ -449,6 +450,33 @@ def test_streamed_calibration_composes_with_tome(streamed_setup):
         return el
 
     els = _stream_exits(step, cfg_m, tok, n_streams=16, n_steps=32)
+    realized = hist_of(els.ravel(), exits)
+    assert np.all(np.abs(realized - probs) <= 0.12), (realized, probs)
+    assert 0.5 * float(np.abs(realized - probs).sum()) <= 0.12
+
+
+def test_streamed_calibration_composes_with_gripper_res(streamed_setup):
+    """--calib_streamed + --gripper_res (the recommended-default pairing in
+    README's decision rule): calibrate streamed with the native-res wrist
+    tower, serve the same tower streaming — realized mix stays within the
+    streamed-calibration band."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.value_net import exit_probs
+    cfg, tok, params, _ = streamed_setup
+    cfg_g = dataclasses.replace(cfg, gripper_res=14)
+    exits = list(cfg_g.all_exit_ids())
+    target = exit_probs(len(exits), 1.0, "exp")
+    cal = generate_calibration_values(
+        params, cfg_g, batcher(cfg, tok, seed=0, batch=16),
+        streamed=True, exit_sample_probs=list(target))
+    th, probs = solve_thresholds(cal, 1.0, exits, cfg_g.n_layers - 1)
+    pol = ScanDeerPolicy(params, cfg_g, thresholds=[th[e] for e in exits])
+
+    def step(img, gri, ids, mask):
+        _, el = pol.step_batch(img, gri, ids, mask)
+        return el
+
+    els = _stream_exits(step, cfg_g, tok, n_streams=16, n_steps=32)
     realized = hist_of(els.ravel(), exits)
     assert np.all(np.abs(realized - probs) <= 0.12), (realized, probs)
     assert 0.5 * float(np.abs(realized - probs).sum()) <= 0.12

@@ -138,6 +138,8 @@ def compact_summary(result: dict) -> dict:
         s["int8_hist_bins"] = int(sum(1 for h in hist if h))
     put("calib_folded_tv", _dig(d, "calibration", "folded_tv"), 4)
     put("calib_streamed_tv", _dig(d, "calibration", "streamed_tv"), 4)
+    if _dig(d, "calibration", "serving_mix_degenerate"):
+        s["calib_degen"] = True  # TVs don't discriminate regimes (note)
     put("train_sps", _dig(d, "train_3b", "samples_per_sec"))
     put("train_mfu", _dig(d, "train_3b", "mfu"), 3)
     put("pipe_mfu", _dig(d, "train_pipeline", "mfu"), 3)
@@ -707,9 +709,14 @@ def run_model(bench_model: str, emit_cb=None) -> dict:
                                         if k != "gflops_split"}
                                     for n, c in configs.items()},
                     }
-                    del dec_only, vis_only
                 except Exception as e:
                     batched_w8a8["decomposition"] = {"error": repr(e)[:200]}
+                # `variants`/loop vars reference every engine tree — if they
+                # linger, the downstream del w8/del bp free NOTHING and the
+                # int8 + calibration sections OOM at 3B (first hardware
+                # validation hit RESOURCE_EXHAUSTED exactly there).  None-
+                # assign (not del: names may be unbound on the error path).
+                dec_only = vis_only = variants = eng = prec = None  # noqa
             section_done()
         if w8 is not None:
             del w8
@@ -1057,11 +1064,13 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
         exit decisions with genuine input variation, not one 24-step
         stream that settles into a single bin;
       * agreement is reported ONLY when the realized fp histogram occupies
-        >= min(3, n_exits) bins; a degenerate probe retries once with a
-        uniform target mix (exit_ratio 1.0 — maximum spread, maximum
-        near-threshold power) and, still degenerate, returns an explicit
-        ``degenerate`` marker with the histogram instead of a trivially
-        perfect agreement number.
+        >= min(3, n_exits) bins; a degenerate probe retries with a uniform
+        target mix (exit_ratio 1.0), then with PER-STREAM threshold
+        scaling (log-spaced 2^-2..2^2 rows — forces streams across
+        different depths even when a warmed random-init carry makes
+        deltas a near-point-mass, the measured 3B reality), and only then
+        returns an explicit ``degenerate`` marker with the histogram
+        instead of a trivially perfect agreement number.
 
     Gates are opened identically in all three trees (see _open_xattn_gates);
     mutates the passed trees (bench-final use).
@@ -1102,26 +1111,45 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
 
     min_bins = min(3, len(exits))
     used_ratio = exit_ratio
-    for attempt in range(2):
+    spread = None
+    for attempt in ("target", "uniform", "scaled"):
+        if attempt == "uniform":
+            # degenerate realized mix: retry at the uniform target
+            # (max spread => max near-threshold power)
+            used_ratio = 1.0
+            values = calibrate(used_ratio)
         th_map, probs_solved = solve_thresholds(values, used_ratio, exits,
                                                 exits[-1])
-        th_row = jnp.asarray(policy.threshold_row(th_map))
+        row = np.asarray(policy.threshold_row(th_map), np.float32)
+        if attempt == "scaled":
+            # last resort (3B hardware reality: a RANDOM-INIT model's
+            # deltas become input-insensitive once the LSTM carry warms,
+            # so no single threshold row can split the near-point-mass —
+            # first validation realized [0,16,112,0,0,0], the 16 being
+            # exactly the fresh-carry decisions).  Per-stream threshold
+            # scaling (log-spaced 2^-2..2^2; the engines' (B, n_layers)
+            # runtime-row layout) forces different streams across
+            # different depths, so agreement is measured at MANY
+            # near-threshold operating points — fp and int8 still compare
+            # under IDENTICAL rows.
+            scales = np.logspace(-2, 2, n_streams,
+                                 base=2.0).astype(np.float32)
+            th_row = jnp.asarray(row[None, :] * scales[:, None])
+            spread = {"per_stream_scales":
+                      [round(float(s), 3) for s in scales]}
+        else:
+            th_row = jnp.asarray(row)
         fp_e = _run_streams(policy, cfg, frames, ids_B, mask_B, th_row,
                             n_streams)
         hist = [int((fp_e == e).sum()) for e in exits]
         if sum(1 for c in hist if c) >= min_bins:
             break
-        if attempt == 0:
-            # degenerate realized mix: retry once at the uniform target
-            # (max spread => max near-threshold power)
-            used_ratio = 1.0
-            values = calibrate(used_ratio)
     else:
         return {"degenerate": True, "fp_exit_hist": hist,
                 "steps": int(fp_e.size), "exit_ratio": used_ratio,
                 "calibration": "streamed" if can_stream else "folded"}
     q8_e = _run_streams(q8, cfg, frames, ids_B, mask_B, th_row, n_streams)
-    return {
+    out = {
         "steps": int(fp_e.size),
         "exit_agreement": round(float((fp_e == q8_e).mean()), 4),
         "mean_abs_exit_gap_layers":
@@ -1133,6 +1161,9 @@ def run_int8_agreement(policy, q8, params, cfg, steps: int = 128,
         "calibration": "streamed" if can_stream else "folded",
         "target_probs": [round(float(p), 3) for p in probs_solved],
     }
+    if spread is not None:
+        out["spread"] = spread
+    return out
 
 
 def run_calibration_bench(policy, params, cfg, steps: int = 128,
@@ -1190,7 +1221,7 @@ def run_calibration_bench(policy, params, cfg, steps: int = 128,
 
     folded_tv, folded_hist = realized_tv(cal_folded)
     streamed_tv, streamed_hist = realized_tv(cal_streamed)
-    return {
+    out = {
         "folded_tv": round(folded_tv, 4),
         "streamed_tv": round(streamed_tv, 4),
         "tv_ratio": round(folded_tv / max(streamed_tv, 1e-6), 3),
@@ -1200,6 +1231,22 @@ def run_calibration_bench(policy, params, cfg, steps: int = 128,
         "exit_ratio": exit_ratio,
         "n_streams": n_streams, "steps": T * n_streams,
     }
+    # honesty annotation (first 3B hardware validation): with RANDOM
+    # weights at scale, deltas become input-insensitive once the carry
+    # warms — the realized mix collapses to 1-2 bins under EITHER regime
+    # and the TV comparison stops discriminating them.  Flag it so the
+    # artifact can't be read as a verdict on --calib_streamed; the
+    # regime comparison is meaningful on trained weights (and at tiny
+    # scale, where the contract tests measure the 2.5x win).
+    bins = [sum(1 for h in hist if h > 1e-9)
+            for hist in (folded_hist, streamed_hist)]
+    if min(bins) < min(3, len(exits)):
+        out["serving_mix_degenerate"] = True
+        out["note"] = ("random-init deltas are input-insensitive at this "
+                       "scale once the carry warms; TVs do not "
+                       "discriminate calibration regimes here — compare "
+                       "on trained weights")
+    return out
 
 
 def _bench_train_cfg():

@@ -211,8 +211,21 @@ def _maximal_fake_result():
             "dynamic_mfu": mfu, "full_depth_mfu": mfu,
             "batched32_mfu": mfu,
             "batched32_tome8": sect, "batched32_grip84": sect,
-            "batched32_w8a8": {**sect,
-                               "stacked_peak_tome8_grip84": sect},
+            "batched32_w8a8": {
+                **sect,
+                "stacked_peak_tome8_grip84": sect,
+                "decomposition": {
+                    "gflops_split": {"vision": 347.099824,
+                                     "decoder": 69.457674,
+                                     "head": 0.082317},
+                    "configs": {n: {"actions_per_sec": 280.34,
+                                    "ms_per_action": 3.567,
+                                    "mixed_floor_ms": 1.05767,
+                                    "mixed_mfu": 0.2965,
+                                    "speedup_vs_bf16": 1.191}
+                                for n in ("bf16", "w8a8_full",
+                                          "w8a8_decoder_only",
+                                          "w8a8_vision_only")}}},
             "int8": {**sect, "per_depth_ms": [5.0] * 6,
                      "bf16_adjacent_per_depth_ms": [6.0] * 6,
                      "exit_agreement": {
@@ -223,7 +236,9 @@ def _maximal_fake_result():
                          "target_probs": [0.3, 0.24, 0.19, 0.15, 0.12,
                                           0.1]}},
             "calibration": {"folded_tv": 0.1612, "streamed_tv": 0.0655,
-                            "n_streams": 8, "steps_per_stream": 48},
+                            "n_streams": 8, "steps_per_stream": 48,
+                            "serving_mix_degenerate": True,
+                            "note": "x" * 120},
             "train_3b": {"samples_per_sec": 14.56, "step_ms": 412.0,
                          "batch_size": 6, "window": 12, **mfu},
             "train_pipeline": {"samples_per_sec": 13.33, "step_ms": 450.1,
@@ -250,9 +265,11 @@ def test_compact_summary_bounded_and_complete():
     assert c["detail_file"] == "runs/bench_partial.json"
     s = c["summary"]
     for k in ("batched32_aps", "tome8_aps", "grip84_aps", "w8a8_aps",
-              "peak_aps", "train_mfu", "pipe_mfu", "int8_agree",
+              "peak_aps", "w8a8_mix_mfu", "w8a8_dec_aps",
+              "train_mfu", "pipe_mfu", "int8_agree",
               "int8_hist_bins", "calib_folded_tv", "calib_streamed_tv",
-              "9b_aps", "9b_b32_aps", "9b_peak_aps", "9b_w8a8_mb"):
+              "calib_degen", "9b_aps", "9b_b32_aps", "9b_peak_aps",
+              "9b_w8a8_mb"):
         assert k in s, (k, s)
     assert s["int8_hist_bins"] == 6
     assert json.loads(line) == c  # round-trips

@@ -26,8 +26,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _silence_sections(monkeypatch, keep=()):
-    for k in ("TOME", "GRIP", "W8A8", "PEAK", "INT8", "9B_MODES", "CALIB",
-              "W8A8_DECOMP"):
+    for k in ("TOME", "GRIP", "W8A8", "PEAK", "PEAK48", "INT8", "9B_MODES",
+              "CALIB", "W8A8_DECOMP"):
         monkeypatch.setenv(f"DEER_BENCH_{k}", "1" if k in keep else "0")
 
 
@@ -101,6 +101,19 @@ def test_backend_unavailable_emits_parseable_failure(monkeypatch, tmp_path,
     r = json.loads(out_lines[-1])
     assert r["value"] == 0.0 and "unavailable" in r["error"]
     assert json.loads((tmp_path / "bench_partial.json").read_text()) == r
+
+
+def test_stacked_peak_b48_structure(monkeypatch):
+    """The B=48 operating-point measurement rides the stacked-peak
+    section: present with throughput + speedup-vs-B32 when enabled."""
+    import bench
+    _silence_sections(monkeypatch, keep=("W8A8", "PEAK", "PEAK48"))
+    result = bench.run_model("tiny", emit_cb=None)
+    pk = result["detail"]["batched32_w8a8"]["stacked_peak_tome8_grip84"]
+    assert pk["actions_per_sec"] > 0, pk
+    b48 = pk["b48"]
+    assert "error" not in b48, b48
+    assert b48["actions_per_sec"] > 0 and b48["speedup_vs_b32"] > 0
 
 
 def test_w8a8_decomposition_structure(monkeypatch):
@@ -213,7 +226,10 @@ def _maximal_fake_result():
             "batched32_tome8": sect, "batched32_grip84": sect,
             "batched32_w8a8": {
                 **sect,
-                "stacked_peak_tome8_grip84": sect,
+                "stacked_peak_tome8_grip84": {
+                    **sect,
+                    "b48": {"actions_per_sec": 624.21,
+                            "speedup_vs_b32": 1.056, **mfu}},
                 "decomposition": {
                     "gflops_split": {"vision": 347.099824,
                                      "decoder": 69.457674,
@@ -265,7 +281,7 @@ def test_compact_summary_bounded_and_complete():
     assert c["detail_file"] == "runs/bench_partial.json"
     s = c["summary"]
     for k in ("batched32_aps", "tome8_aps", "grip84_aps", "w8a8_aps",
-              "peak_aps", "w8a8_mix_mfu", "w8a8_dec_aps",
+              "peak_aps", "peak48_aps", "w8a8_mix_mfu", "w8a8_dec_aps",
               "train_mfu", "pipe_mfu", "int8_agree",
               "int8_hist_bins", "calib_folded_tv", "calib_streamed_tv",
               "calib_degen", "9b_aps", "9b_b32_aps", "9b_peak_aps",

@@ -45,6 +45,23 @@ def test_cli_calibration_of_window_folded_ckpt(tmp_path, flags):
     assert report["avg_exit_layer"] > 0
 
 
+def test_cli_streamed_recommendation_printed(tmp_path, capsys):
+    """The --calib_streamed decision rule (round 5 promotion): a STREAMING
+    config calibrating folded gets the recommendation printed; passing the
+    flag (or a window-folded model) silences it."""
+    ckpt = _train(tmp_path, [])  # default post fusion, real window
+    _eval(ckpt)
+    assert "RECOMMENDED" in capsys.readouterr().out
+    _eval(ckpt, ["--calib_streamed", "--recompute_values"])
+    assert "RECOMMENDED" not in capsys.readouterr().out
+
+
+def test_cli_window_folded_no_streamed_recommendation(tmp_path, capsys):
+    ckpt = _train(tmp_path, ["--fusion_mode", "vit_concat"])
+    _eval(ckpt)
+    assert "RECOMMENDED" not in capsys.readouterr().out
+
+
 def test_cli_vit_concat_with_state(tmp_path):
     """State-trained window-folded model: serves through DeerPolicy's
     window-folded path (cli forces the bucketed engine for state models)."""

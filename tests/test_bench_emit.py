@@ -189,6 +189,31 @@ def test_calibration_section_structure(monkeypatch):
     assert c["streamed_tv"] <= c["folded_tv"] + 0.1, c
 
 
+def test_bench_report_renders_maximal_artifact(tmp_path, capsys):
+    """scripts/bench_report.py must render every section of a maximal
+    artifact (and the checked-in rehearsal artifact) without raising."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench_report",
+        Path(__file__).resolve().parent.parent / "scripts"
+        / "bench_report.py")
+    br = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(br)
+    p = tmp_path / "art.json"
+    p.write_text(json.dumps(_maximal_fake_result()))
+    br.main(str(p))
+    out = capsys.readouterr().out
+    for frag in ("stacked peak B=48", "w8a8_decoder_only",
+                 "exit agreement", "Calibration regimes",
+                 "Truncated 9B capacity modes"):
+        assert frag in out, frag
+    real = Path(__file__).resolve().parent.parent / "runs" \
+        / "bench_rehearsal_r05_full.json"
+    if real.exists():
+        br.main(str(real))
+        assert "actions/s" in capsys.readouterr().out
+
+
 def _maximal_fake_result():
     """Every section the bench can ever produce, populated — the worst-case
     artifact the compact summary must digest under the size bound."""

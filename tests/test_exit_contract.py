@@ -482,6 +482,33 @@ def test_streamed_calibration_composes_with_gripper_res(streamed_setup):
     assert 0.5 * float(np.abs(realized - probs).sum()) <= 0.12
 
 
+def test_streamed_calibration_composes_with_w8a8(streamed_setup):
+    """--calib_streamed + --quantize int8_w8a8: calibration runs fp (as
+    shipped — thresholds are solved on the fp model) and serving runs the
+    int8 tower; the realized streamed mix must stay within a band widened
+    for int8's near-threshold perturbation."""
+    from deer_vla_tpu.eval.scan_policy import ScanDeerPolicy
+    from deer_vla_tpu.models.value_net import exit_probs
+    cfg, tok, params, _ = streamed_setup
+    exits = list(cfg.all_exit_ids())
+    target = exit_probs(len(exits), 1.0, "exp")
+    cal = generate_calibration_values(
+        params, cfg, batcher(cfg, tok, seed=0, batch=16),
+        streamed=True, exit_sample_probs=list(target))
+    th, probs = solve_thresholds(cal, 1.0, exits, cfg.n_layers - 1)
+    pol = ScanDeerPolicy(params, cfg, quantize="int8_w8a8")
+    pol.set_thresholds([th[e] for e in exits])
+
+    def step(img, gri, ids, mask):
+        _, el = pol.step_batch(img, gri, ids, mask)
+        return el
+
+    els = _stream_exits(step, cfg, tok, n_streams=16, n_steps=32)
+    realized = hist_of(els.ravel(), exits)
+    assert np.all(np.abs(realized - probs) <= 0.15), (realized, probs)
+    assert 0.5 * float(np.abs(realized - probs).sum()) <= 0.15
+
+
 def test_streamed_calibration_refuses_window_folded():
     """vit_concat folds the window into media tokens — no stream exists to
     calibrate; the generator must refuse loudly (use --calib_warm there)."""

@@ -41,9 +41,13 @@ BENCH_MODEL = os.environ.get("DEER_BENCH_MODEL", "mpt_dolly_3b")
 # leaves the freshest complete artifact as the last parseable stdout line.
 # That makes the budget a wasted-work bound, not an artifact-safety bound:
 # it is sized so the nested 9B capacity sweep (the last, most expensive
-# section) still gets attempted on a healthy tunnel (a full 3B pass
-# measured ~28 min; 9B init+compile+modes ~15 min more).
-BUDGET_S = float(os.environ.get("DEER_BENCH_BUDGET_S", "3300"))
+# section) still gets attempted on a healthy tunnel.  Round-5 sizing: the
+# full path (3B + decomposition + agreement + calibration + b48 + train +
+# pipeline + 9B) measured ~55 min end-to-end on a healthy tunnel — an
+# under-sized budget would VOLUNTARILY skip the 9B tail that incremental
+# emission makes safe to attempt (each nested 9B section merges into the
+# artifact as it lands, so even a mid-9B kill keeps the completed modes).
+BUDGET_S = float(os.environ.get("DEER_BENCH_BUDGET_S", "4200"))
 _START = time.time()
 
 # belt-and-braces trail: every emit() also rewrites this file on disk

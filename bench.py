@@ -1532,6 +1532,21 @@ def _compact_9b(r9: dict) -> dict:
 
 
 def main():
+    # persistent compile cache (driver-run accelerator): the full path
+    # spends ~10+ min compiling ~a dozen programs per fresh process; a
+    # warm cache on this host cuts that to seconds on repeat runs.  JAX
+    # invalidates by fingerprint (program + flags + backend), so staleness
+    # is safe; best-effort because the axon backend may not support it.
+    cache_dir = os.environ.get("DEER_BENCH_COMPILE_CACHE",
+                               "/tmp/deer_jax_cache_tpu")
+    if cache_dir and cache_dir != "0":
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+        except Exception as e:
+            print(f"bench: compile cache unavailable: {e!r}", flush=True)
+
     # the backend wait counts against the SAME budget as everything else
     # (VERDICT r3 weak 1): a long outage eats into optional sections, not
     # into the driver's patience; and every section lands incrementally
